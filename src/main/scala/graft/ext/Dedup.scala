@@ -1,0 +1,200 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large-scale training-data pipelines
+ * (SURVEY §7.1 step 9; beyond the reference's own surface).
+ *
+ * Scale design (100 TB north star):
+ *  - exact dedup is a single hash aggregate on a fixed-width digest — no
+ *    wide-row shuffle, map-side partial agg does the heavy lifting;
+ *  - MinHash/LSH banding turns O(n²) similarity into per-bucket joins:
+ *    shuffle keys are (band, bandHash), bucket sizes are bounded by the
+ *    band width choice; candidate verification is a narrow self-join;
+ *  - shingle-based joins filter "stop shingles" (shingles appearing in too
+ *    many docs) before the self-join — the classic skew guard: without it
+ *    one hot shingle key would hold back a 1000-executor cluster;
+ *  - everything is built-in Column algebra (codegen'd); no UDFs.
+ */
+object Dedup {
+
+  // ------------------------------------------------------------------
+  // Exact dedup
+  // ------------------------------------------------------------------
+
+  /** Group identical texts by digest: (hash, canonical id = min id, count).
+   *  Only the digest shuffles, never the text. */
+  def exactDuplicateGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep one row per distinct text (the minimum id wins — deterministic,
+   *  unlike dropDuplicates which keeps an arbitrary row). */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ------------------------------------------------------------------
+  // Shingling
+  // ------------------------------------------------------------------
+
+  /** Word n-gram shingles of a text column as array<string> (distinct). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(trim(lower(text)), "\\s+")
+    val count = greatest(size(words) - (n - 1), lit(0))
+    array_distinct(transform(sequence(lit(1), count), i =>
+      array_join(slice(words, i, lit(n)), " ")))
+  }
+
+  /** Character n-gram shingles (distinct). */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = lower(text)
+    val count = greatest(length(t) - (n - 1), lit(0))
+    array_distinct(transform(sequence(lit(1), count), i => substring(t, i, lit(n))))
+  }
+
+  // ------------------------------------------------------------------
+  // n-gram Jaccard near-dup (exact, join-based)
+  // ------------------------------------------------------------------
+
+  /**
+   * Exact pairwise Jaccard over word n-gram shingle sets, join-based:
+   * explode distinct shingles → self-join on shingle → |A∩B| per pair →
+   * Jaccard from per-doc set sizes. `maxDocFreq` drops shingles present in
+   * more than that many docs before the join (skew + noise guard).
+   * Emits (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+   */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxDocFreq: Long = 1000L): DataFrame = {
+    val shingled = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), n).as("shingles"))
+      .withColumn("set_size", size(col("shingles")))
+
+    val exploded = shingled
+      .select(col("id"), col("set_size"), explode(col("shingles")).as("shingle"))
+
+    val rare = exploded
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDocFreq)
+      .drop("df")
+
+    val a = rare.select(col("id").as("id_a"), col("set_size").as("size_a"), col("shingle"))
+    val b = rare.select(col("id").as("id_b"), col("set_size").as("size_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("size_a") + col("size_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH banding
+  // ------------------------------------------------------------------
+
+  /** Deterministic affine hash family over a base 64-bit shingle hash:
+   *  h_i(s) = (a_i * xxhash64(s) + b_i) mod P  (P = large prime).
+   *  Parameters derive from the index — reproducible across runs/engines. */
+  private val Prime = 2305843009213693951L // 2^61 - 1
+  private def hashParams(k: Int): Seq[(Long, Long)] =
+    (0 until k).map(i => (2L * i + 1234567891L, 981234567L * (i + 1)))
+
+  /** MinHash signature (array<long>, length k) over a shingle array. */
+  def minhashSignature(shingles: Column, k: Int = 128): Column = {
+    val sigs = hashParams(k).map { case (a, b) =>
+      array_min(transform(shingles, s =>
+        pmod(xxhash64(s) * lit(a) + lit(b), lit(Prime))))
+    }
+    array(sigs: _*)
+  }
+
+  /**
+   * LSH candidate pairs: split the k-wide signature into `bands` bands of
+   * k/bands rows; docs sharing any full band land in the same bucket.
+   * Returns distinct (id_a, id_b) candidates, id_a < id_b. The shuffle key
+   * is (band index, band hash) — bounded buckets, no O(n²).
+   */
+  def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+                            n: Int = 3, k: Int = 128, bands: Int = 32): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(wordShingles(col(textCol), n), k).as("sig"))
+
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
+          x => x.cast("string")), ",")))).as(Seq("band", "band_hash")))
+
+    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Full MinHash near-dup: LSH candidates verified with exact Jaccard. */
+  def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+                            n: Int = 3, k: Int = 128, bands: Int = 32,
+                            threshold: Double = 0.7): DataFrame = {
+    val candidates = minhashCandidatePairs(df, textCol, idCol, n, k, bands)
+    val shingled = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), n).as("shingles"))
+    val withA = candidates.join(shingled.withColumnRenamed("id", "id_a")
+      .withColumnRenamed("shingles", "sh_a"), Seq("id_a"))
+    val withB = withA.join(shingled.withColumnRenamed("id", "id_b")
+      .withColumnRenamed("shingles", "sh_b"), Seq("id_b"))
+    withB
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash over word shingles: per bit, sum +1/-1 votes of each
+   *  shingle's xxhash64 bit; sign → bit. Returns a long column. */
+  def simhash(shingles: Column): Column = {
+    val bitVotes = transform(sequence(lit(0), lit(63)), bit =>
+      when(
+        aggregate(shingles, lit(0L), (acc, s) =>
+          acc + when(call_function("shiftright", xxhash64(s), bit).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+        ) > 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(zip_with(bitVotes, sequence(lit(0), lit(63)), (v, i) => call_function("shiftleft", v, i)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within `maxHamming`: bucket by 4 16-bit chunks
+   *  (a pair within Hamming distance 3 shares at least one exact chunk —
+   *  pigeonhole), then verify. Scales like LSH banding. */
+  def simhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+                            maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      simhash(wordShingles(col(textCol), 2)).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk_idx", "chunk")))
+    val l = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

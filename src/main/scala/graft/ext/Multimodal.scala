@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal-column plumbing (SURVEY §7.1 step 9): image/audio/video as
+ * opaque BINARY columns beside a typed metadata struct. The Spark-side
+ * contract — schema, partition-friendly batch shape, operator signatures —
+ * is real and tested; the actual codec work is STUBBED with deterministic
+ * fakes (image/audio libraries are not in this container). Each stub is
+ * marked `STUB:` and isolated behind one function so a real codec slots in
+ * without touching the pipeline.
+ *
+ * Scale notes: binary payloads ride along untouched (Parquet stores them
+ * column-separate, so metadata-only queries never read the bytes);
+ * per-item transforms are narrow (no shuffle); frame sampling explodes
+ * rows but keys stay with the parent item, so downstream groupBy(item_id)
+ * needs one exchange.
+ */
+object Multimodal {
+
+  /** Typed metadata carried beside the opaque payload. */
+  val mediaMeta: StructType = StructType(Seq(
+    StructField("kind", StringType),        // image | audio | video
+    StructField("format", StringType),      // jpeg | png | wav | mp4 ...
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("item_id", LongType, nullable = false),
+    StructField("content", BinaryType),
+    StructField("meta", mediaMeta)))
+
+  /** Build a media table from any source DataFrame: payload bytes + typed
+   *  metadata derived deterministically (so tests are stable). Here the
+   *  "payload" is the utf-8 bytes of a text column — the plumbing target,
+   *  not the codec. */
+  def fromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("item_id"),
+      encode(col(textCol), "UTF-8").as("content"),
+      struct(
+        lit("image").as("kind"),
+        lit("fake").as("format"),
+        (pmod(xxhash64(col(textCol)), lit(1920L)).cast("int") + 1).as("width"),
+        (pmod(xxhash64(col(textCol), lit(1)), lit(1080L)).cast("int") + 1).as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("long").as("duration_ms")).as("meta"))
+
+  /** STUB: "decode" an image — in production this is a codec call inside
+   *  mapPartitions (one decoder instance per partition, reused across
+   *  rows). The deterministic fake derives pixel stats from the bytes so
+   *  the schema/laziness/partitioning of the real operator is exercised. */
+  def decodeImageStats(media: DataFrame): DataFrame =
+    media.select(
+      col("item_id"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      octet_length(col("content")).as("n_bytes"),
+      // STUB: stand-in for decoded-pixel statistics
+      (pmod(xxhash64(col("content").cast("string")), lit(256L))).cast("double").as("mean_pixel"))
+
+  /** Resize: pure metadata transform (real resize would rewrite `content`
+   *  in the same mapPartitions pass — STUB keeps bytes as-is). */
+  def resize(media: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(
+      lit(maxDim).cast("double") / col("meta.width").cast("double"),
+      lit(maxDim).cast("double") / col("meta.height").cast("double"),
+      lit(1.0))
+    media.withColumn("meta", struct(
+      col("meta.kind"), col("meta.format"),
+      ceil(col("meta.width") * scale).cast("int").as("width"),
+      ceil(col("meta.height") * scale).cast("int").as("height"),
+      col("meta.sample_rate"), col("meta.duration_ms")))
+  }
+
+  /** Frame sampling: one output row per sampled frame (explode). Frame
+   *  payload extraction is a STUB slice of the parent bytes. */
+  def sampleFrames(media: DataFrame, everyNth: Int, maxFrames: Int): DataFrame = {
+    val nFrames = least(
+      greatest(octet_length(col("content")) / lit(everyNth), lit(1)),
+      lit(maxFrames))
+    media.select(col("item_id"), col("content"),
+      posexplode(sequence(lit(0), nFrames - 1)).as(Seq("frame_idx", "frame_no")))
+      .select(col("item_id"), col("frame_idx"),
+        // STUB: a real implementation decodes the frame at this offset
+        substring(base64(col("content")), col("frame_idx") * everyNth + 1, lit(everyNth)).as("frame_token"))
+  }
+
+  /** Feature extraction: fixed-width float vector per item. STUB derives a
+   *  deterministic pseudo-embedding from the bytes; a real extractor runs a
+   *  model in mapPartitions with batched inference. */
+  def extractFeatures(media: DataFrame, dims: Int = 16): DataFrame =
+    media.select(col("item_id"),
+      transform(sequence(lit(0), lit(dims - 1)), i =>
+        (pmod(xxhash64(col("content").cast("string"), i), lit(2000L)).cast("double") / 1000.0) - 1.0
+      ).as("features"))
+}

@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (array<float>), SURVEY §7.1
+ * step 9.
+ *
+ * Scale design: the baseline brute-force top-k broadcasts the (small)
+ * query set — the corpus never shuffles; per-partition dot products feed a
+ * per-query TopK (Spark plans TakeOrderedAndProject under the window+limit
+ * shape). The scale path buckets the corpus by random-hyperplane LSH so
+ * each query probes only matching buckets — candidate generation is a
+ * bucket equi-join, not a cross product.
+ *
+ * All vector math is Column algebra in DOUBLE precision (zip_with +
+ * aggregate — codegen'd higher-order functions, no UDFs).
+ */
+object Similarity {
+
+  /** Dot product of two array<numeric> columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /**
+   * Brute-force cosine top-k: for each query vector, the k nearest corpus
+   * vectors. `queries` must be small (it is broadcast).
+   * Returns (query_id, neighbor_id, rank) — rank 1 = most similar.
+   */
+  def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val joined = corpus.crossJoin(
+      broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))))
+      .filter(if (excludeSelf) col("query_id") =!= col(corpusId) else lit(true))
+      .select(col("query_id"), col(corpusId).as("neighbor_id"),
+        cosine(col(corpusVec), col("__qv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+   *  a fixed hash mapped to [-1, 1). Reproducible across runs. */
+  private def planeComponent(p: Int, i: Column): Column =
+    (pmod(xxhash64(concat_ws(":", lit(p), i.cast("string"))), lit(1000000L))
+      .cast("double") / 500000.0) - 1.0
+
+  /** Random-hyperplane LSH signature: `planes` sign bits packed in a long. */
+  def hyperplaneSignature(vec: Column, planes: Int = 16): Column = {
+    require(planes <= 63, "signature packs into a single long")
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /**
+   * LSH-bucketed ANN top-k (the 100 TB path): corpus and queries hash to
+   * hyperplane-sign buckets; each query joins only its bucket (plus
+   * single-bit-flip probe buckets for recall), then exact cosine reranks.
+   * Falls back to fewer-than-k results for sparse buckets — standard
+   * ANN recall/latency trade.
+   */
+  def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, planes: Int = 12, probeBits: Int = 1): DataFrame = {
+    val corpusSig = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("__cv"), hyperplaneSignature(col(corpusVec), planes).as("bucket"))
+
+    // multi-probe: original bucket + every single-bit flip (probeBits=1)
+    val probes: Column = {
+      val base = hyperplaneSignature(col(queryVec), planes)
+      val flips = (0 until planes).map(b => base.bitwiseXOR(shiftleft(lit(1L), b)))
+      if (probeBits >= 1) array((base +: flips): _*) else array(base)
+    }
+    val querySig = queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("__qv"), explode(probes).as("bucket"))
+
+    val candidates = corpusSig.join(broadcast(querySig), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__cv"), col("__qv")).as("sim"))
+      .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("sim")).as("sim"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** IVF-style coarse quantization: assign each vector to the nearest of
+   *  `centroids` (a small broadcast table id → vector); search then probes
+   *  only matching cells. Centroids can come from any upstream clustering;
+   *  here they are arbitrary sampled rows — the plumbing is the point. */
+  def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame, centroidId: String, centroidVec: String): DataFrame = {
+    val joined = df.crossJoin(broadcast(
+      centroids.select(col(centroidId).as("centroid_id"), col(centroidVec).as("__cent"))))
+      .select(col(idCol), col(vecCol),
+        col("centroid_id"), cosine(col(vecCol), col("__cent")).as("sim"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines (SURVEY §7.1 step 9):
+ * token counting, quality scoring, language-ID heuristic, document
+ * fingerprinting. Pure Column algebra — every operator is a scalar
+ * projection that stays inside whole-stage codegen; no shuffles, no UDFs.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count estimate: word-boundary splits plus
+   *  length/4 continuation tokens for long words (a common serving-side
+   *  approximation when no tokenizer is available). */
+  def approxBpeTokenCount(text: Column): Column = {
+    val words = split(trim(text), "\\s+")
+    aggregate(words, lit(0L), (acc, w) =>
+      acc + greatest(ceil(length(w).cast("double") / 4.0).cast("long"), lit(1L)))
+  }
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+        / length(text).cast("double"))
+
+  /** Small multilingual stopword table for heuristics (public common words). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "que", "en", "un", "una", "es", "por", "con", "para", "no"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "in", "den", "von", "zu", "mit", "sich", "des", "auf", "für", "nicht"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "en", "que", "qui", "dans", "pour", "pas", "sur"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "他", "就", "人", "都", "一", "个"))
+
+  /** Fraction of tokens that are known stopwords of `lang`. */
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val words = split(trim(lower(text)), "\\s+")
+    val stops = array(stopwords(lang).map(lit): _*)
+    when(size(words) === 0, 0.0).otherwise(
+      size(array_intersect(array_distinct(words), stops)).cast("double")
+        / size(array_distinct(words)).cast("double"))
+  }
+
+  /** Heuristic quality score in [0,1]: combines length band, punctuation
+   *  sanity, mean word length, and stopword presence — the standard cheap
+   *  pre-filter before expensive model-based scoring. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text)
+    val tokens = tokenCount(text)
+    val meanWordLen = when(tokens > 0, nChars.cast("double") / tokens.cast("double")).otherwise(0.0)
+    val lengthScore = when(nChars.between(100, 10000), 1.0)
+      .when(nChars.between(20, 99), 0.5).otherwise(0.1)
+    val punctScore = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.3)
+    val wordLenScore = when(meanWordLen.between(3.0, 12.0), 1.0).otherwise(0.4)
+    val stopScore = when(stopwordRatio(text) >= 0.01, 1.0).otherwise(0.6)
+    round((lengthScore * 0.4 + punctScore * 0.2 + wordLenScore * 0.2 + stopScore * 0.2), 6)
+  }
+
+  /** Language-ID heuristic: argmax of stopword-hit counts across the known
+   *  languages; "und" (undetermined) when nothing matches. */
+  def languageId(text: Column): Column = {
+    val words = array_distinct(split(trim(lower(text)), "\\s+"))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      struct(size(array_intersect(words, array(stops.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Normalization fingerprint (the classic near-dup "fingerprint method"):
+   *  lowercase, strip punctuation, unique words sorted, md5. Two docs with
+   *  the same word multiset (up to order/punct/case) collide. */
+  def fingerprint(text: Column): Column = {
+    val cleaned = regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", " ")
+    val words = array_sort(array_distinct(
+      filter(split(trim(cleaned), "\\s+"), w => length(w) > 0)))
+    md5(array_join(words, " "))
+  }
+
+  /** Rolling polynomial hash of the text (order-sensitive fingerprint). */
+  def rollingHash(text: Column): Column = xxhash64(text)
+}

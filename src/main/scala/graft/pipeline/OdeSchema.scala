@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.types._
+
+/**
+ * Authored schema for ODE BSM/TIM records (FIXTURES.md §1) — exactly the
+ * fields addressed by rules in the reference's config_2.ini and
+ * sequential.py. Everything nullable: absence is a validation verdict,
+ * never a parse error (validator.py:196-198). Extra fields in the data are
+ * legal and ignored — from_json drops them.
+ */
+object OdeSchema {
+
+  val serialId: StructType = StructType(Seq(
+    StructField("streamId", StringType),
+    StructField("bundleSize", LongType),
+    StructField("bundleId", LongType),
+    StructField("recordId", LongType),
+    StructField("serialNumber", LongType)))
+
+  val locationData: StructType = StructType(Seq(
+    StructField("latitude", StringType),   // kept raw: rules cast to decimal
+    StructField("longitude", StringType),
+    StructField("elevation", StringType),  // AllowEmpty (config_2.ini:118)
+    StructField("speed", StringType),
+    StructField("heading", StringType)))
+
+  val serviceRegionCorner: StructType = StructType(Seq(
+    StructField("latitude", StringType),
+    StructField("longitude", StringType)))
+
+  val request: StructType = StructType(Seq(
+    StructField("ode", StructType(Seq(
+      StructField("verb", StringType),
+      StructField("version", StringType)))),
+    StructField("sdw", StructType(Seq(
+      StructField("recordId", StringType),
+      StructField("ttl", StringType),
+      StructField("serviceRegion", StructType(Seq(
+        StructField("nwCorner", serviceRegionCorner),
+        StructField("seCorner", serviceRegionCorner))))))),
+    StructField("rsus", StructType(Seq(
+      StructField("rsus", ArrayType(StructType(Seq(
+        StructField("rsuTarget", StringType),
+        StructField("rsuRetries", LongType),
+        StructField("rsuTimeout", LongType),
+        StructField("rsuIndex", LongType)))))))),
+    StructField("snmp", StructType(Seq(
+      StructField("mode", StringType),
+      StructField("deliverystart", StringType),
+      StructField("deliverystop", StringType),
+      StructField("rsuid", StringType),
+      StructField("enable", StringType),
+      StructField("channel", StringType),
+      StructField("msgid", StringType),
+      StructField("interval", StringType),
+      StructField("status", StringType))))))
+
+  val metadata: StructType = StructType(Seq(
+    StructField("recordGeneratedAt", StringType),
+    StructField("recordGeneratedBy", StringType),
+    StructField("recordType", StringType),
+    StructField("sanitized", StringType),
+    StructField("schemaVersion", StringType),
+    StructField("securityResultCode", StringType),
+    StructField("bsmSource", StringType),
+    StructField("payloadType", StringType),
+    StructField("logFileName", StringType),
+    StructField("odeReceivedAt", StringType),
+    StructField("serialId", serialId),
+    StructField("receivedMessageDetails", StructType(Seq(
+      StructField("locationData", locationData),
+      StructField("rxSource", StringType)))),
+    StructField("request", request)))
+
+  val record: StructType = StructType(Seq(
+    StructField("metadata", metadata),
+    // payload is opaque to rules; retained raw for the report sink
+    // (result.py:20-23 keeps the whole record)
+    StructField("payload", StringType)))
+}

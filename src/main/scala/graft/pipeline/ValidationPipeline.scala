@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.aggregate.FileAggregates
+import graft.ingest.Readers
+import graft.model.ValidationSuite
+import graft.rules.RuleCompiler
+import graft.sequential.SequentialChecks
+
+/**
+ * End-to-end batch pipeline (SURVEY §3.1): read files → wide validation
+ * select → sequential window checks → per-file aggregates → sinks.
+ *
+ * One QueryExecution; the only exchange is the per-file hash partitioning,
+ * shared by the sequential windows and the per-file aggregates. Files are
+ * independent units (as in the reference's one-Lambda-per-object model),
+ * so the plan is embarrassingly parallel in the file key and scales with
+ * file count, not file size ceilings (the reference held whole files in
+ * RAM — cvp_bucket_event_lambda_handler.py:40-64).
+ */
+object ValidationPipeline {
+
+  final case class Result(
+      validated: DataFrame,     // per-record: file, record cols, validations
+      sequential: DataFrame,    // per-file sequential verdicts
+      fileTotals: DataFrame,    // A1-A4 + verdict
+      errorHistogram: DataFrame)
+
+  /** Validate parsed records that already carry a `file` column. */
+  def validateRecords(records: DataFrame, suite: ValidationSuite): DataFrame = {
+    val schema = StructType(records.schema.fields.filterNot(f =>
+      Set("file", "file_size", "file_modification_time", "value").contains(f.name)))
+    val skips = RuleCompiler.skipFlagColumns(suite, schema)
+    val withSkips = skips.foldLeft(records) { case (df, (path, c)) =>
+      df.withColumn(RuleCompiler.skipFlagName(path), c)
+    }
+    withSkips.withColumn("validations", RuleCompiler.validationsColumn(suite, schema))
+  }
+
+  /** Full run over NDJSON files matched by `path` (glob ok, .gz ok). */
+  def runJson(spark: SparkSession, path: String, suite: ValidationSuite,
+              schema: StructType = OdeSchema.record): Result = {
+    val records = Readers.ndjson(spark, path, schema)
+    val validated = validateRecords(records, suite)
+    run(validated, suite)
+  }
+
+  /** Full run over positional CSV files. */
+  def runCsv(spark: SparkSession, path: String, suite: ValidationSuite): Result = {
+    val records = Readers.positionalCsv(spark, path, suite)
+    val validated = validateRecords(records, suite)
+    run(validated, suite)
+  }
+
+  def run(validated: DataFrame, suite: ValidationSuite): Result = {
+    val sequential =
+      if (suite.sequential) {
+        val skipPaths = suite.scalarRules.filter(_.skipConditions.nonEmpty).map(_.path)
+        val stdCols = Seq(
+          col("file").as(SequentialChecks.FileCol),
+          col("metadata.serialId.serialNumber").cast("long").as(SequentialChecks.SerialNumber),
+          col("metadata.serialId.bundleId").cast("long").as(SequentialChecks.BundleId),
+          col("metadata.serialId.recordId").cast("long").as(SequentialChecks.RecordId),
+          col("metadata.serialId.bundleSize").cast("long").as(SequentialChecks.BundleSize),
+          date_trunc("second", to_timestamp(col("metadata.recordGeneratedAt"))).as(SequentialChecks.GeneratedAt),
+          date_trunc("second", to_timestamp(col("metadata.odeReceivedAt"))).as(SequentialChecks.ReceivedAt),
+          col("metadata.logFileName").as(SequentialChecks.LogFileName))
+        val flagCols = skipPaths.map(p => col(RuleCompiler.skipFlagName(p)))
+        val std = validated.select(stdCols ++ flagCols: _*)
+        SequentialChecks(std,
+          skipPaths.map(p => p -> col(RuleCompiler.skipFlagName(p))).toMap)
+      } else {
+        validated.sparkSession.emptyDataFrame
+      }
+
+    val totals = FileAggregates.fileVerdicts(FileAggregates.fileTotals(validated))
+    val hist = FileAggregates.errorHistogram(validated)
+    Result(validated, sequential, totals, hist)
+  }
+
+  /** Parquet sinks (BASELINE.json: "Spark DataFrame ETL + Parquet write"). */
+  def writeAll(result: Result, outDir: String): Unit = {
+    result.fileTotals.write.mode("overwrite").parquet(s"$outDir/file_totals")
+    result.errorHistogram.write.mode("overwrite").parquet(s"$outDir/error_histogram")
+    if (!result.sequential.isEmpty)
+      result.sequential.write.mode("overwrite").parquet(s"$outDir/sequential")
+  }
+}
