@@ -64,7 +64,10 @@ object SuiteLoader {
       dateFormat = get("DateFormat"),
       earliestTime = get("EarliestTime").map(parseTime),
       latestTime = get("LatestTime").map {
-        case "NOW" => NowTime
+        // resolved once at suite-compile time, like the reference's
+        // datetime.now(timezone.utc) at Field init (validator.py:69-70);
+        // NowTime stays available for programmatic suites wanting query-time NOW
+        case "NOW" => FixedTime(Instant.now())
         case other => FixedTime(parseTime(other))
       },
       allowEmpty = get("AllowEmpty").contains("True"),

@@ -100,18 +100,13 @@ object Dedup {
   // MinHash + LSH banding
   // ------------------------------------------------------------------
 
-  /** Deterministic affine hash family over a base 64-bit shingle hash:
-   *  h_i(s) = (a_i * xxhash64(s) + b_i) mod P  (P = large prime).
-   *  Parameters derive from the index — reproducible across runs/engines. */
-  private val Prime = 2305843009213693951L // 2^61 - 1
-  private def hashParams(k: Int): Seq[(Long, Long)] =
-    (0 until k).map(i => (2L * i + 1234567891L, 981234567L * (i + 1)))
-
-  /** MinHash signature (array<long>, length k) over a shingle array. */
+  /** MinHash signature (array<long>, length k) over a shingle array.
+   *  Hash family = xxhash64 seeded by the function index (an extra hashed
+   *  column) — deterministic, no 64-bit multiply (ANSI-overflow-safe), and
+   *  one codegen'd hash call per (shingle, i). */
   def minhashSignature(shingles: Column, k: Int = 128): Column = {
-    val sigs = hashParams(k).map { case (a, b) =>
-      array_min(transform(shingles, s =>
-        pmod(xxhash64(s) * lit(a) + lit(b), lit(Prime))))
+    val sigs = (0 until k).map { i =>
+      array_min(transform(shingles, s => xxhash64(s, lit(i))))
     }
     array(sigs: _*)
   }

@@ -82,7 +82,7 @@ object Multimodal {
    *  payload extraction is a STUB slice of the parent bytes. */
   def sampleFrames(media: DataFrame, everyNth: Int, maxFrames: Int): DataFrame = {
     val nFrames = least(
-      greatest(octet_length(col("content")) / lit(everyNth), lit(1)),
+      greatest(floor(octet_length(col("content")) / lit(everyNth)).cast("int"), lit(1)),
       lit(maxFrames))
     media.select(col("item_id"), col("content"),
       posexplode(sequence(lit(0), nFrames - 1)).as(Seq("frame_idx", "frame_no")))

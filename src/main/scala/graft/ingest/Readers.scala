@@ -33,9 +33,14 @@ object Readers {
   /** S6: NDJSON records against an authored schema; a row that fails to
    *  parse keeps its raw text in `_corrupt_record` (all schema fields null)
    *  so it surfaces as validation failures instead of vanishing. */
-  def ndjson(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+  def ndjson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    parseNdjsonLines(lines(spark, path), schema)
+
+  /** S6 parse step over an existing lines DataFrame (shared by the batch
+   *  and Structured Streaming paths — SURVEY §2.8). */
+  def parseNdjsonLines(linesDf: DataFrame, schema: StructType): DataFrame = {
     val withCorrupt = schema.add("_corrupt_record", StringType, nullable = true)
-    lines(spark, path)
+    linesDf
       .withColumn("record", from_json(col("value"), withCorrupt,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")))
       .select(col("file"), col("file_size"), col("file_modification_time"),
@@ -43,37 +48,65 @@ object Readers {
   }
 
   /** S7: positional CSV — columns mapped to rule paths BY DECLARATION ORDER
-   *  (validator.py:419-432); all values strings, casts happen per rule. */
+   *  (validator.py:419-432); all values strings, casts happen per rule.
+   *
+   *  Header dropping uses the CSV source's own header handling, which is
+   *  split-aware (only the task reading a file's first split skips a line) —
+   *  NOT a window over monotonically_increasing_id, whose order does not
+   *  follow physical line order across splits. A malformed line (wrong
+   *  column count) keeps its raw text in `_corrupt_record`; the reference
+   *  aborts the whole file instead (parse_csv raise) — surfacing it as data
+   *  is the Spark-native strict improvement. */
   def positionalCsv(spark: SparkSession, path: String, suite: ValidationSuite): DataFrame = {
     val fields = suite.scalarRules.map(_.path)
-    val base = lines(spark, path)
-    val withLine = if (suite.hasHeader) {
-      // drop the first line of each file (header); checked separately (S8)
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("file")).orderBy(monotonically_increasing_id())
-      base.withColumn("__rn", row_number().over(w)).filter(col("__rn") > 1).drop("__rn")
-    } else base
-    val parts = split(col("value"), ",")
-    fields.zipWithIndex.foldLeft(withLine) { case (df, (name, i)) =>
-      df.withColumn(name, element_at(parts, i + 1))
+    val schema = StructType(
+      fields.map(StructField(_, StringType, nullable = true)) :+
+        StructField("_corrupt_record", StringType, nullable = true))
+    val raw = spark.read
+      .schema(schema)
+      .option("header", suite.hasHeader.toString)
+      .option("enforceSchema", "true") // positional mapping: never match by name
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .select(
+        (fields :+ "_corrupt_record").map(f => col(quotedName(f))) ++ Seq(
+          input_file_name().as("file"),
+          col("_metadata.file_size").as("file_size"),
+          col("_metadata.file_modification_time").as("file_modification_time")): _*)
+    // Python's line.split(',') yields "" for empty cells, never null
+    // (validator.py:424) — restore that on complete rows; corrupt rows keep
+    // their nulls (the raw line lives in _corrupt_record).
+    val empties = fields.foldLeft(raw) { (df, f) =>
+      df.withColumn(f, when(col("_corrupt_record").isNull,
+        coalesce(col(quotedName(f)), lit(""))).otherwise(col(quotedName(f))))
     }
+    // blank/whitespace-only lines are skipped by the reference
+    // (cvp_bucket_event_lambda_handler.py:45,52)
+    empties.filter(
+      col("_corrupt_record").isNotNull ||
+        trim(concat_ws("", fields.map(f => col(quotedName(f))): _*)) =!= "")
   }
 
   /** S8: case-insensitive header comparison against rule order
-   *  (validator.py:434-442) — returns (header cell, expected, matches). */
+   *  (validator.py:434-442) — returns (file, pos, cell, expected, matches).
+   *  Reads the first line via `wholetext` (one row per file — guaranteed
+   *  physical order, parallel across files; same whole-file cost as the
+   *  reference's full download). */
   def checkCsvHeaders(spark: SparkSession, path: String, suite: ValidationSuite): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("file")).orderBy(monotonically_increasing_id())
-    val header = lines(spark, path)
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    val header = spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("file"),
+        substring_index(col("value"), "\n", 1).as("header_line"))
     val expected = suite.scalarRules.map(_.path)
     header.select(col("file"),
-      posexplode(split(col("value"), ",")).as(Seq("pos", "cell")))
+      posexplode(split(col("header_line"), ",")).as(Seq("pos", "cell")))
       .withColumn("expected",
         element_at(array(expected.map(lit): _*), col("pos") + 1))
       .withColumn("matches",
         lower(trim(col("cell"))) === lower(coalesce(col("expected"), lit(""))))
   }
+
+  private def quotedName(n: String): String = s"`$n`"
 
   /** P1-P6 (bucket_event_lambda_handler.py:41-89): file-path-derived
    *  metadata columns. `key` is the path relative to the bucket root. */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.aggregate.FileAggregates
-import graft.ingest.Readers
+import graft.ingest.{Metadata, Readers}
 import graft.model.ValidationSuite
 import graft.rules.RuleCompiler
 import graft.sequential.SequentialChecks
@@ -27,12 +27,14 @@ object ValidationPipeline {
       validated: DataFrame,     // per-record: file, record cols, validations
       sequential: DataFrame,    // per-file sequential verdicts
       fileTotals: DataFrame,    // A1-A4 + verdict
-      errorHistogram: DataFrame)
+      errorHistogram: DataFrame,
+      hasSequential: Boolean)   // suite.sequential — avoids probing the DF
 
   /** Validate parsed records that already carry a `file` column. */
   def validateRecords(records: DataFrame, suite: ValidationSuite): DataFrame = {
     val schema = StructType(records.schema.fields.filterNot(f =>
-      Set("file", "file_size", "file_modification_time", "value").contains(f.name)))
+      Set("file", "file_size", "file_modification_time", "value",
+        "route_prefix", "routable").contains(f.name)))
     val skips = RuleCompiler.skipFlagColumns(suite, schema)
     val withSkips = skips.foldLeft(records) { case (df, (path, c)) =>
       df.withColumn(RuleCompiler.skipFlagName(path), c)
@@ -61,12 +63,12 @@ object ValidationPipeline {
         val skipPaths = suite.scalarRules.filter(_.skipConditions.nonEmpty).map(_.path)
         val stdCols = Seq(
           col("file").as(SequentialChecks.FileCol),
-          col("metadata.serialId.serialNumber").cast("long").as(SequentialChecks.SerialNumber),
-          col("metadata.serialId.bundleId").cast("long").as(SequentialChecks.BundleId),
-          col("metadata.serialId.recordId").cast("long").as(SequentialChecks.RecordId),
-          col("metadata.serialId.bundleSize").cast("long").as(SequentialChecks.BundleSize),
-          date_trunc("second", to_timestamp(col("metadata.recordGeneratedAt"))).as(SequentialChecks.GeneratedAt),
-          date_trunc("second", to_timestamp(col("metadata.odeReceivedAt"))).as(SequentialChecks.ReceivedAt),
+          col("metadata.serialId.serialNumber").try_cast("long").as(SequentialChecks.SerialNumber),
+          col("metadata.serialId.bundleId").try_cast("long").as(SequentialChecks.BundleId),
+          col("metadata.serialId.recordId").try_cast("long").as(SequentialChecks.RecordId),
+          col("metadata.serialId.bundleSize").try_cast("long").as(SequentialChecks.BundleSize),
+          date_trunc("second", try_to_timestamp(col("metadata.recordGeneratedAt"))).as(SequentialChecks.GeneratedAt),
+          date_trunc("second", try_to_timestamp(col("metadata.odeReceivedAt"))).as(SequentialChecks.ReceivedAt),
           col("metadata.logFileName").as(SequentialChecks.LogFileName))
         val flagCols = skipPaths.map(p => col(RuleCompiler.skipFlagName(p)))
         val std = validated.select(stdCols ++ flagCols: _*)
@@ -76,16 +78,35 @@ object ValidationPipeline {
         validated.sparkSession.emptyDataFrame
       }
 
-    val totals = FileAggregates.fileVerdicts(FileAggregates.fileTotals(validated))
-    val hist = FileAggregates.errorHistogram(validated)
-    Result(validated, sequential, totals, hist)
+    // A2/A3 scope matches the reference loop (cvp...py:123-138): the
+    // sequential result row is folded into totals and histogram.
+    val (totals, hist) =
+      if (suite.sequential)
+        (FileAggregates.fileVerdicts(
+          FileAggregates.fileTotalsWithSequential(validated, sequential)),
+          FileAggregates.errorHistogramWithSequential(validated, sequential))
+      else
+        (FileAggregates.fileVerdicts(FileAggregates.fileTotals(validated)),
+          FileAggregates.errorHistogram(validated))
+    Result(validated, sequential, totals, hist, suite.sequential)
   }
 
-  /** Parquet sinks (BASELINE.json: "Spark DataFrame ETL + Parquet write"). */
-  def writeAll(result: Result, outDir: String): Unit = {
+  /** Parquet sinks (BASELINE.json: "Spark DataFrame ETL + Parquet write"):
+   *  K1 metadata docs, A2 totals + K3 verdicts, A3 histogram, sequential
+   *  verdicts. `bucketRoot`/`environment` feed the metadata doc (P4-P6). */
+  def writeAll(result: Result, outDir: String,
+               bucketRoot: Option[String] = None,
+               environment: String = "dev"): Unit = {
     result.fileTotals.write.mode("overwrite").parquet(s"$outDir/file_totals")
     result.errorHistogram.write.mode("overwrite").parquet(s"$outDir/error_histogram")
-    if (!result.sequential.isEmpty)
+    if (result.hasSequential)
       result.sequential.write.mode("overwrite").parquet(s"$outDir/sequential")
+    bucketRoot.foreach { root =>
+      val meta = Metadata.fileMetadata(result.validated, root, environment)
+        .join(result.fileTotals.select(
+          Metadata.keyColumn(col("file"), root).as("key"),
+          col("num_valid"), col("num_error_messages")), Seq("key"), "left")
+      meta.write.mode("overwrite").parquet(s"$outDir/metadata")
+    }
   }
 }

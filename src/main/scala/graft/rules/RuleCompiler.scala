@@ -1,5 +1,9 @@
 package graft.rules
 
+import java.time.Instant
+import java.time.format.DateTimeFormatter
+import java.time.ZoneOffset
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -16,11 +20,21 @@ import graft.model._
  * (odevalidator/validator.py:83-243):
  *   - each rule emits struct(field_path, valid, details);
  *   - `validations` = array of all rule structs (+ per-element structs for
- *     `.list` rules, validator.py:304-378);
+ *     `.list` rules with indexed labels `a{i}.b`, validator.py:304-378);
  *   - conditional rules are first-wins `when` chains with fallback to the
  *     unconditional check (validator.py:96-129);
  *   - skip-sequential conditions emit boolean side-columns, aggregated
  *     per-file downstream (validator.py:110-112; SURVEY §2.7 W7).
+ *
+ * Documented divergences from the reference (all in failure-detail TEXT,
+ * never in the valid/invalid verdict):
+ *   - decimal/timestamp/choice parse-failure details reproduce the COMMON
+ *     CPython exception texts byte-for-byte (ConversionSyntax, "Unknown
+ *     string format", strptime mismatch, %-format TypeError); exotic
+ *     failure classes would render Python-specific texts we don't mirror;
+ *   - timestamps in details render in session-UTC with a "+00:00" suffix
+ *     for the dateutil path; inputs carrying a non-UTC offset would render
+ *     shifted to UTC (Python str(datetime) keeps the original offset).
  */
 object RuleCompiler {
 
@@ -40,14 +54,16 @@ object RuleCompiler {
 
   private val IndexedSeg = """^(.+)\{(\d+)\}$""".r
 
+  private def splitSeg(seg: String): (String, Option[Int]) = seg match {
+    case IndexedSeg(n, i) => (n, Some(i.toInt))
+    case n => (n, None)
+  }
+
   private def resolve(dt: DataType, segs: List[String], cur: Option[Column]): Option[Column] =
     segs match {
       case Nil => cur
       case seg :: rest =>
-        val (name, idx) = seg match {
-          case IndexedSeg(n, i) => (n, Some(i.toInt))
-          case n => (n, None)
-        }
+        val (name, idx) = splitSeg(seg)
         dt match {
           case st: StructType =>
             st.fields.find(_.name == name).flatMap { f =>
@@ -67,10 +83,7 @@ object RuleCompiler {
   private def typeOf(dt: DataType, segs: List[String]): Option[DataType] = segs match {
     case Nil => Some(dt)
     case seg :: rest =>
-      val (name, idx) = seg match {
-        case IndexedSeg(n, i) => (n, Some(i.toInt))
-        case n => (n, None)
-      }
+      val (name, idx) = splitSeg(seg)
       dt match {
         case st: StructType =>
           st.fields.find(_.name == name).flatMap { f =>
@@ -96,101 +109,142 @@ object RuleCompiler {
     case _ => c.isNull || c.cast(StringType) === ""
   }
 
-  private def verdict(path: String, valid: Column, details: Column): Column =
-    struct(lit(path).as("field_path"), valid.as("valid"), details.as("details"))
+  /** Verdict struct shape shared by every rule column. */
+  val verdictType: StructType = StructType(Seq(
+    StructField("field_path", StringType),
+    StructField("valid", BooleanType, nullable = false),
+    StructField("details", StringType)))
 
-  private def pass(path: String): Column = verdict(path, lit(true), lit(""))
-  private def fail(path: String, details: Column): Column = verdict(path, lit(false), details)
+  private def verdict(path: Column, valid: Column, details: Column): Column =
+    struct(path.as("field_path"), valid.as("valid"), details.as("details"))
+
+  private def pass(path: Column): Column = verdict(path, lit(true), lit(""))
+  private def fail(path: Column, details: Column): Column = verdict(path, lit(false), details)
 
   /** `%d`-style rendering of a decimal: truncation toward zero, matching
    *  Python `'%d' % Decimal(v)` in failure details (validator.py:210-213). */
   private def intRepr(c: Column): Column =
-    when(c >= 0, floor(c)).otherwise(ceil(c)).cast(LongType).cast(StringType)
-
-  private def scalarLit(s: JsonScalar): Column = s match {
-    case JStr(v) => lit(v)
-    case JNum(v) => lit(v.underlying())
-  }
+    when(c >= 0, floor(c)).otherwise(ceil(c)).try_cast(LongType).cast(StringType)
 
   /** Python str(list) of config scalars for details text, e.g.
    *  "['RV', 'EV']" (validator.py:167). */
   private def pyListRepr(xs: Seq[JsonScalar]): String =
     xs.map(_.repr).mkString("[", ", ", "]")
 
+  /** Python str(datetime) of a config bound: dateutil keeps the offset;
+   *  configs are UTC so this is always "+00:00" (validator.py:227). */
+  private[rules] def pyInstantRepr(i: Instant): String = {
+    val base = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(ZoneOffset.UTC).format(i)
+    val micros = (i.getNano / 1000)
+    val frac = if (micros != 0) f".$micros%06d" else ""
+    base + frac + "+00:00"
+  }
+
+  /** Python str(datetime) of a parsed timestamp value. `withOffset` for the
+   *  dateutil path (tz-aware), bare for the strptime/DateFormat path. */
+  private def pyTsRepr(ts: Column, withOffset: Boolean): Column = {
+    val base = date_format(ts, "yyyy-MM-dd HH:mm:ss")
+    val micros = date_format(ts, "SSSSSS")
+    val withMicros = when(micros =!= "000000", concat(base, lit("."), micros)).otherwise(base)
+    if (withOffset) concat(withMicros, lit("+00:00")) else withMicros
+  }
+
   // ---------------------------------------------------------------------
   // Unconditional check (validator.py:196-243)
   // ---------------------------------------------------------------------
-  private def unconditional(rule: FieldRule, value: Column, schema: StructType): Column = {
-    val path = rule.path
-    val missing = fail(path, lit("Field missing: " + path))
+  private def unconditional(rule: FieldRule, value: Column, pathLbl: Column,
+                            childResolver: String => Column): Column = {
+    val missing = fail(pathLbl, concat(lit("Field missing: "), pathLbl))
     val empty =
-      if (rule.allowEmpty) pass(path)
-      else fail(path, lit("Field empty"))
+      if (rule.allowEmpty) pass(pathLbl)
+      else fail(pathLbl, lit("Field empty"))
 
     val typed: Column = rule.fieldType match {
       case FieldTypes.Enum =>
+        // case-insensitive membership; details join values with ', '
+        // (validator.py:206-207 uses ', '.join(map(str, values)) — unquoted)
         val known = rule.values.map {
           case JStr(v) => v.toLowerCase
-          case JNum(v) => JNum(v).repr.toLowerCase
+          case n: JNum => n.repr.toLowerCase
         }
         val detail = concat(
           lit("Value '"), value.cast(StringType),
           lit("' not in list of known values: ["),
           lit(rule.values.map { case JStr(v) => v; case n: JNum => n.repr }.mkString(", ")),
           lit("]"))
-        when(!lower(value.cast(StringType)).isin(known: _*), fail(path, detail))
-          .otherwise(pass(path))
+        when(!lower(value.cast(StringType)).isin(known: _*), fail(pathLbl, detail))
+          .otherwise(pass(pathLbl))
 
       case FieldTypes.Decimal =>
-        val dec = value.cast(DecimalType(38, 10))
-        val parseFail = fail(path, concat(
-          lit("failure to perform decimal validation on "), value.cast(StringType)))
+        val dec = value.try_cast(DecimalType(38, 10))
+        // ", error: ..." reproduces CPython's InvalidOperation repr for a
+        // syntax error — the only parse-failure class INI-driven data hits
+        // (validator.py:215 embeds str(e))
+        val parseFail = fail(pathLbl, concat(
+          lit("failure to perform decimal validation on "), value.cast(StringType),
+          lit(", error: [<class 'decimal.ConversionSyntax'>]")))
         val upper = rule.upperLimit.map { u =>
-          when(dec > lit(u.underlying()), fail(path, concat(
+          when(dec > lit(u.underlying()), fail(pathLbl, concat(
             lit("Value '"), intRepr(dec), lit(s"' is greater than upper limit '${u.toBigInt}'"))))
         }
         val lower = rule.lowerLimit.map { l =>
-          when(dec < lit(l.underlying()), fail(path, concat(
+          when(dec < lit(l.underlying()), fail(pathLbl, concat(
             lit("Value '"), intRepr(dec), lit(s"' is less than lower limit '${l.toBigInt}'"))))
         }
         val limitChecks = (upper.toSeq ++ lower.toSeq)
           .reduceOption((a, b) => coalesce(a, b))
           .getOrElse(lit(null))
-        when(dec.isNull, parseFail).otherwise(coalesce(limitChecks, pass(path)))
+        when(dec.isNull, parseFail).otherwise(coalesce(limitChecks, pass(pathLbl)))
 
       case FieldTypes.Timestamp =>
         val ts = parseTimestamp(value, rule.dateFormat)
-        val parseFail = fail(path, lit("failure to perform timestamp validation"))
+        val tsRepr = pyTsRepr(ts, withOffset = rule.dateFormat.isEmpty)
+        // ", error: ..." mirrors the common CPython failure texts
+        // (dateutil ParserError / strptime ValueError, validator.py:229)
+        val parseFail = fail(pathLbl, rule.dateFormat match {
+          case Some(fmt) => concat(
+            lit("failure to perform timestamp validation, error: time data '"),
+            value.cast(StringType), lit(s"' does not match format '$fmt'"))
+          case None => concat(
+            lit("failure to perform timestamp validation, error: Unknown string format: "),
+            value.cast(StringType))
+        })
         val earliest = rule.earliestTime.map { e =>
-          when(ts < lit(java.sql.Timestamp.from(e)), fail(path, concat(
-            lit("Timestamp value '"), ts.cast(StringType),
-            lit(s"' occurs before earliest limit '$e'"))))
+          when(ts < lit(java.sql.Timestamp.from(e)), fail(pathLbl, concat(
+            lit("Timestamp value '"), tsRepr,
+            lit(s"' occurs before earliest limit '${pyInstantRepr(e)}'"))))
         }
         val latest = rule.latestTime.map { lb =>
-          val bound = lb match {
-            case FixedTime(i) => lit(java.sql.Timestamp.from(i))
-            case NowTime => current_timestamp() // per-query constant = suite-compile NOW
+          val (bound, boundRepr) = lb match {
+            case FixedTime(i) => (lit(java.sql.Timestamp.from(i)), lit(pyInstantRepr(i)))
+            case NowTime =>
+              // per-query constant ≙ suite-compile NOW (validator.py:69-70)
+              (current_timestamp(), pyTsRepr(current_timestamp(), withOffset = true))
           }
           // +1 minute grace (validator.py:226)
-          when(ts > bound + expr("INTERVAL 1 MINUTE"), fail(path, concat(
-            lit("Timestamp value '"), ts.cast(StringType), lit("' occurs after latest limit"))))
+          when(ts > bound + expr("INTERVAL 1 MINUTE"), fail(pathLbl, concat(
+            lit("Timestamp value '"), tsRepr,
+            lit("' occurs after latest limit '"), boundRepr, lit("'"))))
         }
         val boundChecks = (earliest.toSeq ++ latest.toSeq)
           .reduceOption((a, b) => coalesce(a, b))
           .getOrElse(lit(null))
-        when(ts.isNull, parseFail).otherwise(coalesce(boundChecks, pass(path)))
+        when(ts.isNull, parseFail).otherwise(coalesce(boundChecks, pass(pathLbl)))
 
       case FieldTypes.Choice =>
-        val children = rule.choices.map(ch => pathColumn(schema, rule.path + "." + ch))
+        val children = rule.choices.map(childResolver)
         val cnt = children.map(c => when(c.isNotNull, 1).otherwise(0))
           .reduceOption(_ + _).getOrElse(lit(0))
-        when(cnt === 0, fail(path, lit(s"No choices found in '$path'")))
-          // >1 branch raises in the reference (format bug, validator.py:241-243)
-          // and lands on the generic failure message — still invalid:
-          .when(cnt > 1, fail(path, lit("failure to perform choice validation")))
-          .otherwise(pass(path))
+        when(cnt === 0, fail(pathLbl, concat(lit("No choices found in '"), pathLbl, lit("'"))))
+          // >1 branch raises in the reference ("Found '%d' choices" with a
+          // tuple-less %-format, validator.py:241) and lands in the except
+          // with CPython's TypeError text — reproduced byte-for-byte:
+          .when(cnt > 1, fail(pathLbl,
+            lit("failure to perform choice validation, error: not enough arguments for format string")))
+          .otherwise(pass(pathLbl))
 
-      case _ => pass(path) // string / serial / unknown: presence+empty only
+      case _ => pass(pathLbl) // string / serial / unknown: presence+empty only
     }
 
     when(value.isNull, missing)
@@ -224,75 +278,93 @@ object RuleCompiler {
   // ---------------------------------------------------------------------
   // Conditional chain (validator.py:96-170)
   // ---------------------------------------------------------------------
-  private def conditionMet(cond: ConditionalRule, target: Column, schema: StructType): Column = {
+  private def conditionMet(cond: ConditionalRule, target: Column,
+                           targetType: Option[DataType], schema: StructType): Column = {
     val ref = pathColumn(schema, cond.ifPart.fieldName)
     val refType = pathType(schema, cond.ifPart.fieldName)
     cond.ifPart.fieldValues match {
       case Some(vals) =>
-        // referenced value ∈ fieldValues (exact; null ⇒ not met)
+        // referenced value ∈ fieldValues (Python `in`; null ⇒ not met)
         coalesce(compareIn(ref, refType, vals), lit(false))
       case None =>
         // both referenced field AND target falsy ⇒ met (validator.py:134-138)
-        falsy(ref, refType) && falsy(target, None)
+        falsy(ref, refType) && falsy(target, targetType)
     }
   }
 
-  /** `value in [...]` with Python cross-type equality: numbers compare
-   *  numerically, strings exactly. */
+  /** `value in [...]` with Python's `==` semantics: numbers compare
+   *  numerically across int/float, strings compare only to strings, and a
+   *  string NEVER equals a number (validator.py:141,166). */
   private def compareIn(c: Column, dt: Option[DataType], vals: Seq[JsonScalar]): Column = {
-    val allNum = vals.forall(_.isInstanceOf[JNum])
-    if (allNum) c.cast(DecimalType(38, 10)).isin(vals.map { case JNum(v) => lit(v.underlying()).cast(DecimalType(38, 10)); case _ => lit(null) }: _*)
-    else dt match {
-      case Some(_: NumericType) => lit(false) // numeric value never equals string literal in Python
-      case _ => c.isin(vals.collect { case JStr(v) => v }: _*)
+    val numVals = vals.collect { case JNum(v) => v }
+    val strVals = vals.collect { case JStr(v) => v }
+    def numIn(cc: Column): Column =
+      if (numVals.isEmpty) lit(false)
+      else cc.try_cast(DecimalType(38, 10)).isin(
+        numVals.map(v => lit(v.underlying()).cast(DecimalType(38, 10))): _*)
+    dt match {
+      case Some(_: NumericType) => numIn(c)
+      case Some(BooleanType) => numIn(c.try_cast(IntegerType)) // Python True == 1
+      case _ =>
+        // string-typed or unresolvable: only string literals can match
+        if (strVals.isEmpty) lit(false) else c.cast(StringType).isin(strVals: _*)
     }
   }
 
-  private def thenVerdict(rule: FieldRule, thenPart: Option[ThenPart], target: Column, schema: StructType): Column = {
-    val path = rule.path
+  private def thenVerdict(rule: FieldRule, thenPart: Option[ThenPart], target: Column,
+                          targetType: Option[DataType], pathLbl: Column,
+                          schema: StructType): Column = {
     thenPart match {
-      case None => pass(path) // no thenPart ⇒ condition met, nothing to check (validator.py:151)
+      case None => pass(pathLbl) // no thenPart ⇒ condition met, nothing to check (validator.py:151)
       case Some(tp) =>
-        val missing = fail(path, lit("Required Field is missing."))
+        val missing = fail(pathLbl, lit("Required Field is missing."))
         val body: Column = tp match {
           case ThenPart(_, Some(swField), _) =>
             val sw = pathColumn(schema, swField)
             val swType = pathType(schema, swField)
             when(!falsy(sw, swType) && !target.cast(StringType).startsWith(sw.cast(StringType)),
-              fail(path, concat(
+              fail(pathLbl, concat(
                 lit("Value of Field ('"), target.cast(StringType),
                 lit("') does not start with "), sw.cast(StringType))))
-              .otherwise(pass(path))
+              .otherwise(pass(pathLbl))
           case ThenPart(Some(vals), _, _) =>
-            val targetType = None // compare raw
             when(!coalesce(compareIn(target, targetType, vals), lit(false)),
-              fail(path, concat(
+              fail(pathLbl, concat(
                 lit("Value of Field ('"), target.cast(StringType),
                 lit(s"') is not one of the expected values (${pyListRepr(vals)})"))))
-              .otherwise(pass(path))
-          case _ => pass(path)
+              .otherwise(pass(pathLbl))
+          case _ => pass(pathLbl)
         }
         when(target.isNull, missing).otherwise(body)
     }
   }
 
-  /** Compile one rule to its verdict struct column. */
+  /** Compile one rule to its verdict struct column (record-level target). */
   def compileRule(rule: FieldRule, schema: StructType): Column = {
     val target = pathColumn(schema, rule.path)
+    val targetType = pathType(schema, rule.path)
+    compileRuleWith(rule, schema, target, targetType, lit(rule.path),
+      ch => pathColumn(schema, rule.path + "." + ch))
+  }
+
+  /** Core rule lowering against an explicit target column + path label —
+   *  used both for record-level rules and per-element list expansion. */
+  private def compileRuleWith(rule: FieldRule, schema: StructType, target: Column,
+                              targetType: Option[DataType], pathLbl: Column,
+                              childResolver: String => Column): Column = {
     if (rule.equalsValueOpaque) {
       // EqualsValue was a non-conditions JSON value ⇒ reference skips all
       // checks (validator.py:96-129 returns None ⇒ pass)
-      pass(rule.path)
-    } else if (rule.fieldConditions.isEmpty && rule.conditions.nonEmpty) {
-      // only skip-rules: field validation falls back to unconditional
-      unconditional(rule, target, schema)
+      pass(pathLbl)
     } else if (rule.fieldConditions.isEmpty) {
-      unconditional(rule, target, schema)
+      unconditional(rule, target, pathLbl, childResolver)
     } else {
       // first-wins chain with fallback to unconditional when none met
-      rule.fieldConditions.foldRight(unconditional(rule, target, schema)) { (cond, fallback) =>
-        when(conditionMet(cond, target, schema), thenVerdict(rule, cond.thenPart, target, schema))
-          .otherwise(fallback)
+      rule.fieldConditions.foldRight(unconditional(rule, target, pathLbl, childResolver)) {
+        (cond, fallback) =>
+          when(conditionMet(cond, target, targetType, schema),
+            thenVerdict(rule, cond.thenPart, target, targetType, pathLbl, schema))
+            .otherwise(fallback)
       }
     }
   }
@@ -301,57 +373,105 @@ object RuleCompiler {
    *  on this record (aggregated per file downstream — SURVEY §2.7 W7). */
   def compileSkipFlag(rule: FieldRule, schema: StructType): Option[Column] = {
     val target = pathColumn(schema, rule.path)
-    val conds = rule.skipConditions.map(c => conditionMet(c, target, schema))
+    val targetType = pathType(schema, rule.path)
+    val conds = rule.skipConditions.map(c => conditionMet(c, target, targetType, schema))
     conds.reduceOption(_ || _)
   }
 
   /** Sanitized column name for a rule's skip flag. */
-  def skipFlagName(path: String): String = "skip__" + path.replace('.', '_').replace("{", "_").replace("}", "_")
+  def skipFlagName(path: String): String =
+    "skip__" + path.replace('.', '_').replace("{", "_").replace("}", "_")
 
   // ---------------------------------------------------------------------
-  // List rules: `a.list.b` expanded over every element (validator.py:304-378)
+  // List rules: `a.list.b` expanded over every element, any nesting depth
+  // (validator.py:304-378 populate_list_validations)
   // ---------------------------------------------------------------------
 
-  /** Compile a `.list` rule to an ARRAY of verdict structs — one per actual
-   *  array element. Degenerate cases mirror the reference's
-   *  `populate_list_validations` exactly (traced at validator.py:313-341):
-   *  a MISSING list yields two failing probes (`a{0}.b` via the ''-branch
-   *  and `a{0}` via the non-list branch, both executing for data==''); an
-   *  EMPTY list yields zero probes (the `range(0)` loop body never runs).
-   *  One `.list` level supported (the shipped configs use at most one). */
-  def compileListRule(rule: FieldRule, schema: StructType): Column = {
-    val segs = rule.path.split('.').toList
-    val li = segs.indexOf("list")
-    val arrayPath = segs.take(li).mkString(".")
-    val tailSegs = segs.drop(li + 1)
-    val arrCol = pathColumn(schema, arrayPath)
-    val arrType = pathType(schema, arrayPath)
+  private def emptyVerdicts: Column = array().cast(ArrayType(verdictType))
 
-    val probeBase = arrayPath + "{0}"
-    val probeDeep = if (tailSegs.nonEmpty) probeBase + "." + tailSegs.mkString(".") else probeBase
-    val missingProbes = array(
-      fail(probeDeep, lit("Field missing: " + probeDeep)),
-      fail(probeBase, lit("Field missing: " + probeBase)))
+  /**
+   * Compile a `.list` rule to an ARRAY of verdict structs — one per actual
+   * array element, labeled with its index (`a{2}.b`, validator.py:334) and
+   * routed through the FULL conditional chain (the reference builds complete
+   * `Field`s from the section config). Degenerate cases mirror the
+   * reference's recursion exactly:
+   *   - MISSING list ⇒ two probes: `a{0}.<tail>` (branch that consumed
+   *     'list') and `a{0}.<tail.drop(1)>` (the type-check branch that
+   *     advances the keys again; for one-segment tails that is plain
+   *     `a{0}`) — traced at validator.py:318-341;
+   *   - EMPTY list ⇒ zero probes (range(0) body never runs);
+   *   - nested `a.list.b.list.c` recurses per element at every level.
+   */
+  def compileListRule(rule: FieldRule, schema: StructType): Column =
+    walkList(rule, schema, rule.path.split('.').toList, Some(schema), None, lit(""), isRoot = true)
 
-    arrType match {
-      case Some(at: ArrayType) =>
-        val elemVerdicts = transform(arrCol, elem => {
-          val target = tailSegs.foldLeft(elem)((c, s) => c.getField(s))
-          val elemSchema = at.elementType match {
-            case st: StructType => st
-            case _ => new StructType()
-          }
-          compileElementVerdict(rule, target, elemSchema)
-        })
-        coalesce(elemVerdicts, missingProbes)
-      case _ => missingProbes
+  private def walkList(rule: FieldRule, schema: StructType, segs: List[String],
+                       dt: Option[DataType], data: Option[Column], label: Column,
+                       isRoot: Boolean): Column = {
+    def segLabel(s: String): Column =
+      if (isRoot) lit(s) else concat(label, lit("." + s))
+    segs match {
+      case Nil =>
+        val target = (dt, data) match {
+          case (Some(_), Some(d)) => d
+          case _ => nullCol
+        }
+        val childResolver: String => Column = ch => (dt, data) match {
+          case (Some(st: StructType), Some(d)) if st.fieldNames.contains(ch) => d.getField(ch)
+          case _ => nullCol
+        }
+        array(compileRuleWith(rule, schema, target, dt, label, childResolver))
+
+      case "list" :: rest =>
+        val lbl0 = concat(label, lit("{0}"))
+        // missing list ⇒ the reference's two-probe trace
+        def missingProbes: Column = concat(
+          walkList(rule, schema, rest, None, None, lbl0, isRoot = false),
+          walkList(rule, schema, if (rest.isEmpty) Nil else rest.drop(1),
+            None, None, lbl0, isRoot = false))
+        (dt, data) match {
+          case (Some(at: ArrayType), Some(d)) =>
+            if (rest.isEmpty) {
+              // 'list' as last segment: reference logs a warning and emits
+              // nothing for a real list (validator.py:340-341)
+              when(d.isNull, missingProbes).otherwise(emptyVerdicts)
+            } else {
+              val perElem = flatten(transform(d, (e, i) =>
+                walkList(rule, schema, rest, Some(at.elementType), Some(e),
+                  concat(label, lit("{"), i.cast(StringType), lit("}")), isRoot = false)))
+              when(d.isNull, missingProbes).otherwise(perElem)
+            }
+          case (Some(other), Some(d)) =>
+            // non-list value at a 'list' segment: the type-check branch
+            // advances one key and continues with the SAME data
+            // (validator.py:328-332 with data != '')
+            walkList(rule, schema, rest, Some(other), Some(d), label, isRoot)
+          case _ => missingProbes
+        }
+
+      case seg :: rest =>
+        val (name, idx) = splitSeg(seg)
+        val lbl = segLabel(seg)
+        dt match {
+          case Some(st: StructType) =>
+            st.fields.find(_.name == name) match {
+              case Some(f) =>
+                val base = data.map(_.getField(name)).getOrElse(col(quoted(name)))
+                (idx, f.dataType) match {
+                  case (Some(i), at: ArrayType) =>
+                    walkList(rule, schema, rest, Some(at.elementType),
+                      Some(element_at(base, i + 1)), lbl, isRoot = false)
+                  case (Some(_), _) =>
+                    walkList(rule, schema, rest, None, None, lbl, isRoot = false)
+                  case (None, inner) =>
+                    walkList(rule, schema, rest, Some(inner), Some(base), lbl, isRoot = false)
+                }
+              case None => walkList(rule, schema, rest, None, None, lbl, isRoot = false)
+            }
+          case _ => walkList(rule, schema, rest, None, None, lbl, isRoot = false)
+        }
     }
   }
-
-  /** Verdict for one list element (same unconditional semantics, path label
-   *  kept as the rule path — per-element indices surface in `details`). */
-  private def compileElementVerdict(rule: FieldRule, target: Column, elemSchema: StructType): Column =
-    unconditional(rule.copy(conditions = Nil), target, elemSchema)
 
   // ---------------------------------------------------------------------
   // Whole-suite lowering
@@ -360,9 +480,10 @@ object RuleCompiler {
   /** All rule verdicts as one `validations` array column. */
   def validationsColumn(suite: ValidationSuite, schema: StructType): Column = {
     val scalar = suite.scalarRules.map(r => compileRule(r, schema))
-    val scalarArr = array(scalar: _*)
+    val scalarArr =
+      if (scalar.isEmpty) emptyVerdicts else array(scalar: _*)
     val listArrs = suite.listRules.map(r => compileListRule(r, schema))
-    (scalarArr +: listArrs).reduceOption((a, b) => concat(a, b)).getOrElse(array())
+    (scalarArr +: listArrs).reduceOption((a, b) => concat(a, b)).getOrElse(emptyVerdicts)
   }
 
   /** Skip-flag columns (name → Column) for the suite. */

@@ -59,12 +59,12 @@ object SequentialChecks {
   def withStandardColumns(df: DataFrame, fileCol: Column): DataFrame =
     df.select(
       fileCol.as(FileCol),
-      col("metadata.serialId.serialNumber").cast("long").as(SerialNumber),
-      col("metadata.serialId.bundleId").cast("long").as(BundleId),
-      col("metadata.serialId.recordId").cast("long").as(RecordId),
-      col("metadata.serialId.bundleSize").cast("long").as(BundleSize),
-      date_trunc("second", to_timestamp(col("metadata.recordGeneratedAt"))).as(GeneratedAt),
-      date_trunc("second", to_timestamp(col("metadata.odeReceivedAt"))).as(ReceivedAt),
+      col("metadata.serialId.serialNumber").try_cast("long").as(SerialNumber),
+      col("metadata.serialId.bundleId").try_cast("long").as(BundleId),
+      col("metadata.serialId.recordId").try_cast("long").as(RecordId),
+      col("metadata.serialId.bundleSize").try_cast("long").as(BundleSize),
+      date_trunc("second", try_to_timestamp(col("metadata.recordGeneratedAt"))).as(GeneratedAt),
+      date_trunc("second", try_to_timestamp(col("metadata.odeReceivedAt"))).as(ReceivedAt),
       col("metadata.logFileName").as(LogFileName))
 
   /**
@@ -104,6 +104,9 @@ object SequentialChecks {
       .withColumn("prev_rcv", lag(col(ReceivedAt), 1).over(w2))
 
     def longStr(c: Column): Column = c.cast("long").cast("string")
+    // Python str(tz-aware datetime), second-truncated (sequential.py:32-33):
+    // "2019-05-14 19:05:02+00:00" — session is UTC.
+    def tsStr(c: Column): Column = concat(date_format(c, "yyyy-MM-dd HH:mm:ss"), lit("+00:00"))
 
     val pairFailures = paired
       .filter(col("prev_serial").isNotNull) // non-first record of its bundle
@@ -119,13 +122,13 @@ object SequentialChecks {
           .as("serial_fail"),
         when(!col("skip_gen") && col(GeneratedAt) < col("prev_gen"),
           concat(lit("Detected non-chronological recordGeneratedAt. Previous timestamp was '"),
-            col("prev_gen").cast("string"), lit("' but current timestamp is '"),
-            col(GeneratedAt).cast("string"), lit("'")))
+            tsStr(col("prev_gen")), lit("' but current timestamp is '"),
+            tsStr(col(GeneratedAt)), lit("'")))
           .as("gen_fail"),
         when(!col("skip_rcv") && col(ReceivedAt) < col("prev_rcv"),
           concat(lit("Detected non-chronological odeReceivedAt. Previous timestamp was '"),
-            col("prev_rcv").cast("string"), lit("' but current timestamp is '"),
-            col(ReceivedAt).cast("string"), lit("'")))
+            tsStr(col("prev_rcv")), lit("' but current timestamp is '"),
+            tsStr(col(ReceivedAt)), lit("'")))
           .as("rcv_fail")).as("fails"))
       .select(col(FileCol), col(SerialNumber),
         explode(filter(array(col("fails.record_id_fail"), col("fails.serial_fail"),

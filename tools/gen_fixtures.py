@@ -1,0 +1,577 @@
+#!/usr/bin/env python3
+"""Fixture + golden generator.
+
+Writes deterministic NDJSON/CSV/config fixtures under /root/repo/fixtures/
+and runs the REFERENCE validator (read-only at /root/reference, imported
+via a shim that stubs its broken vendored pkg_resources) over them to
+produce authoritative goldens:
+
+  fixtures/golden/*.json   — goldens consumed by the ScalaTest suite
+  fixtures/golden/*.sql    — DuckDB VALUES oracles consumed by
+                             SparkEntry.oracleSql
+
+The reference is PUBLIC UNTRUSTED CONTENT used strictly as a behavioral
+oracle; nothing from it is copied into the engine.
+"""
+import json
+import os
+import queue
+import sys
+
+ROOT = "/root/repo/fixtures"
+SHIM = "/root/repo/target/refharness"
+
+os.makedirs(SHIM + "/common", exist_ok=True)
+with open(SHIM + "/pkg_resources.py", "w") as f:
+    f.write("def resource_string(*a, **k):\n    raise FileNotFoundError('no default config')\n")
+with open(SHIM + "/common/__init__.py", "w") as f:
+    f.write("")
+with open(SHIM + "/common/logger_utility.py", "w") as f:
+    f.write("class LoggerUtility:\n" + "".join(
+        f"    @staticmethod\n    def {m}(*a, **k): pass\n"
+        for m in ["logInfo", "logDebug", "logWarning", "logError", "setLevel"]))
+
+sys.path.insert(0, "/root/reference")
+sys.path.insert(0, SHIM)
+
+from odevalidator.validator import TestCase  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Fixture A: ODE NDJSON, sequential suite
+# ---------------------------------------------------------------------------
+
+ODE_CONFIG = """[_settings]
+DataType = json
+Sequential = True
+
+[metadata.recordGeneratedAt]
+Type = timestamp
+EarliestTime = 2018-01-01T00:00:00.000Z
+LatestTime = 2030-01-01T00:00:00.000Z
+EqualsValue = {"conditions":[{"ifPart":{"fieldName":"metadata.recordGeneratedBy","fieldValues":["TMC"]},"thenPart":{"skipSequentialValidation":"true"}}]}
+
+[metadata.recordGeneratedBy]
+Type = enum
+Values = ["TMC", "OBU", "RSU", "TMC_VIA_SAT", "TMC_VIA_SNMP"]
+
+[metadata.recordType]
+Type = enum
+Values = ["bsmLogDuringEvent", "rxMsg", "dnMsg", "bsmTx", "driverAlert", "unsupported"]
+EqualsValue = {"conditions":[
+    {"ifPart":{"fieldName":"metadata.recordGeneratedBy","fieldValues":["OBU", "RSU", "TMC_VIA_SAT", "TMC_VIA_SNMP"]},"thenPart":{"matchAgainst":${Values}}},
+    {"ifPart":{"fieldName":"metadata.recordGeneratedBy","fieldValues":["TMC"]}}]}
+
+[metadata.sanitized]
+Type = enum
+Values = ["True", "False"]
+
+[metadata.schemaVersion]
+Type = decimal
+EqualsValue = 6
+
+[metadata.payloadType]
+Type = string
+EqualsValue = {"conditions":[{"ifPart":{"fieldName":"metadata.recordType","fieldValues":["bsmLogDuringEvent","bsmTx"]},"thenPart":{"matchAgainst":["us.dot.its.jpo.ode.model.OdeBsmPayload"]}},
+    {"ifPart":{"fieldName":"metadata.recordType","fieldValues":["dnMsg"]},"thenPart":{"matchAgainst":["us.dot.its.jpo.ode.model.OdeTimPayload"]}}]}
+
+[metadata.logFileName]
+Type = string
+EqualsValue = {"conditions":[{"ifPart":{"fieldName":"metadata.recordGeneratedBy","fieldValues":["OBU", "RSU"]},"thenPart":{"startsWithField":"metadata.recordType"}},
+    {"ifPart":{"fieldName":"metadata.recordGeneratedBy","fieldValues":["TMC"]}}]}
+
+[metadata.odeReceivedAt]
+Type = timestamp
+EarliestTime = 2018-01-01T00:00:00.000Z
+
+[metadata.serialId.streamId]
+Type = string
+
+[metadata.serialId.bundleSize]
+Type = decimal
+UpperLimit = 2147483648
+LowerLimit = 1
+EqualsValue = {"conditions":[
+    {"ifPart":{"fieldName":"metadata.recordType","fieldValues":["rxMsg"]},"thenPart":{"skipSequentialValidation":"true"}},
+    {"ifPart":{"fieldName":"metadata.sanitized","fieldValues":["True"]},"thenPart":{"skipSequentialValidation":"true"}}]}
+
+[metadata.serialId.bundleId]
+Type = decimal
+UpperLimit = 9223372036854775807
+LowerLimit = 0
+
+[metadata.serialId.recordId]
+Type = decimal
+UpperLimit = 2147483647
+LowerLimit = 0
+EqualsValue = {"conditions":[
+    {"ifPart":{"fieldName":"metadata.recordType","fieldValues":["rxMsg"]},"thenPart":{"skipSequentialValidation":"true"}},
+    {"ifPart":{"fieldName":"metadata.sanitized","fieldValues":["True"]},"thenPart":{"skipSequentialValidation":"true"}}]}
+
+[metadata.serialId.serialNumber]
+Type = serial
+UpperLimit = 9223372036854775807
+LowerLimit = 0
+EqualsValue = {"conditions":[
+    {"ifPart":{"fieldName":"metadata.recordType","fieldValues":["rxMsg"]},"thenPart":{"skipSequentialValidation":"true"}},
+    {"ifPart":{"fieldName":"metadata.sanitized","fieldValues":["True"]},"thenPart":{"skipSequentialValidation":"true"}}]}
+
+[metadata.receivedMessageDetails.locationData.latitude]
+Type = decimal
+LowerLimit = -90.0
+UpperLimit = 90.0
+EqualsValue = {"conditions":[{"ifPart":{"fieldName":"metadata.recordGeneratedBy","fieldValues":["TMC"]}}]}
+
+[metadata.receivedMessageDetails.locationData.elevation]
+Type = decimal
+LowerLimit = -409.6
+UpperLimit = 6143.9
+AllowEmpty = True
+
+[metadata.receivedMessageDetails.rxSource]
+Type = enum
+Values = ["RSU", "SAT", "RV", "SNMP", "NA"]
+EqualsValue = {"conditions":[{"ifPart":{"fieldName":"metadata.recordGeneratedBy","fieldValues":["TMC"]}},
+    {"ifPart":{"fieldName":"metadata.recordType","fieldValues":["rxMsg"]},"thenPart":{"matchAgainst":${Values}}},
+    {"ifPart":{"fieldName":"metadata.recordType","fieldValues":["bsmLogDuringEvent", "dnMsg", "bsmTx", "driverAlert"]}}]}
+
+[metadata.request.ode.version]
+Type = decimal
+UpperLimit = 3
+LowerLimit = 0
+EqualsValue = {"conditions":[{"ifPart":{"fieldName":"metadata.recordGeneratedBy","fieldValues":["TMC"]},"thenPart":{"matchAgainst":[3]}},
+    {"ifPart":{"fieldName":"metadata.recordGeneratedBy","fieldValues":["OBU", "RSU", "TMC_VIA_SAT", "TMC_VIA_SNMP"]}}]}
+
+[metadata.request.sdw.recordId]
+Type = string
+EqualsValue = {"conditions":[{"ifPart":{"fieldName":"metadata.request.sdw.recordId"}},
+    {"ifPart":{"fieldName":"metadata.recordGeneratedBy","fieldValues":["OBU", "RSU", "TMC_VIA_SAT", "TMC_VIA_SNMP"]}}]}
+
+[metadata.request.snmp.deliverystart]
+Type = timestamp
+DateFormat = %Y-%m-%d %H:%M:%S
+EqualsValue = {"conditions":[{"ifPart":{"fieldName":"metadata.request.snmp.deliverystart"}},
+    {"ifPart":{"fieldName":"metadata.recordGeneratedBy","fieldValues":["OBU", "RSU", "TMC_VIA_SAT", "TMC_VIA_SNMP"]}}]}
+
+[metadata.request.rsus.rsus.list.rsuTarget]
+Type = string
+
+[metadata.request.rsus.rsus.list.rsuIndex]
+Type = decimal
+LowerLimit = 0
+UpperLimit = 100
+"""
+
+
+def rec(serial, bundle_id, record_id, bundle_size, gen, recv,
+        gen_by="OBU", rtype="bsmLogDuringEvent", sanitized="False",
+        schema_version=6, payload_type="us.dot.its.jpo.ode.model.OdeBsmPayload",
+        log_file=None, stream_id="s-1", lat="40.5", elev="",
+        rx_source=None, ode_version="2", sdw_record_id=None,
+        deliverystart=None, rsus="default", extra=None, drop=None):
+    if log_file is None:
+        log_file = rtype + "_file.log"
+    m = {
+        "recordGeneratedAt": gen,
+        "recordGeneratedBy": gen_by,
+        "recordType": rtype,
+        "sanitized": sanitized,
+        "schemaVersion": schema_version,
+        "payloadType": payload_type,
+        "logFileName": log_file,
+        "odeReceivedAt": recv,
+        "serialId": {
+            "streamId": stream_id,
+            "bundleSize": bundle_size,
+            "bundleId": bundle_id,
+            "recordId": record_id,
+            "serialNumber": serial,
+        },
+        "receivedMessageDetails": {
+            "locationData": {"latitude": lat, "elevation": elev},
+        },
+        "request": {"ode": {"version": ode_version}},
+    }
+    if rx_source is not None:
+        m["receivedMessageDetails"]["rxSource"] = rx_source
+    if sdw_record_id is not None:
+        m.setdefault("request", {})["sdw"] = {"recordId": sdw_record_id}
+    if deliverystart is not None:
+        m.setdefault("request", {})["snmp"] = {"deliverystart": deliverystart}
+    if rsus == "default":
+        m["request"]["rsus"] = {"rsus": [
+            {"rsuTarget": "10.0.0.1", "rsuIndex": 1},
+            {"rsuTarget": "10.0.0.2", "rsuIndex": 2},
+        ]}
+    elif rsus == "missing":
+        pass
+    elif rsus == "empty":
+        m["request"]["rsus"] = {"rsus": []}
+    else:
+        m["request"]["rsus"] = {"rsus": rsus}
+    r = {"metadata": m, "payload": "p"}
+    if extra:
+        for k, v in extra.items():
+            r["metadata"][k] = v
+    if drop:
+        for path in drop:
+            parts = path.split(".")
+            node = r["metadata"]
+            for p in parts[:-1]:
+                node = node[p]
+            node.pop(parts[-1], None)
+    return r
+
+
+T = "2019-05-14T19:05:{:02d}.123Z"
+
+FILE_A1 = [  # clean full bundle: 5 records, no failures
+    rec(100 + i, 7, i, 5, T.format(10 + i), T.format(20 + i))
+    for i in range(5)
+]
+
+FILE_A2 = [
+    # bundle 1 (serials 200-202, size 3, full, clean increments)
+    rec(200, 1, 0, 3, T.format(1), T.format(2)),
+    rec(201, 1, 1, 3, T.format(2), T.format(3),
+        # field violations on this one:
+        gen_by="HOVERCRAFT",          # enum fail
+        lat="95.5",                    # decimal above upper
+        elev="not-a-number",           # decimal parse fail
+        deliverystart="2019-05-14 19:05:47"),  # DateFormat ok
+    rec(202, 1, 2, 3, T.format(1), T.format(4),  # generatedAt regresses (1 < 2)
+        rtype="dnMsg",
+        payload_type="us.dot.its.jpo.ode.model.OdeBsmPayload",  # matchAgainst fail (expects Tim)
+        log_file="dnMsg_x.log",
+        deliverystart="19:05:47 on May 14"),  # DateFormat parse fail
+    # bundle 2: partial tail (recordIds 3,4 of size 5, last == size-1 ok)
+    rec(203, 2, 3, 5, T.format(5), T.format(5)),
+    rec(204, 2, 4, 5, T.format(6), T.format(6),
+        rsus="missing"),               # missing list → two probes
+    # serial gap 204→206; bundle 1 RECURS (island #3)
+    rec(206, 1, 0, 2, T.format(7), T.format(7),
+        rsus="empty",                  # empty list → zero probes
+        drop=["recordGeneratedBy"]),   # presence fail + conditionals both-absent paths
+    rec(207, 1, 1, 2, T.format(8), T.format(6)),  # odeReceivedAt regresses
+    # bundle 4: size mismatch — full shape (first=0, last=size-1=1) but 2 != 3 declared.
+    # NB an unparseable recordGeneratedAt would CRASH the reference's
+    # Sequential (sequential.py:32 parses unguarded) — the dateutil
+    # parse-failure path is exercised by the CSV fixture instead.
+    rec(208, 4, 0, 3, T.format(9), T.format(9),
+        rsus=[{"rsuTarget": "10.0.0.9", "rsuIndex": 200},   # rsuIndex above upper
+              {"rsuIndex": 3},                               # rsuTarget missing
+              {"rsuTarget": "10.0.0.11", "rsuIndex": -1}]),  # below lower
+    rec(209, 4, 2, 3, T.format(10), T.format(11),  # recordId jump 0→2
+        log_file="wrong_prefix.log"),  # startsWithField fail (OBU)
+]
+
+FILE_A3 = [  # skip-set gating: rxMsg/TMC/sanitized triggers suppress W2/W3/W5/W4-gen
+    rec(300, 9, 0, 4, T.format(30), T.format(30), rtype="rxMsg", rx_source="RV",
+        log_file="rxMsg_a.log"),
+    rec(302, 9, 3, 4, T.format(29), T.format(31), rtype="rxMsg", rx_source="SAT",
+        log_file="rxMsg_b.log", gen_by="TMC"),  # TMC: skips recordGeneratedAt checks
+    rec(303, 9, 9, 4, T.format(28), T.format(29),  # receivedAt regress NOT suppressed
+        rtype="rxMsg", rx_source="NA", log_file="rxMsg_c.log"),
+]
+
+
+# ---------------------------------------------------------------------------
+# Fixture B: positional CSV
+# ---------------------------------------------------------------------------
+
+CSV_CONFIG = """[_settings]
+DataType = csv
+Sequential = False
+HasHeader = True
+
+[deviceid]
+Type = decimal
+UpperLimit = 10000
+LowerLimit = 1
+
+[utc]
+Type = timestamp
+EarliestTime = 2018-01-01T00:00:00.000Z
+
+[local]
+Type = timestamp
+DateFormat = %Y-%m-%d %H:%M:%S
+
+[note]
+Type = string
+AllowEmpty = True
+
+[vsl_mph]
+Type = decimal
+UpperLimit = 100
+LowerLimit = 0
+
+[status]
+Type = enum
+Values = ["on", "off"]
+"""
+
+CSV_HEADER = "DeviceID,utc,local,note,vslmph,status"
+CSV_ROWS = [
+    "101,2019-05-14T19:05:47.123Z,2019-05-14 19:05:47,hello,55.5,on",
+    "102,2019-05-14T19:05:48.123Z,2019-05-14 19:05:48,,0,ON",
+    "103,2017-01-01T00:00:00Z,2019-05-14 19:05:49,note,150,off",
+    "0,not-a-timestamp,19:05 on May 14,x,abc,standby",
+    "104,2019-05-14T19:05:50.123Z,2019-05-14 19:05:50,ok,99.9,OFF",
+]
+
+
+# ---------------------------------------------------------------------------
+# Fixture C: routing tree
+# ---------------------------------------------------------------------------
+
+ROUTE_SUITE_BSM = """[_settings]
+DataType = json
+Sequential = False
+
+[metadata.recordType]
+Type = enum
+Values = ["bsmTx", "bsmLogDuringEvent"]
+
+[metadata.serialId.serialNumber]
+Type = decimal
+LowerLimit = 0
+"""
+
+ROUTE_SUITE_TIM = """[_settings]
+DataType = json
+Sequential = False
+
+[metadata.recordType]
+Type = enum
+Values = ["dnMsg", "driverAlert"]
+
+[metadata.serialId.serialNumber]
+Type = decimal
+LowerLimit = 0
+"""
+
+
+def route_rec(serial, rtype):
+    return {"metadata": {"recordType": rtype,
+                         "serialId": {"serialNumber": serial}}, "payload": "p"}
+
+
+ROUTE_FILES = {
+    "cv/provider1/bsm/2020/r1.json": [route_rec(1, "bsmTx"), route_rec(2, "rxMsg")],
+    "cv/provider1/bsm/rootfile.json": [route_rec(3, "bsmTx")],  # at prefix root: skipped
+    "cv/provider2/tim/2021/r2.json": [route_rec(4, "dnMsg"), route_rec(5, "bsmTx")],
+    "other/x/y/z.json": [route_rec(6, "dnMsg")],  # unmatched prefix: skipped
+    # waze-style hive key exercising the P2 projections:
+    "waze/type=alerts/table=t1/state=CO/w1.json": [route_rec(7, "dnMsg"),
+                                                   route_rec(8, "dnMsg"),
+                                                   route_rec(9, "dnMsg")],
+}
+ROUTE_PREFIXES = ["cv/provider1/bsm", "cv/provider2/tim"]
+
+
+# ---------------------------------------------------------------------------
+# Write fixtures
+# ---------------------------------------------------------------------------
+
+def write(path, content):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(content)
+
+
+def main():
+    write(f"{ROOT}/odejson/suite.ini", ODE_CONFIG)
+    for name, records in [("a1", FILE_A1), ("a2", FILE_A2), ("a3", FILE_A3)]:
+        lines = [json.dumps(r, separators=(",", ":")) for r in records]
+        if name == "a2":  # blank + whitespace-only lines are skipped
+            # (cvp_bucket_event_lambda_handler.py:45,52 — F13)
+            lines = lines[:3] + ["", "   "] + lines[3:]
+        write(f"{ROOT}/odejson/data/{name}.json", "\n".join(lines) + "\n")
+
+    write(f"{ROOT}/csv/suite.ini", CSV_CONFIG)
+    write(f"{ROOT}/csv/data/b1.csv", CSV_HEADER + "\n" + "\n".join(CSV_ROWS) + "\n")
+
+    write(f"{ROOT}/route/cv/provider1/bsm/config.ini", ROUTE_SUITE_BSM)
+    write(f"{ROOT}/route/cv/provider2/tim/config.ini", ROUTE_SUITE_TIM)
+    for key, records in ROUTE_FILES.items():
+        write(f"{ROOT}/route/{key}",
+              "\n".join(json.dumps(r, separators=(",", ":")) for r in records) + "\n")
+
+    # -----------------------------------------------------------------------
+    # Goldens from the reference validator
+    # -----------------------------------------------------------------------
+    goldens = {}
+
+    def run_reference(config_path, lines, csv=False):
+        tc = TestCase(config_path)
+        q = queue.Queue()
+        for ln in lines:
+            q.put(ln)
+        return tc, tc.validate_queue(q)
+
+    # --- fixture A, per file
+    field_rows = []       # (file, serial_number, field_path, valid, details)
+    seq_rows = []         # (file, field_path, valid, details, serial_number)
+    totals_rows = []      # (file, num_messages_total, num_validations, num_errors, num_error_messages, num_valid)
+    hist_rows = []        # (file, error_message, occurrences)
+    for name in ["a1", "a2", "a3"]:
+        path = f"{ROOT}/odejson/data/{name}.json"
+        lines = [ln for ln in open(path).read().splitlines() if ln.strip()]
+        tc, results = run_reference(f"{ROOT}/odejson/suite.ini", lines)
+        parsed = [json.loads(ln) for ln in lines]
+        fname = f"{name}.json"
+        # per-record field validations keyed by in-data serialNumber
+        for rec_obj, res in zip(parsed, results):
+            serial = rec_obj["metadata"]["serialId"]["serialNumber"]
+            for v in res.field_validations:
+                field_rows.append((fname, serial, v.field_path, v.valid, v.details))
+        # sequential block = results beyond the record count
+        for res in results[len(parsed):]:
+            for v in res.field_validations:
+                sid = v.serial_id["serialNumber"] if isinstance(v.serial_id, dict) else None
+                seq_rows.append((fname, v.field_path, v.valid, v.details, sid))
+        # totals + histogram: replicate the cvp loop (cvp...py:123-138) over
+        # the FULL result list (sequential row included)
+        num_msgs = num_vals = num_errs = num_err_msgs = 0
+        error_dict = {}
+        for res in results:
+            num_msgs += 1
+            num_vals += len(res.field_validations)
+            is_valid = True
+            for v in res.field_validations:
+                if v.valid is False:
+                    is_valid = False
+                    num_errs += 1
+                    msg = "Invalid field '" + str(v.field_path) + "' due to " + v.details
+                    error_dict[msg] = error_dict.get(msg, 0) + 1
+            if not is_valid:
+                num_err_msgs += 1
+        totals_rows.append((fname, num_msgs, num_vals, num_errs, num_err_msgs,
+                            num_msgs - num_err_msgs))
+        for msg, occ in error_dict.items():
+            hist_rows.append((fname, msg, occ))
+
+    goldens["ode_field_validations"] = field_rows
+    goldens["ode_sequential"] = seq_rows
+    goldens["ode_file_totals"] = totals_rows
+    goldens["ode_error_histogram"] = hist_rows
+
+    # --- fixture B (CSV): header consumed first, then rows
+    csv_lines = [CSV_HEADER] + CSV_ROWS
+    tc, results = run_reference(f"{ROOT}/csv/suite.ini", csv_lines, csv=True)
+    csv_rows = []
+    for raw, res in zip(CSV_ROWS, results):
+        deviceid = raw.split(",")[0]
+        for v in res.field_validations:
+            csv_rows.append(("b1.csv", deviceid, v.field_path, v.valid, v.details))
+    goldens["csv_field_validations"] = csv_rows
+
+    # --- fixture C: routed pipeline per prefix
+    route_rows = []  # (file, serial_number, field_path, valid, details)
+    for prefix, cfg in [("cv/provider1/bsm", "cv/provider1/bsm/config.ini"),
+                        ("cv/provider2/tim", "cv/provider2/tim/config.ini")]:
+        for key, records in ROUTE_FILES.items():
+            if not key.startswith(prefix):
+                continue
+            if key.count("/") <= prefix.count("/") + 1:
+                continue  # root-file guard
+            lines = [json.dumps(r, separators=(",", ":")) for r in records]
+            tc, results = run_reference(f"{ROOT}/route/{cfg}", lines)
+            for rec_obj, res in zip(records, results):
+                serial = rec_obj["metadata"]["serialId"]["serialNumber"]
+                for v in res.field_validations:
+                    route_rows.append((key.split("/")[-1], serial,
+                                       v.field_path, v.valid, v.details))
+    goldens["route_field_validations"] = route_rows
+
+    os.makedirs(f"{ROOT}/golden", exist_ok=True)
+    for name, rows in goldens.items():
+        with open(f"{ROOT}/golden/{name}.json", "w") as f:
+            json.dump(rows, f, indent=1, default=str)
+
+    # -----------------------------------------------------------------------
+    # DuckDB VALUES oracles
+    # -----------------------------------------------------------------------
+    def sql_lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return str(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    def values_sql(rows, cols, types):
+        vals = ",\n".join("(" + ", ".join(sql_lit(v) for v in r) + ")" for r in rows)
+        casts = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in zip(cols, types))
+        return f"SELECT {casts} FROM (VALUES\n{vals}\n) AS t({', '.join(cols)})"
+
+    oracle = {
+        "q_ode_field_validations": values_sql(
+            field_rows, ["file", "serial_number", "field_path", "valid", "details"],
+            ["VARCHAR", "BIGINT", "VARCHAR", "BOOLEAN", "VARCHAR"]),
+        "q_ode_sequential": values_sql(
+            seq_rows, ["file", "field_path", "valid", "details", "serial_number"],
+            ["VARCHAR", "VARCHAR", "BOOLEAN", "VARCHAR", "BIGINT"]),
+        "q_ode_file_totals": values_sql(
+            totals_rows, ["file", "num_messages_total", "num_validations",
+                          "num_errors", "num_error_messages", "num_valid"],
+            ["VARCHAR"] + ["BIGINT"] * 5),
+        "q_ode_error_histogram": values_sql(
+            hist_rows, ["file", "error_message", "occurrences"],
+            ["VARCHAR", "VARCHAR", "BIGINT"]),
+        "q_csv_field_validations": values_sql(
+            csv_rows, ["file", "deviceid", "field_path", "valid", "details"],
+            ["VARCHAR", "VARCHAR", "VARCHAR", "BOOLEAN", "VARCHAR"]),
+        "q_route_field_validations": values_sql(
+            route_rows, ["file", "serial_number", "field_path", "valid", "details"],
+            ["VARCHAR", "BIGINT", "VARCHAR", "BOOLEAN", "VARCHAR"]),
+    }
+    # --- size-dependent oracles (file metadata, S2/S5) --------------------
+    # metadata docs over the depth-5 route files (cv + waze)
+    meta_rows = []
+    for key, records in ROUTE_FILES.items():
+        if key.count("/") != 4:
+            continue
+        size = os.path.getsize(f"{ROOT}/route/{key}")
+        segs = key.split("/")
+        def kv(tag):
+            for s in segs:
+                if s.startswith(tag + "="):
+                    return s.split("=", 1)[1]
+            return None
+        meta_rows.append((key, size, segs[0],
+                          kv("type"), kv("table"), kv("state"),
+                          segs[1] if len(segs) > 2 else None,
+                          segs[2] if len(segs) > 2 else None,
+                          "test-env", len(records)))
+    oracle["q_file_metadata"] = (
+        "SELECT key, CAST(ContentLength AS BIGINT) AS ContentLength,\n"
+        "  CAST(ContentLength AS DOUBLE)/1048576.0 AS SizeMiB,\n"
+        "  md5(key) AS ETag, Dataset, TrafficType, TableName, State,\n"
+        "  DataProvider, DataType, Environment,\n"
+        "  CAST(MessageCount AS BIGINT) AS MessageCount\n"
+        "FROM (VALUES\n" + ",\n".join(
+            "(" + ", ".join(sql_lit(v) for v in r) + ")" for r in meta_rows) +
+        "\n) AS t(key, ContentLength, Dataset, TrafficType, TableName, State,"
+        " DataProvider, DataType, Environment, MessageCount)")
+
+    # S2/S5: per-file size + surviving line count of the odejson fixtures
+    s5_rows = []
+    for name in ["a1", "a2", "a3"]:
+        p = f"{ROOT}/odejson/data/{name}.json"
+        n = len([ln for ln in open(p).read().splitlines() if ln.strip()])
+        s5_rows.append((f"{name}.json", os.path.getsize(p), n))
+    oracle["q_file_lines"] = values_sql(
+        s5_rows, ["file", "file_size", "n_lines"], ["VARCHAR", "BIGINT", "BIGINT"])
+
+    for name, sql in oracle.items():
+        write(f"{ROOT}/golden/{name}.sql", sql)
+
+    print("fixtures written:", ROOT)
+    for name, rows in goldens.items():
+        print(f"  {name}: {len(rows)} golden rows")
+
+
+if __name__ == "__main__":
+    main()
