@@ -199,7 +199,9 @@ object Dedup {
     l.join(r, Seq("chunk_idx", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))
-      .distinct()
+      // filter BEFORE dedup: the hamming cut drops most candidates, so the
+      // distinct's shuffle only carries survivors (order matters at scale)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

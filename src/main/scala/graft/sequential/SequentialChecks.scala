@@ -3,6 +3,7 @@ package graft.sequential
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /**
  * Cross-record sequential validation (reference: odevalidator/sequential.py)
@@ -79,6 +80,14 @@ object SequentialChecks {
    */
   def apply(records: DataFrame, skips: Map[String, Column] = Map.empty): DataFrame = {
     import SkipPaths._
+    // SINGLE-PASS plan: every window below partitions by `file` (or by
+    // (file, bundle_run), which hashpartitioning(file) already satisfies),
+    // so the whole computation — pair checks, bundle-size checks, the W6
+    // sentinel — is ONE exchange + sorts + one explode. The naive
+    // formulation (union of three branches derived from the same input)
+    // re-scans and re-shuffles the input once per branch: AQE does NOT
+    // reuse those exchanges (verified on the final adaptive plan), which
+    // at 100 TB would mean 4× the scan+shuffle work.
     val fileW = Window.partitionBy(FileCol)
     def fileSkip(path: String): Column =
       skips.get(path).map(c => coalesce(max(c).over(fileW), lit(false))).getOrElse(lit(false))
@@ -97,105 +106,102 @@ object SequentialChecks {
       .withColumn("skip_bundle_size", fileSkip(BundleSizePath))
 
     val w2 = Window.partitionBy(col(FileCol), col("bundle_run")).orderBy(SerialNumber)
-    val paired = seg
-      .withColumn("prev_record_id", lag(col(RecordId), 1).over(w2))
-      .withColumn("prev_serial", lag(col(SerialNumber), 1).over(w2))
-      .withColumn("prev_gen", lag(col(GeneratedAt), 1).over(w2))
-      .withColumn("prev_rcv", lag(col(ReceivedAt), 1).over(w2))
+    val bw = Window.partitionBy(col(FileCol), col("bundle_run"))
+    val wholeBundle = w2.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
     def longStr(c: Column): Column = c.cast("long").cast("string")
     // Python str(tz-aware datetime), second-truncated (sequential.py:32-33):
     // "2019-05-14 19:05:02+00:00" — session is UTC.
     def tsStr(c: Column): Column = concat(date_format(c, "yyyy-MM-dd HH:mm:ss"), lit("+00:00"))
 
-    val pairFailures = paired
-      .filter(col("prev_serial").isNotNull) // non-first record of its bundle
-      .select(col(FileCol), col(SerialNumber), struct(
-        when(!col("skip_record_id") && col(BundleSize) > 1 &&
-             col(RecordId) =!= col("prev_record_id") + 1,
-          concat(lit("Detected incorrectly incremented recordId. Expected recordId '"),
-            longStr(col("prev_record_id") + 1), lit("' but got '"), longStr(col(RecordId)), lit("'")))
-          .as("record_id_fail"),
-        when(!col("skip_serial") && col(SerialNumber) =!= col("prev_serial") + 1,
-          concat(lit("Detected incorrectly incremented serialNumber. Expected serialNumber '"),
-            longStr(col("prev_serial") + 1), lit("' but got '"), longStr(col(SerialNumber)), lit("'")))
-          .as("serial_fail"),
-        when(!col("skip_gen") && col(GeneratedAt) < col("prev_gen"),
-          concat(lit("Detected non-chronological recordGeneratedAt. Previous timestamp was '"),
-            tsStr(col("prev_gen")), lit("' but current timestamp is '"),
-            tsStr(col(GeneratedAt)), lit("'")))
-          .as("gen_fail"),
-        when(!col("skip_rcv") && col(ReceivedAt) < col("prev_rcv"),
-          concat(lit("Detected non-chronological odeReceivedAt. Previous timestamp was '"),
-            tsStr(col("prev_rcv")), lit("' but current timestamp is '"),
-            tsStr(col(ReceivedAt)), lit("'")))
-          .as("rcv_fail")).as("fails"))
-      .select(col(FileCol), col(SerialNumber),
-        explode(filter(array(col("fails.record_id_fail"), col("fails.serial_fail"),
-          col("fails.gen_fail"), col("fails.rcv_fail")), _.isNotNull)).as("details"))
-      .select(col(FileCol), lit(null).cast("string").as("field_path"), lit(false).as("valid"),
-        col("details"), col(SerialNumber).as("serial_number"))
-
-    val bundleFailures = bundleSizeFailures(seg)
-
-    val allFailures = pairFailures.unionByName(bundleFailures)
-
-    // W6: files with zero failures get one passing sentinel row.
-    val passFiles = records.select(col(FileCol)).distinct()
-      .join(allFailures.select(col(FileCol)).distinct(), Seq(FileCol), "left_anti")
-      .select(col(FileCol), lit(SequentialCheck).as("field_path"), lit(true).as("valid"),
-        lit("").as("details"), lit(null).cast("long").as("serial_number"))
-
-    allFailures.unionByName(passFiles)
-  }
-
-  /** W5 (sequential.py:61-86). Branch on the bundle's FIRST record:
-   *  full list  = firstRecordId==0 && lastRecordId==first.bundleSize-1 ⇒
-   *    emit per record where logFileName present && count != bundleSize;
-   *  tail list  = firstRecordId!=0 ⇒ emit per record where
-   *    lastRecordId != bundleSize-1;
-   *  in both branches consecutive emissions with equal bundleSize collapse
-   *  to one (prev_bundle_size only updates on emission). serial_id on the
-   *  failure is the bundle's LAST record. */
-  private def bundleSizeFailures(seg: DataFrame): DataFrame = {
-    val bw = Window.partitionBy(col(FileCol), col("bundle_run"))
     val annotated = seg
-      .withColumn("first_record_id", first(col(RecordId)).over(bw.orderBy(SerialNumber)))
-      .withColumn("first_bundle_size", first(col(BundleSize)).over(bw.orderBy(SerialNumber)))
-      .withColumn("last_record_id", last(col(RecordId)).over(
-        bw.orderBy(SerialNumber).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // pair context (W2-W4, sequential.py:36-49)
+      .withColumn("prev_record_id", lag(col(RecordId), 1).over(w2))
+      .withColumn("prev_serial", lag(col(SerialNumber), 1).over(w2))
+      .withColumn("prev_gen", lag(col(GeneratedAt), 1).over(w2))
+      .withColumn("prev_rcv", lag(col(ReceivedAt), 1).over(w2))
+      // bundle context (W5, sequential.py:61-86)
+      .withColumn("first_record_id", first(col(RecordId)).over(w2))
+      .withColumn("first_bundle_size", first(col(BundleSize)).over(w2))
+      .withColumn("last_record_id", last(col(RecordId)).over(wholeBundle))
       .withColumn("last_serial", max(col(SerialNumber)).over(bw))
       .withColumn("bundle_count", count(lit(1)).over(bw))
-      .filter(!col("skip_bundle_size"))
 
     val isFull = col("first_record_id") === 0 &&
       col("last_record_id") === col("first_bundle_size") - 1
 
-    val emits = annotated.withColumn("emit",
+    // W5 emission per record; consecutive emissions with equal bundleSize
+    // collapse (prev_bundle_size only updates on emission) — the "previous
+    // emitted size" is a null-skipping last() over earlier rows.
+    val emit = !col("skip_bundle_size") && (
       when(col("first_record_id") === 0,
         isFull && col(LogFileName).isNotNull && col("bundle_count") =!= col(BundleSize))
         .otherwise(col("last_record_id") =!= col(BundleSize) - 1))
-      .filter(col("emit"))
 
-    // consecutive-dedup on the emitted subsequence by bundleSize value
-    val ew = Window.partitionBy(col(FileCol), col("bundle_run")).orderBy(SerialNumber)
-    val deduped = emits
-      .withColumn("prev_emitted_size", lag(col(BundleSize), 1).over(ew))
-      .filter(col("prev_emitted_size").isNull || col("prev_emitted_size") =!= col(BundleSize))
+    val withEmit = annotated
+      .withColumn("emit", emit)
+      .withColumn("prev_emitted_size",
+        last(when(col("emit"), col(BundleSize)), ignoreNulls = true)
+          .over(w2.rowsBetween(Window.unboundedPreceding, -1)))
 
-    def longStr(c: Column): Column = c.cast("long").cast("string")
-    deduped.select(
-      col(FileCol),
-      lit(null).cast("string").as("field_path"),
-      lit(false).as("valid"),
-      when(col("first_record_id") === 0,
-        concat(lit("bundleSize doesn't match number of records. Number of records: '"),
-          longStr(col("bundle_count")), lit("' != bundlSize: '"), longStr(col(BundleSize)), lit("'")))
-        .otherwise(
-          concat(lit("bundleSize doesn't match last recordId. Last recordId: '"),
-            longStr(col("last_record_id")), lit("' != (bundleSize-1: '"),
-            longStr(col(BundleSize) - 1), lit("')")))
-        .as("details"),
-      col("last_serial").as("serial_number"))
+    def failRow(details: Column, serial: Column): Column = struct(
+      lit(null).cast("string").as("field_path"), lit(false).as("valid"),
+      details.as("details"), serial.cast("long").as("serial_number"))
+
+    val pairChecks = array(
+      when(col("prev_serial").isNotNull && !col("skip_record_id") && col(BundleSize) > 1 &&
+           col(RecordId) =!= col("prev_record_id") + 1,
+        failRow(concat(lit("Detected incorrectly incremented recordId. Expected recordId '"),
+          longStr(col("prev_record_id") + 1), lit("' but got '"), longStr(col(RecordId)), lit("'")),
+          col(SerialNumber))),
+      when(col("prev_serial").isNotNull && !col("skip_serial") &&
+           col(SerialNumber) =!= col("prev_serial") + 1,
+        failRow(concat(lit("Detected incorrectly incremented serialNumber. Expected serialNumber '"),
+          longStr(col("prev_serial") + 1), lit("' but got '"), longStr(col(SerialNumber)), lit("'")),
+          col(SerialNumber))),
+      when(col("prev_serial").isNotNull && !col("skip_gen") && col(GeneratedAt) < col("prev_gen"),
+        failRow(concat(lit("Detected non-chronological recordGeneratedAt. Previous timestamp was '"),
+          tsStr(col("prev_gen")), lit("' but current timestamp is '"),
+          tsStr(col(GeneratedAt)), lit("'")), col(SerialNumber))),
+      when(col("prev_serial").isNotNull && !col("skip_rcv") && col(ReceivedAt) < col("prev_rcv"),
+        failRow(concat(lit("Detected non-chronological odeReceivedAt. Previous timestamp was '"),
+          tsStr(col("prev_rcv")), lit("' but current timestamp is '"),
+          tsStr(col(ReceivedAt)), lit("'")), col(SerialNumber))),
+      when(col("emit") &&
+           (col("prev_emitted_size").isNull || col("prev_emitted_size") =!= col(BundleSize)),
+        failRow(
+          when(col("first_record_id") === 0,
+            concat(lit("bundleSize doesn't match number of records. Number of records: '"),
+              longStr(col("bundle_count")), lit("' != bundlSize: '"), longStr(col(BundleSize)), lit("'")))
+            .otherwise(
+              concat(lit("bundleSize doesn't match last recordId. Last recordId: '"),
+                longStr(col("last_record_id")), lit("' != (bundleSize-1: '"),
+                longStr(col(BundleSize) - 1), lit("')"))),
+          col("last_serial"))))
+
+    val sentinel = struct(
+      lit(SequentialCheck).as("field_path"), lit(true).as("valid"),
+      lit("").as("details"), lit(null).cast("long").as("serial_number"))
+
+    val perRecord = withEmit
+      .withColumn("fails", filter(pairChecks, _.isNotNull))
+      // W6: zero failures in the file ⇒ one sentinel row, attached to the
+      // file's first record (row_number avoids a second pass over the input)
+      .withColumn("file_fail_count", sum(size(col("fails"))).over(fileW))
+      .withColumn("rn", row_number().over(w))
+
+    perRecord
+      .select(col(FileCol),
+        explode(when(col("file_fail_count") === 0,
+          when(col("rn") === 1, array(sentinel)).otherwise(array().cast(ArrayType(sentinelType))))
+          .otherwise(col("fails"))).as("r"))
+      .select(col(FileCol), col("r.field_path").as("field_path"), col("r.valid").as("valid"),
+        col("r.details").as("details"), col("r.serial_number").as("serial_number"))
   }
+
+  private val sentinelType = StructType(Seq(
+    StructField("field_path", StringType),
+    StructField("valid", BooleanType, nullable = false),
+    StructField("details", StringType),
+    StructField("serial_number", LongType)))
 }
