@@ -1,0 +1,55 @@
+package graft
+
+import java.io.{BufferedWriter, FileOutputStream, OutputStreamWriter}
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.{Metadata, Readers}
+
+/** S4/S5 source behaviors: gzip auto-decompress, blank-line drop, file
+  * metadata columns, key derivation. */
+class ReadersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("gz files auto-decompress with blank lines dropped (S4/S5/F13)") {
+    val dir = Files.createTempDirectory("graft-gz").toFile
+    val gz = new java.io.File(dir, "part.json.gz")
+    val w = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(new FileOutputStream(gz)), "UTF-8"))
+    w.write("{\"a\":1}\n\n   \n{\"a\":2}\n")
+    w.close()
+    val plain = new java.io.File(dir, "plain.json")
+    Files.writeString(plain.toPath, "{\"a\":3}\n")
+
+    val rows = Readers.lines(spark, dir.getAbsolutePath + "/*")
+      .select(element_at(split(col("file"), "/"), -1).as("f"), col("value"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(rows == Seq(
+      ("part.json.gz", "{\"a\":1}"),
+      ("part.json.gz", "{\"a\":2}"),
+      ("plain.json", "{\"a\":3}")))
+  }
+
+  test("file metadata columns surface size and mtime (S2)") {
+    val dir = Files.createTempDirectory("graft-meta").toFile
+    val f = new java.io.File(dir, "x.txt")
+    Files.writeString(f.toPath, "hello\nworld\n")
+    val row = Readers.lines(spark, f.getAbsolutePath)
+      .select(col("file_size"), col("file_modification_time")).head()
+    assert(row.getLong(0) == 12L)
+    assert(!row.isNullAt(1))
+  }
+
+  test("bucket-relative key strips the root and the file scheme (P1)") {
+    val dir = Files.createTempDirectory("graft-key").toFile
+    val sub = new java.io.File(dir, "cv/prov/bsm/2020"); sub.mkdirs()
+    Files.writeString(new java.io.File(sub, "f.json").toPath, "{}\n")
+    val key = Readers.lines(spark, dir.getAbsolutePath + "/cv/*/*/*/*.json")
+      .select(Metadata.keyColumn(col("file"), dir.getAbsolutePath).as("k"))
+      .head().getString(0)
+    assert(key == "cv/prov/bsm/2020/f.json")
+  }
+}
