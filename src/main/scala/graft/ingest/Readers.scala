@@ -108,6 +108,21 @@ object Readers {
 
   private def quotedName(n: String): String = s"`$n`"
 
+  /** S1 (bucket_event_lambda_handler.py:14-26): SNS-wrapped S3 notification
+   *  JSON → (bucket, key). The Message field is itself a JSON string (the
+   *  reference json.loads's it twice); the key is URL-decoded with `+` as
+   *  space (urllib.parse.unquote_plus). Malformed events yield null
+   *  bucket/key — data, not a crash (the reference raises and drops the
+   *  whole invocation; surfacing rows is the engine upgrade). */
+  def s3EventDetails(events: DataFrame, eventCol: Column): DataFrame = {
+    val msg = get_json_object(eventCol, "$.Records[0].Sns.Message")
+    events
+      .withColumn("bucket", get_json_object(msg, "$.Records[0].s3.bucket.name"))
+      // url_decode is x-www-form-urlencoded: decodes %XX and '+'→space,
+      // exactly unquote_plus
+      .withColumn("key", url_decode(get_json_object(msg, "$.Records[0].s3.object.key")))
+  }
+
   /** P1-P6 (bucket_event_lambda_handler.py:41-89): file-path-derived
    *  metadata columns. `key` is the path relative to the bucket root. */
   def pathMetadata(keyCol: Column): Seq[(String, Column)] = Seq(

@@ -97,16 +97,28 @@ object ValidationPipeline {
   def writeAll(result: Result, outDir: String,
                bucketRoot: Option[String] = None,
                environment: String = "dev"): Unit = {
-    result.fileTotals.write.mode("overwrite").parquet(s"$outDir/file_totals")
-    result.errorHistogram.write.mode("overwrite").parquet(s"$outDir/error_histogram")
-    if (result.hasSequential)
-      result.sequential.write.mode("overwrite").parquet(s"$outDir/sequential")
-    bucketRoot.foreach { root =>
-      val meta = Metadata.fileMetadata(result.validated, root, environment)
-        .join(result.fileTotals.select(
-          Metadata.keyColumn(col("file"), root).as("key"),
-          col("num_valid"), col("num_error_messages")), Seq("key"), "left")
-      meta.write.mode("overwrite").parquet(s"$outDir/metadata")
+    // One materialization feeds every sink: Spark actions share no work,
+    // so without this each write re-reads the files and re-evaluates the
+    // whole rule projection (cache matching is by canonical logical plan,
+    // so the derived totals/histogram/sequential plans all hit it).
+    // MEMORY_AND_DISK: spills instead of recomputing at 100 TB scale.
+    val cached = result.validated
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      result.fileTotals.write.mode("overwrite").parquet(s"$outDir/file_totals")
+      result.errorHistogram.write.mode("overwrite").parquet(s"$outDir/error_histogram")
+      if (result.hasSequential)
+        result.sequential.write.mode("overwrite").parquet(s"$outDir/sequential")
+      bucketRoot.foreach { root =>
+        val meta = Metadata.fileMetadata(result.validated, root, environment)
+          .join(result.fileTotals.select(
+            Metadata.keyColumn(col("file"), root).as("key"),
+            col("num_valid"), col("num_error_messages")), Seq("key"), "left")
+        meta.write.mode("overwrite").parquet(s"$outDir/metadata")
+      }
+    } finally {
+      cached.unpersist()
+      ()
     }
   }
 }
