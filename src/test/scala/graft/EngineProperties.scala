@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.ext.Dedup
+import graft.sequential.SequentialChecks
+
+/** Property-based invariants (SURVEY §5.3). Each case runs real Spark
+  * jobs, so the per-property case count is kept small. */
+object EngineProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = TestSpark.spark
+
+  private case class Rec(serial: Long, bundle: Long, record: Long, size: Long, sec: Int)
+
+  private def toDf(recs: Seq[Rec]) = {
+    import spark.implicits._
+    recs.map(r => ("f", r.serial, r.bundle, r.record, r.size,
+      Timestamp.valueOf(f"2019-05-14 19:05:${r.sec}%02d"),
+      Timestamp.valueOf(f"2019-05-14 19:05:${r.sec}%02d"), "log"))
+      .toDF(SequentialChecks.FileCol, SequentialChecks.SerialNumber,
+        SequentialChecks.BundleId, SequentialChecks.RecordId,
+        SequentialChecks.BundleSize, SequentialChecks.GeneratedAt,
+        SequentialChecks.ReceivedAt, SequentialChecks.LogFileName)
+  }
+
+  private def seqResults(recs: Seq[Rec]): Set[(String, Boolean, String, Option[Long])] =
+    SequentialChecks(toDf(recs))
+      .select("field_path", "valid", "details", "serial_number")
+      .collect().toSet[org.apache.spark.sql.Row]
+      .map(r => (Option(r.getString(0)).orNull, r.getBoolean(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+
+  private val genRecs: Gen[List[Rec]] = for {
+    n <- Gen.choose(2, 7)
+    serials <- Gen.pick(n, 100L to 140L)
+    recs <- Gen.sequence[List[Rec], Rec](serials.toList.sorted.map { s =>
+      for {
+        b <- Gen.choose(0L, 2L)
+        r <- Gen.choose(0L, 4L)
+        sz <- Gen.choose(1L, 5L)
+        sec <- Gen.choose(0, 59)
+      } yield Rec(s, b, r, sz, sec)
+    })
+  } yield recs
+
+  property("sequential verdicts are invariant to input row order") =
+    Prop.forAll(genRecs) { recs =>
+      seqResults(recs) == seqResults(scala.util.Random.shuffle(recs))
+    }
+
+  property("perfect bundles yield only the passing sentinel") =
+    Prop.forAll(Gen.choose(2, 5), Gen.choose(1, 3)) { (size, nBundles) =>
+      val recs = (0 until nBundles).flatMap { b =>
+        (0 until size).map { i =>
+          Rec(100L + b * size + i, b, i, size, (b * size + i) % 60)
+        }
+      }
+      seqResults(recs) == Set(("SequentialCheck", true, "", None))
+    }
+
+  property("deleting exactly one field fails exactly that presence rule") = {
+    val fields = Seq("fa", "fb", "fc")
+    val ini = "[_settings]\nDataType = json\nSequential = False\n\n" +
+      fields.map(f => s"[$f]\nType = string\n").mkString("\n")
+    val suite = graft.config.SuiteLoader.fromString(ini)
+    val schema = org.apache.spark.sql.types.StructType(fields.map(f =>
+      org.apache.spark.sql.types.StructField(f, org.apache.spark.sql.types.StringType)))
+    Prop.forAll(Gen.oneOf(fields)) { dropped =>
+      val json = fields.filterNot(_ == dropped)
+        .map(f => s""""$f":"x"""").mkString("{", ",", "}")
+      val ds = spark.createDataset(Seq(json))(org.apache.spark.sql.Encoders.STRING)
+      val df = spark.read.schema(schema).json(ds)
+      val failed = df.select(explode(
+        graft.rules.RuleCompiler.validationsColumn(suite, schema)).as("v"))
+        .filter(!col("v.valid")).select("v.field_path")
+        .collect().map(_.getString(0)).toSet
+      failed == Set(dropped)
+    }
+  }
+
+  property("exact dedup keeps the minimum id of every duplicate group") =
+    Prop.forAll(Gen.listOfN(12, Gen.oneOf("aa", "bb", "cc", "dd"))) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val kept = Dedup.dropExactDuplicates(df, "text", "id")
+        .select("id").collect().map(_.getLong(0)).toSet
+      val expected = texts.zipWithIndex.groupBy(_._1).values
+        .map(_.map(_._2.toLong).min).toSet
+      kept == expected
+    }
+
+  property("minhash signatures of identical texts are identical") =
+    Prop.forAll(Gen.alphaNumStr.suchThat(_.length > 10)) { text =>
+      import spark.implicits._
+      val df = Seq((1L, text + " " + text), (2L, text + " " + text)).toDF("id", "text")
+      val sigs = df.select(Dedup.minhashSignature(
+        Dedup.wordShingles(col("text"), 2), 16).as("sig"))
+        .collect().map(_.getSeq[Long](0))
+      sigs(0) == sigs(1)
+    }
+}
