@@ -101,19 +101,35 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** MinHash signature (array<long>, length k) over a shingle array.
-   *  Hash family = xxhash64 seeded by the function index — deterministic
-   *  and ANSI-overflow-safe (no 64-bit multiply).
-   *
-   *  Shape matters: ONE aggregate folding a k-wide accumulator beats k
-   *  separate array_min(transform(...)) columns — the latter builds a
-   *  plan with k copies of the shingle subtree (minutes of optimizer and
-   *  eval time at k=64; measured 45s → <2s on 500 docs). */
-  def minhashSignature(shingles: Column, k: Int = 128): Column =
+   *  Hash family: h_i = xxhash64(xxhash64(shingle), i) — each shingle's
+   *  string is hashed once, the family derives from the 8-byte base hash.
+   *  Deterministic and ANSI-overflow-safe (no 64-bit multiply). */
+  def minhashSignature(shingles: Column, k: Int = 128): Column = {
+    val hashes = transform(shingles, s => xxhash64(s))
     aggregate(
-      shingles,
+      hashes,
       array_repeat(lit(Long.MaxValue), k),
-      (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
-        (a, i) => least(a, xxhash64(s, i))))
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (a, i) => least(a, xxhash64(h, i))))
+  }
+
+  /** (id, sig) MinHash signatures as a codegen'd hash aggregate — the
+   *  scale path used by the near-dup pipeline. Exploding shingles and
+   *  computing k min() aggregate columns keeps the whole computation in
+   *  whole-stage codegen with map-side partial aggregation (per-partition
+   *  output is one k-wide row per doc), where the higher-order-function
+   *  formulation evaluates k×|shingles| interpreted lambdas per row
+   *  (measured ~3× slower at sf0.1). Same family as [[minhashSignature]]. */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, k: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"__m$i"))
+    exploded.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+  }
 
   /**
    * LSH candidate pairs: split the k-wide signature into `bands` bands of
@@ -125,8 +141,7 @@ object Dedup {
                             n: Int = 3, k: Int = 128, bands: Int = 32): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(wordShingles(col(textCol), n), k).as("sig"))
+    val sig = minhashSignatures(df, textCol, idCol, n, k)
 
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -181,6 +196,26 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** (id, sig) SimHash signatures as a codegen'd hash aggregate (explode +
+   *  64 sum() bit counters, map-side combined) — the scale path; bit b is
+   *  set iff ones > zeros ⇔ 2·ones > |shingles|. Same signature function
+   *  as [[simhash]]; docs with zero shingles drop out (they cannot be
+   *  bigram near-dups). */
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 2): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val bitSums = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"__b$b"))
+    val agg = exploded.groupBy(col("id"))
+      .agg(count(lit(1)).as("__n"), bitSums: _*)
+    val sig = (0 until 64).map(b =>
+      when(col(s"__b$b") * 2 > col("__n"), shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    agg.select(col("id"), sig.as("sig"))
+  }
+
   /** Hamming distance between two simhash longs. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -189,8 +224,7 @@ object Dedup {
    *  pigeonhole), then verify. Scales like LSH banding. */
   def simhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
                             maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      simhash(wordShingles(col(textCol), 2)).as("sig"))
+    val sigs = simhashSignatures(df, textCol, idCol)
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk_idx", "chunk")))
