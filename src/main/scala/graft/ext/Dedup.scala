@@ -78,10 +78,14 @@ object Dedup {
     val exploded = shingled
       .select(col("id"), col("set_size"), explode(col("shingles")).as("shingle"))
 
-    val rare = exploded
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxDocFreq)
-      .drop("df")
+    // stop-shingle skew guard; disabled (Long.MaxValue) skips the whole
+    // doc-frequency pass rather than shuffling for a no-op filter
+    val rare =
+      if (maxDocFreq == Long.MaxValue) exploded
+      else exploded
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+        .filter(col("df") <= maxDocFreq)
+        .drop("df")
 
     val a = rare.select(col("id").as("id_a"), col("set_size").as("size_a"), col("shingle"))
     val b = rare.select(col("id").as("id_b"), col("set_size").as("size_b"), col("shingle"))
