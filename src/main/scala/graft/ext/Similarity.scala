@@ -105,6 +105,36 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact: all (a, b) with
+   *  cosine ≥ threshold, id_a < id_b. Quadratic by construction — the
+   *  correctness baseline for [[embeddingNearDuplicatesLSH]]; guard with
+   *  a broadcast of the smaller side when used on real corpora. */
+  def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup at scale: hyperplane-LSH buckets generate
+   *  candidates (equi-join on (bucket), multi-probe on single-bit flips),
+   *  exact cosine verifies. Approximate recall, no cross product — the
+   *  100 TB path. */
+  def embeddingNearDuplicatesLSH(df: DataFrame, idCol: String, vecCol: String,
+                                 threshold: Double, planes: Int = 12): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      hyperplaneSignature(col(vecCol), planes).as("bucket"))
+    val l = sig.select(col("bucket"), col("id").as("id_a"), col("__v").as("__va"))
+    val r = sig.select(col("bucket"), col("id").as("id_b"), col("__v").as("__vb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest of
    *  `centroids` (a small broadcast table id → vector); search then probes
    *  only matching cells. Centroids can come from any upstream clustering;

@@ -25,6 +25,15 @@ object TextAnalysis {
       acc + greatest(ceil(length(w).cast("double") / 4.0).cast("long"), lit(1L)))
   }
 
+  /** BPE-ish regex token count: GPT-2-style pre-tokenizer classes —
+   *  contractions, letter runs, digit runs, punctuation runs, whitespace
+   *  runs — counted with a codegen'd regexp_count (RE2-compatible, so the
+   *  same pattern runs in DuckDB for the oracle). */
+  val bpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def regexTokenCount(text: Column): Column = regexp_count(text, lit(bpeTokenPattern))
+
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, 0.0).otherwise(
