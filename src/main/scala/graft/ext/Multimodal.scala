@@ -99,4 +99,34 @@ object Multimodal {
       transform(sequence(lit(0), lit(dims - 1)), i =>
         (pmod(xxhash64(col("content").cast("string"), i), lit(2000L)).cast("double") / 1000.0) - 1.0
       ).as("features"))
+
+  /** Decoded per-item stats produced by a partition-scoped codec. */
+  final case class DecodedStats(item_id: Long, n_bytes: Int, checksum: Long)
+
+  /**
+   * The real-codec integration point: `mapPartitions` with ONE codec
+   * instance per partition reused across rows (how a JNI/image library is
+   * amortized — the Spark-side batch shape the container's missing codec
+   * libraries would slot into). The default codec is a deterministic STUB
+   * (byte count + additive checksum); swap `mkCodec` for e.g. a TwelveMonkeys
+   * ImageReader or an FFmpeg wrapper without touching the pipeline.
+   */
+  def decodeWithCodec(media: DataFrame,
+                      mkCodec: () => Array[Byte] => (Int, Long) = () => stubCodec)
+  : Dataset[DecodedStats] = {
+    import media.sparkSession.implicits._
+    media.select(col("item_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = mkCodec() // one instance per partition, reused per row
+        rows.map { case (id, bytes) =>
+          val (n, sum) = codec(Option(bytes).getOrElse(Array.emptyByteArray))
+          DecodedStats(id, n, sum)
+        }
+      }
+  }
+
+  /** STUB: stands in for a real decoder; deterministic over the bytes. */
+  private def stubCodec: Array[Byte] => (Int, Long) =
+    bytes => (bytes.length, bytes.foldLeft(0L)((a, b) => a + (b & 0xff)))
 }

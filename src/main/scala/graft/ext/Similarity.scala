@@ -149,4 +149,42 @@ object Similarity {
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") === 1)
       .select(col(idCol), col(vecCol), col("centroid_id"))
   }
+
+  /**
+   * IVF search: corpus pre-assigned to centroid cells; each query probes
+   * only its `nProbe` nearest cells (broadcast centroid table), then exact
+   * cosine + top-k inside the probed cells. The candidate join is an
+   * equi-join on centroid_id — no cross product against the corpus, and
+   * the corpus side can be pre-partitioned/bucketed by centroid_id so
+   * repeated query batches reuse the layout.
+   */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              centroids: DataFrame, centroidId: String, centroidVec: String,
+              k: Int, nProbe: Int = 2): DataFrame = {
+    val assigned = assignToCentroids(corpus, corpusId, corpusVec,
+      centroids, centroidId, centroidVec)
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"), col("centroid_id"))
+
+    // per query: its nProbe nearest cells
+    val probes = queries.crossJoin(broadcast(
+      centroids.select(col(centroidId).as("centroid_id"), col(centroidVec).as("__cent"))))
+      .select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
+        col("centroid_id"), cosine(col(queryVec), col("__cent")).as("csim"))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("centroid_id"))
+    val probed = probes.withColumn("prank", row_number().over(pw))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("centroid_id"))
+
+    val candidates = assigned.join(broadcast(probed), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__cv"), col("__qv")).as("sim"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
 }

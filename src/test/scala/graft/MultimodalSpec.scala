@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Multimodal
+
+/** Multimodal plumbing: binary columns + the mapPartitions codec seam. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("decodeWithCodec runs one codec per partition over real bytes") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, ""), (3L, "École")).toDF("id", "text")
+    val media = Multimodal.fromText(df, "id", "text")
+    val out = Multimodal.decodeWithCodec(media).collect().map(d =>
+      d.item_id -> (d.n_bytes, d.checksum)).toMap
+    // utf-8 byte counts + additive byte checksums, deterministic
+    assert(out(1L)._1 == 3 && out(1L)._2 == ('a' + 'b' + 'c').toLong)
+    assert(out(2L)._1 == 0 && out(2L)._2 == 0L)
+    assert(out(3L)._1 == "École".getBytes("UTF-8").length)
+  }
+
+  test("resize caps dimensions at maxDim preserving aspect") {
+    import spark.implicits._
+    val media = Multimodal.fromText(Seq((1L, "xyz")).toDF("id", "text"), "id", "text")
+    val r = Multimodal.resize(media, 100).select(col("meta.width"), col("meta.height")).head()
+    assert(r.getInt(0) <= 100 && r.getInt(1) <= 100)
+    assert(r.getInt(0) > 0 && r.getInt(1) > 0)
+  }
+
+  test("extractFeatures yields fixed-width deterministic vectors") {
+    import spark.implicits._
+    val media = Multimodal.fromText(Seq((1L, "same"), (2L, "same")).toDF("id", "text"), "id", "text")
+    val vecs = Multimodal.extractFeatures(media, 8).collect()
+      .map(_.getSeq[Double](1))
+    assert(vecs.forall(_.size == 8))
+    assert(vecs(0) == vecs(1))
+  }
+}
