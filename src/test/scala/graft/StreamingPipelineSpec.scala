@@ -16,7 +16,7 @@ class StreamingPipelineSpec extends AnyFunSuite {
 
   test("streaming AvailableNow equals batch (totals + sequential + histogram)") {
     val suite = SuiteLoader.fromFile("/root/repo/fixtures/odejson/suite.ini")
-    val glob = "/root/repo/fixtures/odejson/data/*.json"
+    val glob = "/root/repo/fixtures/odejson/data/*.json*"
     val tmp = Files.createTempDirectory("graft-stream").toFile.getAbsolutePath
 
     StreamingPipeline.runAvailableNow(spark, glob, suite,
@@ -45,7 +45,7 @@ class StreamingPipelineSpec extends AnyFunSuite {
 
   test("restart with an existing checkpoint reprocesses nothing") {
     val suite = SuiteLoader.fromFile("/root/repo/fixtures/odejson/suite.ini")
-    val glob = "/root/repo/fixtures/odejson/data/*.json"
+    val glob = "/root/repo/fixtures/odejson/data/*.json*"
     val tmp = Files.createTempDirectory("graft-stream2").toFile.getAbsolutePath
 
     StreamingPipeline.runAvailableNow(spark, glob, suite, s"$tmp/out", s"$tmp/ckpt")
@@ -53,6 +53,6 @@ class StreamingPipelineSpec extends AnyFunSuite {
     // second run: checkpoint already covers every input file
     StreamingPipeline.runAvailableNow(spark, glob, suite, s"$tmp/out", s"$tmp/ckpt")
     val n2 = spark.read.parquet(s"$tmp/out/file_totals").count()
-    assert(n1 == 3 && n2 == 3)
+    assert(n1 == 4 && n2 == 4)
   }
 }

@@ -379,7 +379,14 @@ def write(path, content):
         f.write(content)
 
 
+FILE_A4 = [  # gzipped file (S4): clean 3-record bundle
+    rec(400 + i, 11, i, 3, T.format(40 + i), T.format(50 + i))
+    for i in range(3)
+]
+
+
 def main():
+    import gzip
     write(f"{ROOT}/odejson/suite.ini", ODE_CONFIG)
     for name, records in [("a1", FILE_A1), ("a2", FILE_A2), ("a3", FILE_A3)]:
         lines = [json.dumps(r, separators=(",", ":")) for r in records]
@@ -387,6 +394,13 @@ def main():
             # (cvp_bucket_event_lambda_handler.py:45,52 — F13)
             lines = lines[:3] + ["", "   "] + lines[3:]
         write(f"{ROOT}/odejson/data/{name}.json", "\n".join(lines) + "\n")
+    # gzip member must be byte-stable across regenerations: fix mtime=0
+    a4_bytes = ("\n".join(json.dumps(r, separators=(",", ":"))
+                          for r in FILE_A4) + "\n").encode()
+    os.makedirs(f"{ROOT}/odejson/data", exist_ok=True)
+    with open(f"{ROOT}/odejson/data/a4.json.gz", "wb") as f:
+        with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+            gz.write(a4_bytes)
 
     write(f"{ROOT}/csv/suite.ini", CSV_CONFIG)
     write(f"{ROOT}/csv/data/b1.csv", CSV_HEADER + "\n" + "\n".join(CSV_ROWS) + "\n")
@@ -414,12 +428,14 @@ def main():
     seq_rows = []         # (file, field_path, valid, details, serial_number)
     totals_rows = []      # (file, num_messages_total, num_validations, num_errors, num_error_messages, num_valid)
     hist_rows = []        # (file, error_message, occurrences)
-    for name in ["a1", "a2", "a3"]:
-        path = f"{ROOT}/odejson/data/{name}.json"
-        lines = [ln for ln in open(path).read().splitlines() if ln.strip()]
+    import gzip as _gzip
+    for fname in ["a1.json", "a2.json", "a3.json", "a4.json.gz"]:
+        path = f"{ROOT}/odejson/data/{fname}"
+        raw = (_gzip.open(path, "rt").read() if fname.endswith(".gz")
+               else open(path).read())
+        lines = [ln for ln in raw.splitlines() if ln.strip()]
         tc, results = run_reference(f"{ROOT}/odejson/suite.ini", lines)
         parsed = [json.loads(ln) for ln in lines]
-        fname = f"{name}.json"
         # per-record field validations keyed by in-data serialNumber
         for rec_obj, res in zip(parsed, results):
             serial = rec_obj["metadata"]["serialId"]["serialNumber"]
@@ -465,6 +481,17 @@ def main():
         for v in res.field_validations:
             csv_rows.append(("b1.csv", deviceid, v.field_path, v.valid, v.details))
     goldens["csv_field_validations"] = csv_rows
+
+    # CSV per-file totals (non-sequential cvp loop)
+    n_msgs = n_vals = n_errs = n_err_msgs = 0
+    for res in results:
+        n_msgs += 1
+        n_vals += len(res.field_validations)
+        bad = sum(1 for v in res.field_validations if v.valid is False)
+        n_errs += bad
+        n_err_msgs += 1 if bad else 0
+    goldens["csv_file_totals"] = [("b1.csv", n_msgs, n_vals, n_errs,
+                                   n_err_msgs, n_msgs - n_err_msgs)]
 
     # --- fixture C: routed pipeline per prefix
     route_rows = []  # (file, serial_number, field_path, valid, details)
@@ -523,6 +550,11 @@ def main():
         "q_csv_field_validations": values_sql(
             csv_rows, ["file", "deviceid", "field_path", "valid", "details"],
             ["VARCHAR", "VARCHAR", "VARCHAR", "BOOLEAN", "VARCHAR"]),
+        "q_csv_file_totals": values_sql(
+            goldens["csv_file_totals"],
+            ["file", "num_messages_total", "num_validations", "num_errors",
+             "num_error_messages", "num_valid"],
+            ["VARCHAR"] + ["BIGINT"] * 5),
         "q_route_field_validations": values_sql(
             route_rows, ["file", "serial_number", "field_path", "valid", "details"],
             ["VARCHAR", "BIGINT", "VARCHAR", "BOOLEAN", "VARCHAR"]),
@@ -557,11 +589,15 @@ def main():
         " DataProvider, DataType, Environment, MessageCount)")
 
     # S2/S5: per-file size + surviving line count of the odejson fixtures
+    # (file_size is the on-disk — compressed for .gz — size, like S3
+    # ContentLength for a gzipped object)
     s5_rows = []
-    for name in ["a1", "a2", "a3"]:
-        p = f"{ROOT}/odejson/data/{name}.json"
-        n = len([ln for ln in open(p).read().splitlines() if ln.strip()])
-        s5_rows.append((f"{name}.json", os.path.getsize(p), n))
+    for fname in ["a1.json", "a2.json", "a3.json", "a4.json.gz"]:
+        p = f"{ROOT}/odejson/data/{fname}"
+        raw = (_gzip.open(p, "rt").read() if fname.endswith(".gz")
+               else open(p).read())
+        n = len([ln for ln in raw.splitlines() if ln.strip()])
+        s5_rows.append((fname, os.path.getsize(p), n))
     oracle["q_file_lines"] = values_sql(
         s5_rows, ["file", "file_size", "n_lines"], ["VARCHAR", "BIGINT", "BIGINT"])
 
