@@ -43,6 +43,22 @@ class ReadersSpec extends AnyFunSuite {
     assert(!row.isNullAt(1))
   }
 
+  test("corrupt NDJSON rows survive as data, not parse-time losses (S6)") {
+    val dir = Files.createTempDirectory("graft-corrupt").toFile
+    Files.writeString(new java.io.File(dir, "m.json").toPath,
+      "{\"metadata\":{\"recordType\":\"bsmTx\"}}\nTHIS IS NOT JSON\n")
+    val rows = graft.ingest.Readers
+      .ndjson(spark, dir.getAbsolutePath + "/m.json", graft.pipeline.OdeSchema.record)
+      .select(col("_corrupt_record"), col("metadata.recordType"))
+      .collect()
+    assert(rows.length == 2)
+    val (bad, good) = rows.partition(r => !r.isNullAt(0))
+    assert(bad.head.getString(0) == "THIS IS NOT JSON") // raw text retained
+    assert(good.head.getString(1) == "bsmTx")
+    // NB the reference CRASHES the whole file here (json.loads uncaught,
+    // validator.py:395) — surfacing the row is the engine upgrade.
+  }
+
   test("bucket-relative key strips the root and the file scheme (P1)") {
     val dir = Files.createTempDirectory("graft-key").toFile
     val sub = new java.io.File(dir, "cv/prov/bsm/2020"); sub.mkdirs()
