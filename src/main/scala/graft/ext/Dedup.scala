@@ -117,22 +117,22 @@ object Dedup {
         (a, i) => least(a, xxhash64(h, i))))
   }
 
-  /** (id, sig) MinHash signatures as a codegen'd hash aggregate — the
-   *  scale path used by the near-dup pipeline. Exploding shingles and
-   *  computing k min() aggregate columns keeps the whole computation in
-   *  whole-stage codegen with map-side partial aggregation (per-partition
-   *  output is one k-wide row per doc), where the higher-order-function
-   *  formulation evaluates k×|shingles| interpreted lambdas per row
-   *  (measured ~3× slower at sf0.1). Same family as [[minhashSignature]]. */
+  /** (id, sig) MinHash signatures via the native [[graft.functions.MinHashAgg]]
+   *  typed aggregate — the scale path used by the near-dup pipeline. The
+   *  earlier k-separate-`min()`-columns formulation was map-side combined
+   *  too, but its generated aggregate code grows with k and at k=128 janino
+   *  COMPILATION dominated the query (near-identical wall time at sf0.01 and
+   *  sf0.1). The typed aggregate keeps one fixed k-long buffer per doc and a
+   *  tight update loop (ObjectHashAggregate, partial agg + spill fallback) —
+   *  same shuffle shape, constant-size codegen. Hash family is bit-identical
+   *  to [[minhashSignature]]: slot i of shingle-hash h is xxhash64(h, i). */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         n: Int, k: Int): DataFrame = {
     val exploded = df
       .select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("s"))
       .select(col("id"), xxhash64(col("s")).as("h"))
-    val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"__m$i"))
     exploded.groupBy(col("id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+      .agg(graft.functions.GraftFunctions.graftMinhashAgg(col("h"), k).as("sig"))
   }
 
   /**
@@ -200,24 +200,20 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** (id, sig) SimHash signatures as a codegen'd hash aggregate (explode +
-   *  64 sum() bit counters, map-side combined) — the scale path; bit b is
-   *  set iff ones > zeros ⇔ 2·ones > |shingles|. Same signature function
-   *  as [[simhash]]; docs with zero shingles drop out (they cannot be
+  /** (id, sig) SimHash signatures via the native [[graft.functions.SimHashAgg]]
+   *  typed aggregate (65-slot counter buffer, map-side combined) — replaces
+   *  the 64-separate-`sum()`-bit-counter formulation whose generated
+   *  aggregate code scaled with the bit width (janino compile cost). Bit b
+   *  is set iff ones > zeros ⇔ 2·ones > |shingles| — identical to
+   *  [[simhash]]; docs with zero shingles drop out (they cannot be
    *  bigram near-dups). */
   def simhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 2): DataFrame = {
     val exploded = df
       .select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("s"))
       .select(col("id"), xxhash64(col("s")).as("h"))
-    val bitSums = (0 until 64).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"__b$b"))
-    val agg = exploded.groupBy(col("id"))
-      .agg(count(lit(1)).as("__n"), bitSums: _*)
-    val sig = (0 until 64).map(b =>
-      when(col(s"__b$b") * 2 > col("__n"), shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    agg.select(col("id"), sig.as("sig"))
+    exploded.groupBy(col("id"))
+      .agg(graft.functions.GraftFunctions.graftSimhashAgg(col("h")).as("sig"))
   }
 
   /** Hamming distance between two simhash longs. */

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession, SparkSessionExtensions}
+
+/**
+ * User-facing surface for the native expressions: typed Column wrappers
+ * for the DataFrame API, plus SQL registration so `spark.sql("SELECT
+ * graft_cosine(a, b) ...")` works.
+ *
+ * Two registration paths, same definitions:
+ *  - [[GraftExtensions]] via `spark.sql.extensions` config (injected at
+ *    session build — the SparkSessionExtensions tier);
+ *  - [[GraftFunctions.register]] for an already-built session (tests,
+ *    notebooks).
+ */
+object GraftFunctions {
+
+  // ---- DataFrame API -------------------------------------------------
+
+  /** Dot product of two array<float|double> columns, in double. */
+  def graftDot(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Fused single-pass cosine similarity; null when either norm is 0. */
+  def graftCosine(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimilarity(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Random-hyperplane LSH signature (`planes` sign bits in a long). */
+  def graftHyperplane(vec: Column, planes: Int, seed: Long = 0L): Column =
+    GraftBridge.column(HyperplaneSignature(GraftBridge.expression(vec), planes, seed))
+
+  /** MinHash signature aggregate over a long hash column (k slots). */
+  def graftMinhashAgg(hash: Column, k: Int): Column =
+    GraftBridge.column(MinHashAgg(GraftBridge.expression(hash), k).toAggregateExpression())
+
+  /** SimHash signature aggregate over a long hash column. */
+  def graftSimhashAgg(hash: Column): Column =
+    GraftBridge.column(SimHashAgg(GraftBridge.expression(hash)).toAggregateExpression())
+
+  // ---- SQL registration ----------------------------------------------
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "", "", "", "math_funcs", "", "", "internal")
+
+  /** (name, info, builder) triples — scalar functions only; the typed
+   *  aggregates stay DataFrame-side (their `k` is a constructor param). */
+  private[functions] val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two numeric arrays in double"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two numeric arrays"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (FunctionIdentifier("graft_hyperplane"),
+      info("graft_hyperplane", "graft_hyperplane(vec, planes, seed) - packed hyperplane LSH sign bits"),
+      (children: Seq[Expression]) => {
+        val planes = children(1).eval().asInstanceOf[Int]
+        val seed = children.lift(2).map(_.eval().asInstanceOf[Long]).getOrElse(0L)
+        HyperplaneSignature(children(0), planes, seed)
+      }))
+
+  /** Register on a live session (post-build). */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point: injects the graft functions at
+ *  session build. `.config("spark.sql.extensions",
+ *  "graft.functions.GraftExtensions")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach(ext.injectFunction)
+}
