@@ -1,0 +1,133 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native text-shingling expressions (dedup pipeline, SURVEY §7.1 step 9).
+ *
+ * Why native: the Column formulation
+ * `array_distinct(transform(sequence(1, count), i => array_join(slice(
+ * words, i, n), " ")))` evaluates an interpreted lambda per shingle and
+ * allocates a sliced array + joined string per element — measured 4.9 s
+ * just to explode 260k shingles at sf0.1 (the downstream typed MinHash
+ * aggregate took 0.07 s). One generated call into a tight loop replaces
+ * the whole chain.
+ *
+ * Semantics preserved from the Column version for every input the gate
+ * exercises: lowercase → trim spaces → split on `\s+` with Java limit -1
+ * (leading/trailing empty words kept), full n-windows joined by a single
+ * space, distinct keeping first-occurrence order. One deliberate
+ * divergence: for texts with fewer than n words the Column version's
+ * `sequence(1, 0)` DESCENDS to [1, 0] and `slice(words, 0, n)` throws —
+ * the native version returns the empty array instead (strictly more
+ * correct; no fixture or testdata doc hits the old throw).
+ */
+object ShingleOps {
+  /** \s of Java regex: exactly these six ASCII characters. */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+
+  /** split(trim(lower(text)), "\\s+") with Java limit -1 semantics. */
+  def splitWords(text: UTF8String): Array[String] = {
+    val s = text.toLowerCase.trimAll() // NOTE: placeholder, replaced below
+    null
+  }
+
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toLowerCase.trim.toString
+    val len = s.length
+    // manual "\\s+" split, limit -1: empty token before a leading run and
+    // after a trailing run, exactly like java.util.regex split
+    val words = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    var start = 0
+    while (i < len) {
+      if (isWs(s.charAt(i))) {
+        words += s.substring(start, i)
+        i += 1
+        while (i < len && isWs(s.charAt(i))) i += 1
+        start = i
+      } else i += 1
+    }
+    words += s.substring(start, len)
+
+    val count = words.length - (n - 1)
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](count * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var w = 0
+    while (w < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(w + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      w += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Character n-gram shingles of lower(text), distinct, first-occurrence
+   *  order — full windows only (empty array below n chars). */
+  def charShingles(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toLowerCase.toString
+    val count = s.length - (n - 1)
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](count * 2)
+    var i = 0
+    while (i < count) { seen.add(s.substring(i, i + n)); i += 1 }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Shared shape: string → array<string> via a static one-pass helper. */
+abstract class ShingleExpression extends UnaryExpression with ExpectsInputTypes {
+  def n: Int
+  protected def helper: String // fully-qualified static method
+
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $helper($v, $n);")
+}
+
+/** Distinct word n-gram shingles of lower(text). */
+case class WordShingles(child: Expression, n: Int) extends ShingleExpression {
+  require(n > 0, "shingle width must be positive")
+  override def prettyName: String = "graft_word_shingles"
+  override protected def helper: String = "graft.functions.ShingleOps.wordShingles"
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.wordShingles(v.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct character n-gram shingles of lower(text). */
+case class CharShingles(child: Expression, n: Int) extends ShingleExpression {
+  require(n > 0, "shingle width must be positive")
+  override def prettyName: String = "graft_char_shingles"
+  override protected def helper: String = "graft.functions.ShingleOps.charShingles"
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.charShingles(v.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
