@@ -32,6 +32,10 @@ object GraftFunctions {
   def graftHyperplane(vec: Column, planes: Int, seed: Long = 0L): Column =
     GraftBridge.column(HyperplaneSignature(GraftBridge.expression(vec), planes, seed))
 
+  /** 0-based array element, null out of bounds (Python-index semantics). */
+  def graftArrayGet(arr: Column, idx: Column): Column =
+    GraftBridge.column(SafeArrayGet(GraftBridge.expression(arr), GraftBridge.expression(idx)))
+
   /** MinHash signature aggregate over a long hash column (k slots). */
   def graftMinhashAgg(hash: Column, k: Int): Column =
     GraftBridge.column(MinHashAgg(GraftBridge.expression(hash), k).toAggregateExpression())

@@ -70,8 +70,10 @@ object RuleCompiler {
               val base = cur.map(_.getField(name)).getOrElse(col(quoted(name)))
               (idx, f.dataType) match {
                 case (Some(i), at: ArrayType) =>
-                  // element_at is 1-based; reference uses 0-based Python indexing
-                  resolve(at.elementType, rest, Some(element_at(base, i + 1)))
+                  // SafeArrayGet: 0-based Python indexing, null out of bounds,
+                  // and codegen-safe over literal CreateArray (ArrayExpressions)
+                  resolve(at.elementType, rest,
+                    Some(graft.functions.GraftFunctions.graftArrayGet(base, lit(i))))
                 case (Some(_), _) => None
                 case (None, inner) => resolve(inner, rest, Some(base))
               }
@@ -460,7 +462,7 @@ object RuleCompiler {
                 (idx, f.dataType) match {
                   case (Some(i), at: ArrayType) =>
                     walkList(rule, schema, rest, Some(at.elementType),
-                      Some(element_at(base, i + 1)), lbl, isRoot = false)
+                      Some(graft.functions.GraftFunctions.graftArrayGet(base, lit(i))), lbl, isRoot = false)
                   case (Some(_), _) =>
                     walkList(rule, schema, rest, None, None, lbl, isRoot = false)
                   case (None, inner) =>
