@@ -42,20 +42,18 @@ object Dedup {
   // Shingling
   // ------------------------------------------------------------------
 
-  /** Word n-gram shingles of a text column as array<string> (distinct). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val words = split(trim(lower(text)), "\\s+")
-    val count = greatest(size(words) - (n - 1), lit(0))
-    array_distinct(transform(sequence(lit(1), count), i =>
-      array_join(slice(words, i, lit(n)), " ")))
-  }
+  /** Word n-gram shingles of a text column as array<string> (distinct).
+   *  Native single-pass expression ([[graft.functions.WordShingles]]): the
+   *  Column-algebra `array_distinct(transform(sequence(...), slice ∘
+   *  array_join))` chain it replaces ran an interpreted lambda per shingle
+   *  (4.9 s just to shingle sf0.1) and threw on any doc with fewer than n
+   *  words (`slice(words, 0, n)`); the native loop returns [] there. */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.graftWordShingles(text, n)
 
-  /** Character n-gram shingles (distinct). */
-  def charShingles(text: Column, n: Int): Column = {
-    val t = lower(text)
-    val count = greatest(length(t) - (n - 1), lit(0))
-    array_distinct(transform(sequence(lit(1), count), i => substring(t, i, lit(n))))
-  }
+  /** Character n-gram shingles (distinct), native single-pass. */
+  def charShingles(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.graftCharShingles(text, n)
 
   // ------------------------------------------------------------------
   // n-gram Jaccard near-dup (exact, join-based)
@@ -219,17 +217,43 @@ object Dedup {
   /** Hamming distance between two simhash longs. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within `maxHamming`: bucket by 4 16-bit chunks
-   *  (a pair within Hamming distance 3 shares at least one exact chunk —
-   *  pigeonhole), then verify. Scales like LSH banding. */
+  /** SimHash near-dup pairs within `maxHamming`: bucket by `maxHamming + 1`
+   *  bit chunks — if two signatures differ in at most `maxHamming` bits,
+   *  at least one of the `maxHamming + 1` chunks is bit-identical
+   *  (pigeonhole), so candidate generation is a bounded equi-join on
+   *  (chunk index, chunk value), never O(n²). Chunk width is
+   *  ⌈64 / (maxHamming+1)⌉; the default maxHamming=3 gives the classic
+   *  4 × 16-bit scheme.
+   *
+   *  `maxBucketSize` (off by default) drops (chunk_idx, chunk) buckets
+   *  holding more than that many docs before the join — the same
+   *  doc-frequency skew guard the Jaccard join uses. Natural-language
+   *  SimHash bits are highly correlated (frequent shingles vote the same
+   *  way in every doc), so a few "global mode" chunk values can hold a
+   *  large fraction of the corpus; at cluster scale one hot bucket would
+   *  hold back the whole stage. Capping trades bounded recall loss (a
+   *  true pair survives unless ALL its equal chunks are hot) for a
+   *  bounded join — the knob a 100 TB run needs. */
   def simhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
-                            maxHamming: Int = 3): DataFrame = {
+                            maxHamming: Int = 3,
+                            maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
+    val chunks = maxHamming + 1
+    val width = (64 + chunks - 1) / chunks
+    val mask = (1L << width) - 1
     val sigs = simhashSignatures(df, textCol, idCol)
     val chunked = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk_idx", "chunk")))
-    val l = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+      posexplode(array((0 until chunks).map(i =>
+        shiftright(col("sig"), i * width).bitwiseAND(mask)): _*)).as(Seq("chunk_idx", "chunk")))
+    val bucketed =
+      if (maxBucketSize == Long.MaxValue) chunked
+      else chunked
+        .withColumn("bsz",
+          count(lit(1)).over(Window.partitionBy(col("chunk_idx"), col("chunk"))))
+        .filter(col("bsz") <= maxBucketSize)
+        .drop("bsz")
+    val l = bucketed.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = bucketed.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("chunk_idx", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))

@@ -77,22 +77,42 @@ object Similarity {
 
   /**
    * LSH-bucketed ANN top-k (the 100 TB path): corpus and queries hash to
-   * hyperplane-sign buckets; each query joins only its bucket (plus
-   * single-bit-flip probe buckets for recall), then exact cosine reranks.
-   * Falls back to fewer-than-k results for sparse buckets — standard
-   * ANN recall/latency trade.
+   * hyperplane-sign buckets in `tables` independent hash tables (distinct
+   * seeds — OR amplification); each query joins only its buckets (plus
+   * single-bit-flip probe buckets when `probeBits` ≥ 1), then exact cosine
+   * reranks the union of candidates. Falls back to fewer-than-k results
+   * when no probed bucket holds k candidates — standard ANN recall/latency
+   * trade.
+   *
+   * Tuning for scale: per-neighbor recall is 1 − (1 − q_p)^tables where
+   * q_p = P(neighbor lands in a probed bucket of one table) — for
+   * per-plane agreement p = 1 − θ/π, q_p = p^planes + probeBits·planes·
+   * p^(planes−1)(1−p). Candidate volume per table scales n / 2^planes per
+   * bucket, so `planes` should grow ~log₂(n) as the corpus grows, with
+   * `tables` re-raised to hold recall — both knobs are corpus-size
+   * independent in the shuffle key (table, bucket). DedupRecallSpec pins
+   * the delivered recall against [[bruteForceTopK]] on the test corpus.
    */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              k: Int, planes: Int = 12, probeBits: Int = 1): DataFrame = {
+              k: Int, planes: Int = 12, probeBits: Int = 1,
+              tables: Int = 1): DataFrame = {
+    val corpusSigs = (0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        hyperplaneSignature(col(corpusVec), planes, seed = t.toLong).as("b")))
     val corpusSig = corpus.select(col(corpusId).as("neighbor_id"),
-      col(corpusVec).as("__cv"), hyperplaneSignature(col(corpusVec), planes).as("bucket"))
+      col(corpusVec).as("__cv"), explode(array(corpusSigs: _*)).as("bucket"))
 
-    // multi-probe: original bucket + every single-bit flip (probeBits=1)
+    // per table: original bucket + every single-bit flip (probeBits=1)
     val probes: Column = {
-      val base = hyperplaneSignature(col(queryVec), planes)
-      val flips = (0 until planes).map(b => base.bitwiseXOR(shiftleft(lit(1L), b)))
-      if (probeBits >= 1) array((base +: flips): _*) else array(base)
+      val perTable = (0 until tables).flatMap { t =>
+        val base = hyperplaneSignature(col(queryVec), planes, seed = t.toLong)
+        val bs = if (probeBits >= 1)
+          base +: (0 until planes).map(b => base.bitwiseXOR(shiftleft(lit(1L), b)))
+        else Seq(base)
+        bs.map(b => struct(lit(t).as("t"), b.as("b")))
+      }
+      array(perTable: _*)
     }
     val querySig = queries.select(col(queryId).as("query_id"),
       col(queryVec).as("__qv"), explode(probes).as("bucket"))

@@ -36,6 +36,14 @@ object GraftFunctions {
   def graftArrayGet(arr: Column, idx: Column): Column =
     GraftBridge.column(SafeArrayGet(GraftBridge.expression(arr), GraftBridge.expression(idx)))
 
+  /** Distinct word n-gram shingles of lower(text), one codegen'd pass. */
+  def graftWordShingles(text: Column, n: Int): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(text), n))
+
+  /** Distinct character n-gram shingles of lower(text). */
+  def graftCharShingles(text: Column, n: Int): Column =
+    GraftBridge.column(CharShingles(GraftBridge.expression(text), n))
+
   /** MinHash signature aggregate over a long hash column (k slots). */
   def graftMinhashAgg(hash: Column, k: Int): Column =
     GraftBridge.column(MinHashAgg(GraftBridge.expression(hash), k).toAggregateExpression())
@@ -64,7 +72,16 @@ object GraftFunctions {
         val planes = children(1).eval().asInstanceOf[Int]
         val seed = children.lift(2).map(_.eval().asInstanceOf[Long]).getOrElse(0L)
         HyperplaneSignature(children(0), planes, seed)
-      }))
+      }),
+    (FunctionIdentifier("graft_array_get"),
+      info("graft_array_get", "graft_array_get(arr, i) - 0-based element, null out of bounds"),
+      (children: Seq[Expression]) => SafeArrayGet(children(0), children(1))),
+    (FunctionIdentifier("graft_word_shingles"),
+      info("graft_word_shingles", "graft_word_shingles(text, n) - distinct word n-gram shingles of lower(text)"),
+      (children: Seq[Expression]) => WordShingles(children(0), children(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("graft_char_shingles"),
+      info("graft_char_shingles", "graft_char_shingles(text, n) - distinct char n-gram shingles of lower(text)"),
+      (children: Seq[Expression]) => CharShingles(children(0), children(1).eval().asInstanceOf[Int])))
 
   /** Register on a live session (post-build). */
   def register(spark: SparkSession): Unit =

@@ -34,12 +34,6 @@ object ShingleOps {
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
 
-  /** split(trim(lower(text)), "\\s+") with Java limit -1 semantics. */
-  def splitWords(text: UTF8String): Array[String] = {
-    val s = text.toLowerCase.trimAll() // NOTE: placeholder, replaced below
-    null
-  }
-
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
     val s = text.toLowerCase.trim.toString
     val len = s.length

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions.{graftCharShingles, graftWordShingles}
+
+/** Native shingle expressions vs the interpreted Column-algebra chain they
+  * replaced — element-for-element equality on real document text, plus the
+  * short-document edge the Column version could not express (it threw). */
+class TextExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** The previous HOF formulation, kept here as the cross-check oracle. */
+  private def hofWordShingles(text: org.apache.spark.sql.Column, n: Int) = {
+    val words = split(trim(lower(text)), "\\s+")
+    val count = greatest(size(words) - (n - 1), lit(0))
+    array_distinct(transform(sequence(lit(1), count), i =>
+      array_join(slice(words, i, lit(n)), " ")))
+  }
+
+  private def hofCharShingles(text: org.apache.spark.sql.Column, n: Int) = {
+    val t = lower(text)
+    val count = greatest(length(t) - (n - 1), lit(0))
+    array_distinct(transform(sequence(lit(1), count), i => substring(t, i, lit(n))))
+  }
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+
+  test("word shingles match the HOF formulation on real documents (n=2,3)") {
+    for (n <- Seq(2, 3)) {
+      val mismatches = docs
+        .select(graftWordShingles(col("text"), n).as("native"),
+          hofWordShingles(col("text"), n).as("hof"))
+        .filter(not(col("native") === col("hof")))
+        .count()
+      assert(mismatches == 0, s"n=$n")
+    }
+  }
+
+  test("char shingles match the HOF formulation on real documents (n=4,5)") {
+    for (n <- Seq(4, 5)) {
+      val mismatches = docs
+        .select(graftCharShingles(col("text"), n).as("native"),
+          hofCharShingles(col("text"), n).as("hof"))
+        .filter(not(col("native") === col("hof")))
+        .count()
+      assert(mismatches == 0, s"n=$n")
+    }
+  }
+
+  test("documents shorter than n yield the empty array, not an error") {
+    val df = Seq("", "one", "one two", "  spaced  ").toDF("text")
+    val w = df.select(graftWordShingles(col("text"), 3)).collect().map(_.getSeq[String](0))
+    assert(w(0).isEmpty)            // "" → one empty word, < 3
+    assert(w(1).isEmpty)            // 1 word
+    assert(w(2).isEmpty)            // 2 words
+    assert(w(3).isEmpty)            // trim leaves 1 word, no 3-gram window
+    val c = df.select(graftCharShingles(col("text"), 5)).collect().map(_.getSeq[String](0))
+    assert(c(0).isEmpty && c(1).isEmpty)
+    assert(c(2) == Seq("one t", "ne tw", "e two"))
+  }
+
+  test("edge semantics: multi-space runs, tabs, and case folding") {
+    val df = Seq("A  B\tC d", "aaaa").toDF("text")
+    val got = df.select(graftWordShingles(col("text"), 2)).collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b", "b c", "c d"))
+    assert(got(1).isEmpty)
+    val ch = df.select(graftCharShingles(col("text"), 2)).collect().map(_.getSeq[String](0))
+    assert(ch(1) == Seq("aa")) // distinct keeps first occurrence only
+  }
+}
