@@ -129,4 +129,35 @@ object Multimodal {
   /** STUB: stands in for a real decoder; deterministic over the bytes. */
   private def stubCodec: Array[Byte] => (Int, Long) =
     bytes => (bytes.length, bytes.foldLeft(0L)((a, b) => a + (b & 0xff)))
+
+  /**
+   * REAL codec through the same seam: pure-JVM `javax.imageio` (PNG, JPEG,
+   * GIF, BMP — present in every JRE, no container dependency). Returns
+   * (pixel count, sum of 24-bit RGB values); undecodable bytes yield
+   * (-1, 0) — data, not a crashed partition. MultimodalSpec drives real
+   * PNG bytes through `decodeWithCodec(media, imageIoCodec)` end-to-end,
+   * so the mapPartitions batch shape is proven with a non-stub decoder.
+   */
+  def imageIoCodec: () => Array[Byte] => (Int, Long) = () => {
+    // javax.imageio caches plugin lookups process-wide; the per-partition
+    // closure is where a heavier decoder (JNI, model) would hold state
+    bytes => {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) (-1, 0L)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += (img.getRGB(x, y) & 0xFFFFFF).toLong; x += 1 }
+          y += 1
+        }
+        (w * h, sum)
+      }
+    }
+  }
 }

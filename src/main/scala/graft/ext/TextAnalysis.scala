@@ -16,14 +16,15 @@ object TextAnalysis {
     when(length(trim(text)) === 0, 0)
       .otherwise(size(split(trim(text), "\\s+")))
 
-  /** BPE-ish subword count estimate: word-boundary splits plus
-   *  length/4 continuation tokens for long words (a common serving-side
-   *  approximation when no tokenizer is available). */
-  def approxBpeTokenCount(text: Column): Column = {
-    val words = split(trim(text), "\\s+")
-    aggregate(words, lit(0L), (acc, w) =>
-      acc + greatest(ceil(length(w).cast("double") / 4.0).cast("long"), lit(1L)))
-  }
+  /** BPE-ish subword count estimate: every word contributes ⌈len/4⌉
+   *  subword tokens (a common serving-side approximation when no
+   *  tokenizer is available). Closed form: greedy `\S{1,4}` chunking
+   *  counts exactly ⌈len/4⌉ matches per non-space run, so one codegen'd
+   *  regexp_count replaces the per-word interpreted HOF fold (which was
+   *  5.0 s of q_text_stats at sf0.1 — and counted whitespace-only docs
+   *  as 1 token via the empty split artifact; this counts them 0). */
+  def approxBpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("\\S{1,4}")).cast("long")
 
   /** BPE-ish regex token count: GPT-2-style pre-tokenizer classes —
    *  contractions, letter runs, digit runs, punctuation runs, whitespace

@@ -44,6 +44,10 @@ object GraftFunctions {
   def graftCharShingles(text: Column, n: Int): Column =
     GraftBridge.column(CharShingles(GraftBridge.expression(text), n))
 
+  /** Magic-byte-sniffing gzip decode of a binary column to string. */
+  def graftGunzipText(bytes: Column): Column =
+    GraftBridge.column(GunzipText(GraftBridge.expression(bytes)))
+
   /** MinHash signature aggregate over a long hash column (k slots). */
   def graftMinhashAgg(hash: Column, k: Int): Column =
     GraftBridge.column(MinHashAgg(GraftBridge.expression(hash), k).toAggregateExpression())
@@ -81,7 +85,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => WordShingles(children(0), children(1).eval().asInstanceOf[Int])),
     (FunctionIdentifier("graft_char_shingles"),
       info("graft_char_shingles", "graft_char_shingles(text, n) - distinct char n-gram shingles of lower(text)"),
-      (children: Seq[Expression]) => CharShingles(children(0), children(1).eval().asInstanceOf[Int])))
+      (children: Seq[Expression]) => CharShingles(children(0), children(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("graft_gunzip_text"),
+      info("graft_gunzip_text", "graft_gunzip_text(bytes) - magic-byte-sniffing gzip decode to string"),
+      (children: Seq[Expression]) => GunzipText(children(0))))
 
   /** Register on a live session (post-build). */
   def register(spark: SparkSession): Unit =

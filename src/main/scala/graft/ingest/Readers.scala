@@ -30,6 +30,28 @@ object Readers {
         col("_metadata.file_modification_time").as("file_modification_time"))
       .filter(length(trim(col("value"))) > 0)
 
+  /** S4: content-sniffing line reader for extension-less objects. The
+   *  reference gunzips on the `1f 8b` magic bytes of the downloaded body,
+   *  never the key (cvp_bucket_event_lambda_handler.py:28-30); Spark's
+   *  text source decompresses by extension only, so keys like
+   *  `data/2020/11/04/obj` would surface gzip bytes as mojibake. This
+   *  path reads whole objects via `binaryFile` (non-splittable — the same
+   *  whole-object unit of work as the reference's download), decodes
+   *  through the codegen'd [[graft.functions.GunzipText]], and splits
+   *  lines like Python `splitlines` (\n, \r\n, \r). Same output shape as
+   *  [[lines]]; `file_size` is the on-disk (compressed) length, matching
+   *  S3 ContentLength. Use [[lines]] when extensions are trustworthy —
+   *  text splits are parallel within large plain files. */
+  def sniffedLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+      .select(
+        explode(split(graft.functions.GraftFunctions.graftGunzipText(col("content")),
+          "\r\n|\r|\n")).as("value"),
+        col("path").as("file"),
+        col("length").as("file_size"),
+        col("modificationTime").as("file_modification_time"))
+      .filter(length(trim(col("value"))) > 0)
+
   /** S6: NDJSON records against an authored schema; a row that fails to
    *  parse keeps its raw text in `_corrupt_record` (all schema fields null)
    *  so it surfaces as validation failures instead of vanishing. */
@@ -68,6 +90,9 @@ object Readers {
       .option("enforceSchema", "true") // positional mapping: never match by name
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
+      // the reference naive-splits on ',' (validator.py:424): a quote is
+      // just a character, never a grouping token — disable quote handling
+      .option("quote", "\u0000")
       .csv(path)
       .select(
         (fields :+ "_corrupt_record").map(f => col(quotedName(f))) ++ Seq(
@@ -81,11 +106,15 @@ object Readers {
       df.withColumn(f, when(col("_corrupt_record").isNull,
         coalesce(col(quotedName(f)), lit(""))).otherwise(col(quotedName(f))))
     }
-    // blank/whitespace-only lines are skipped by the reference
-    // (cvp_bucket_event_lambda_handler.py:45,52)
+    // ONLY blank/whitespace-only LINES are skipped by the reference
+    // (cvp_bucket_event_lambda_handler.py:45,52) — a comma-only line like
+    // ",,," is NOT blank: it validates as per-field "Field empty". Parsed
+    // rows are therefore always kept; the whitespace-only raw line shows
+    // up as a corrupt row (one token vs k fields) whose raw text is in
+    // _corrupt_record, and that is the one shape dropped here.
     empties.filter(
-      col("_corrupt_record").isNotNull ||
-        trim(concat_ws("", fields.map(f => col(quotedName(f))): _*)) =!= "")
+      col("_corrupt_record").isNull ||
+        trim(col("_corrupt_record")) =!= "")
   }
 
   /** S8: case-insensitive header comparison against rule order

@@ -21,6 +21,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L)._1 == "École".getBytes("UTF-8").length)
   }
 
+  test("imageIoCodec decodes real PNG pixels through the same seam") {
+    import spark.implicits._
+    // 3×2 PNG with known pixels, written by the JRE's own encoder
+    def png(rgbs: Array[Int], w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbs(y * w + x))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val pixels = Array(0xFF0000, 0x00FF00, 0x0000FF, 0x102030, 0x000000, 0xFFFFFF)
+    val media = Seq(
+      (1L, png(pixels, 3, 2)),
+      (2L, "not an image".getBytes("UTF-8"))).toDF("item_id", "content")
+    val out = Multimodal.decodeWithCodec(media, Multimodal.imageIoCodec)
+      .collect().map(d => d.item_id -> (d.n_bytes, d.checksum)).toMap
+    assert(out(1L)._1 == 6) // pixel count from a REAL decode
+    assert(out(1L)._2 == pixels.map(_.toLong).sum) // lossless roundtrip
+    assert(out(2L) == ((-1, 0L))) // undecodable -> data, not a crash
+  }
+
   test("resize caps dimensions at maxDim preserving aspect") {
     import spark.implicits._
     val media = Multimodal.fromText(Seq((1L, "xyz")).toDF("id", "text"), "id", "text")

@@ -59,6 +59,29 @@ class ReadersSpec extends AnyFunSuite {
     // validator.py:395) — surfacing the row is the engine upgrade.
   }
 
+  test("sniffedLines decodes extension-less gzip by magic bytes (S4)") {
+    // c2 is gzip with no extension; lines() would read raw gzip bytes
+    val sniffed = Readers.sniffedLines(spark, "/root/repo/fixtures/sniff/c2")
+      .select("value").collect().map(_.getString(0))
+    assert(sniffed.length == 3)
+    assert(sniffed.forall(_.startsWith("{"))) // real JSON text, not mojibake
+    // extension-ed control file: sniffedLines agrees with the text source
+    val viaText = Readers.lines(spark, "/root/repo/fixtures/sniff/c3.json.gz")
+      .select("value").collect().map(_.getString(0)).toSeq
+    val viaSniff = Readers.sniffedLines(spark, "/root/repo/fixtures/sniff/c3.json.gz")
+      .select("value").collect().map(_.getString(0)).toSeq
+    assert(viaSniff == viaText)
+  }
+
+  test("corrupt gzip yields zero rows, not a crashed job (S4)") {
+    val dir = Files.createTempDirectory("graft-badgz").toFile
+    // gzip magic followed by garbage: sniffed as gzip, fails to inflate
+    Files.write(new java.io.File(dir, "bad").toPath,
+      Array[Byte](0x1f, 0x8b.toByte, 9, 9, 9, 9, 9, 9))
+    val rows = Readers.sniffedLines(spark, dir.getAbsolutePath + "/bad").collect()
+    assert(rows.isEmpty)
+  }
+
   test("bucket-relative key strips the root and the file scheme (P1)") {
     val dir = Files.createTempDirectory("graft-key").toFile
     val sub = new java.io.File(dir, "cv/prov/bsm/2020"); sub.mkdirs()

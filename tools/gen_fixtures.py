@@ -317,6 +317,10 @@ CSV_ROWS = [
     "103,2017-01-01T00:00:00Z,2019-05-14 19:05:49,note,150,off",
     "0,not-a-timestamp,19:05 on May 14,x,abc,standby",
     "104,2019-05-14T19:05:50.123Z,2019-05-14 19:05:50,ok,99.9,OFF",
+    # comma-only line: NOT blank — the reference validates it per-field
+    # ("Field empty" × 6, AllowEmpty note aside); only whitespace-only
+    # lines are skipped (cvp_bucket_event_lambda_handler.py:45,52)
+    ",,,,,",
 ]
 
 
@@ -407,9 +411,13 @@ def main():
 
     write(f"{ROOT}/route/cv/provider1/bsm/config.ini", ROUTE_SUITE_BSM)
     write(f"{ROOT}/route/cv/provider2/tim/config.ini", ROUTE_SUITE_TIM)
-    for key, records in ROUTE_FILES.items():
-        write(f"{ROOT}/route/{key}",
-              "\n".join(json.dumps(r, separators=(",", ":")) for r in records) + "\n")
+    # fixed, per-file mtimes so LastModified (P5) is oracle-checkable
+    ROUTE_MTIME_BASE = 1705320000  # 2024-01-15T12:00:00Z
+    for i, (key, records) in enumerate(sorted(ROUTE_FILES.items())):
+        path = f"{ROOT}/route/{key}"
+        write(path, "\n".join(json.dumps(r, separators=(",", ":"))
+                               for r in records) + "\n")
+        os.utime(path, (ROUTE_MTIME_BASE + i * 3600,) * 2)
 
     # -----------------------------------------------------------------------
     # Goldens from the reference validator
@@ -562,17 +570,22 @@ def main():
     # --- size-dependent oracles (file metadata, S2/S5) --------------------
     # metadata docs over the depth-5 route files (cv + waze)
     meta_rows = []
+    from datetime import datetime, timezone
     for key, records in ROUTE_FILES.items():
         if key.count("/") != 4:
             continue
-        size = os.path.getsize(f"{ROOT}/route/{key}")
+        path = f"{ROOT}/route/{key}"
+        size = os.path.getsize(path)
+        # P5: fixed-mtime fixtures make LastModified deterministic
+        lastmod = datetime.fromtimestamp(
+            os.path.getmtime(path), tz=timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
         segs = key.split("/")
         def kv(tag):
             for s in segs:
                 if s.startswith(tag + "="):
                     return s.split("=", 1)[1]
             return None
-        meta_rows.append((key, size, segs[0],
+        meta_rows.append((key, size, lastmod, segs[0],
                           kv("type"), kv("table"), kv("state"),
                           segs[1] if len(segs) > 2 else None,
                           segs[2] if len(segs) > 2 else None,
@@ -580,12 +593,13 @@ def main():
     oracle["q_file_metadata"] = (
         "SELECT key, CAST(ContentLength AS BIGINT) AS ContentLength,\n"
         "  CAST(ContentLength AS DOUBLE)/1048576.0 AS SizeMiB,\n"
+        "  LastModified,\n"
         "  md5(key) AS ETag, Dataset, TrafficType, TableName, State,\n"
         "  DataProvider, DataType, Environment,\n"
         "  CAST(MessageCount AS BIGINT) AS MessageCount\n"
         "FROM (VALUES\n" + ",\n".join(
             "(" + ", ".join(sql_lit(v) for v in r) + ")" for r in meta_rows) +
-        "\n) AS t(key, ContentLength, Dataset, TrafficType, TableName, State,"
+        "\n) AS t(key, ContentLength, LastModified, Dataset, TrafficType, TableName, State,"
         " DataProvider, DataType, Environment, MessageCount)")
 
     # S2/S5: per-file size + surviving line count of the odejson fixtures
@@ -600,6 +614,38 @@ def main():
         s5_rows.append((fname, os.path.getsize(p), n))
     oracle["q_file_lines"] = values_sql(
         s5_rows, ["file", "file_size", "n_lines"], ["VARCHAR", "BIGINT", "BIGINT"])
+
+    # S4: content-sniffed gzip (magic bytes, NOT extension —
+    # cvp_bucket_event_lambda_handler.py:28-30). Extension-less fixtures:
+    # c1 plain, c2 gzip; c3.json.gz keeps one extension-ed control file.
+    import gzip as _gz2
+    os.makedirs(f"{ROOT}/sniff", exist_ok=True)
+    sniff_payloads = {
+        "c1": "\n".join(json.dumps(r, separators=(",", ":"))
+                        for r in FILE_A1[:2]) + "\n\n  \n",
+        "c2": "\n".join(json.dumps(r, separators=(",", ":"))
+                        for r in FILE_A4) + "\n",
+        "c3.json.gz": "\n".join(json.dumps(r, separators=(",", ":"))
+                                for r in FILE_A3) + "\n",
+    }
+    for fname, payload in sniff_payloads.items():
+        p = f"{ROOT}/sniff/{fname}"
+        if fname == "c1":
+            write(p, payload)
+        else:  # gzip member byte-stable across regenerations: mtime=0
+            with open(p, "wb") as f:
+                with _gz2.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+                    gz.write(payload.encode())
+    sniff_rows = []
+    for fname in sorted(sniff_payloads):
+        p = f"{ROOT}/sniff/{fname}"
+        blob = open(p, "rb").read()
+        # the reference's decode: sniff magic bytes, then splitlines
+        text = (_gz2.decompress(blob) if blob[:2] == b"\x1f\x8b" else blob).decode()
+        n = len([ln for ln in text.splitlines() if ln.strip()])
+        sniff_rows.append((fname, os.path.getsize(p), n))
+    oracle["q_gzip_sniff"] = values_sql(
+        sniff_rows, ["file", "file_size", "n_lines"], ["VARCHAR", "BIGINT", "BIGINT"])
 
     for name, sql in oracle.items():
         write(f"{ROOT}/golden/{name}.sql", sql)
