@@ -111,10 +111,16 @@ object Readers {
     // ",,," is NOT blank: it validates as per-field "Field empty". Parsed
     // rows are therefore always kept; the whitespace-only raw line shows
     // up as a corrupt row (one token vs k fields) whose raw text is in
-    // _corrupt_record, and that is the one shape dropped here.
+    // _corrupt_record, and that is the one shape dropped here. The
+    // coalesce arm over the data fields is never the decider (the isNull
+    // disjunct wins first) but keeps a real column in the pruned scan —
+    // a corrupt-column-only read of raw CSV is an AnalysisException
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN), which q_csv_file_totals' count()
+    // would otherwise hit.
     empties.filter(
       col("_corrupt_record").isNull ||
-        trim(col("_corrupt_record")) =!= "")
+        trim(coalesce(col("_corrupt_record"),
+          concat_ws("", fields.map(f => col(quotedName(f))): _*))) =!= "")
   }
 
   /** S8: case-insensitive header comparison against rule order

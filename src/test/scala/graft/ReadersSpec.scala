@@ -59,6 +59,26 @@ class ReadersSpec extends AnyFunSuite {
     // validator.py:395) — surfacing the row is the engine upgrade.
   }
 
+  test("positionalCsv keeps comma-only rows, skips whitespace-only lines, survives count()") {
+    val dir = Files.createTempDirectory("graft-csvskip").toFile
+    Files.writeString(new java.io.File(dir, "c.csv").toPath,
+      "DeviceID,utc,local,note,vslmph,status\n" +
+        "1,2019-05-14T19:05:47.123Z,2019-05-14 19:05:47,n,5,on\n" +
+        ",,,,,\n" +          // comma-only: validated per-field, NOT skipped
+        "   \n" +            // whitespace-only: skipped (F13)
+        "2,2019-05-14T19:05:48.123Z,2019-05-14 19:05:48,\"a,b\",7,off\n")
+    val suite = graft.config.SuiteLoader.fromFile("/root/repo/fixtures/csv/suite.ini")
+    val df = Readers.positionalCsv(spark, dir.getAbsolutePath + "/c.csv", suite)
+    // count() prunes to the filter columns — the corrupt-only-column trap
+    assert(df.count() == 3)
+    val rows = df.orderBy("deviceid").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("", "1", "2"))
+    // quotes are plain characters (naive ',' split): note cell is `"a`
+    val r2 = rows.find(_.getString(0) == "2").get
+    assert(r2.getString(3) == "\"a")
+    assert(r2.getString(4) == "b\"")
+  }
+
   test("sniffedLines decodes extension-less gzip by magic bytes (S4)") {
     // c2 is gzip with no extension; lines() would read raw gzip bytes
     val sniffed = Readers.sniffedLines(spark, "/root/repo/fixtures/sniff/c2")
