@@ -40,19 +40,35 @@ object StreamingPipeline {
       .filter(length(trim(col("value"))) > 0)
 
     val parsed = Readers.parseNdjsonLines(lines, schema)
+      // K2 operational counters (SURVEY §2.8): observe() attaches
+      // aggregates to the streaming plan itself — per-micro-batch record /
+      // corrupt / byte counts surface on every QueryProgressEvent with no
+      // second pass over the data. This is the CloudWatch-metrics seam of
+      // the reference (bucket_event_lambda_handler.py:105-198): a
+      // StreamingQueryListener ([[MetricsListener]]) forwards them to any
+      // metrics sink.
+      .observe("graft_ingest",
+        count(lit(1)).as("n_records"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(octet_length(col("value")).cast("long")).as("n_bytes"))
 
     parsed.writeStream
       .queryName("graft-validation-stream")
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val result = ValidationPipeline.run(
-          ValidationPipeline.validateRecords(batch, suite), suite)
-        result.fileTotals.write.mode("append").parquet(s"$outDir/file_totals")
-        result.errorHistogram.write.mode("append").parquet(s"$outDir/error_histogram")
-        if (result.hasSequential)
-          result.sequential.write.mode("append").parquet(s"$outDir/sequential")
-        ()
+        // one materialization feeds every sink: without the persist each
+        // write re-parses the micro-batch (3× the work) and re-fires the
+        // observe() aggregates (triple-counted operational metrics)
+        batch.persist()
+        try {
+          val result = ValidationPipeline.run(
+            ValidationPipeline.validateRecords(batch, suite), suite)
+          result.fileTotals.write.mode("append").parquet(s"$outDir/file_totals")
+          result.errorHistogram.write.mode("append").parquet(s"$outDir/error_histogram")
+          if (result.hasSequential)
+            result.sequential.write.mode("append").parquet(s"$outDir/sequential")
+        } finally { batch.unpersist(); () }
       }
       .start()
   }
@@ -64,5 +80,43 @@ object StreamingPipeline {
                       schema: StructType = OdeSchema.record): Unit = {
     val q = start(spark, globPath, suite, outDir, checkpointDir, schema)
     q.awaitTermination()
+  }
+
+  /** One observed-metrics datum per micro-batch. */
+  final case class BatchMetrics(batchId: Long, nRecords: Long, nCorrupt: Long,
+                                nBytes: Long)
+
+  /**
+   * StreamingQueryListener that collects the `graft_ingest` observe()
+   * counters per progress event — the operational-metrics sink seam (K2):
+   * swap [[drain]]'s consumer for a CloudWatch/StatsD emitter in
+   * production. Thread-safe; listener callbacks run on the streaming
+   * listener bus, never on the query thread.
+   */
+  final class MetricsListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val buf = new java.util.concurrent.ConcurrentLinkedQueue[BatchMetrics]()
+
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val om = e.progress.observedMetrics
+      if (om.containsKey("graft_ingest")) {
+        val r = om.get("graft_ingest")
+        buf.add(BatchMetrics(e.progress.batchId,
+          r.getLong(r.fieldIndex("n_records")),
+          r.getLong(r.fieldIndex("n_corrupt")),
+          r.getLong(r.fieldIndex("n_bytes"))))
+        ()
+      }
+    }
+
+    /** Snapshot and clear the collected per-batch metrics. */
+    def drain(): Seq[BatchMetrics] = {
+      val out = Seq.newBuilder[BatchMetrics]
+      var m = buf.poll()
+      while (m != null) { out += m; m = buf.poll() }
+      out.result()
+    }
   }
 }

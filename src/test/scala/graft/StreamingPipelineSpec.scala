@@ -43,6 +43,29 @@ class StreamingPipelineSpec extends AnyFunSuite {
       norm(batch.errorHistogram, "error_message", "occurrences"))
   }
 
+  test("observe() counters reach the listener and match the batch counts (K2)") {
+    val suite = SuiteLoader.fromFile("/root/repo/fixtures/odejson/suite.ini")
+    val glob = "/root/repo/fixtures/odejson/data/*.json*"
+    val tmp = Files.createTempDirectory("graft-stream-obs").toFile.getAbsolutePath
+    val listener = new StreamingPipeline.MetricsListener
+    spark.streams.addListener(listener)
+    try {
+      StreamingPipeline.runAvailableNow(spark, glob, suite, s"$tmp/out", s"$tmp/ckpt")
+      // listener bus is async — poll briefly for the progress events
+      val expected = graft.ingest.Readers.lines(spark, glob).count()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var metrics = listener.drain()
+      while (metrics.map(_.nRecords).sum < expected && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        metrics = metrics ++ listener.drain()
+      }
+      assert(metrics.nonEmpty, "no observed metrics arrived")
+      assert(metrics.map(_.nRecords).sum == expected) // every line counted once
+      assert(metrics.map(_.nCorrupt).sum == 0)        // fixtures parse clean
+      assert(metrics.map(_.nBytes).sum > 0)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("restart with an existing checkpoint reprocesses nothing") {
     val suite = SuiteLoader.fromFile("/root/repo/fixtures/odejson/suite.ini")
     val glob = "/root/repo/fixtures/odejson/data/*.json*"
