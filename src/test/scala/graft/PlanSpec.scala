@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Machine-checked plan-shape regressions — the scale claims of PLANS.md
+ * as assertions, so a refactor that silently loses pushdown, broadcast,
+ * or the single-exchange shape fails the suite instead of the next
+ * 100 TB run. Uses the INITIAL physical plan (deterministic; AQE runtime
+ * improvements like exchange reuse are audited separately in PLANS.md).
+ */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Queries.all(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    needle.r.findAllMatchIn(hay).length
+
+  test("q1_agg: filter pushed to the parquet scan, pruned read schema, one exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_comment")) // pruning: untouched wide column never read
+    assert(count(p, "Exchange hashpartitioning") == 1)
+  }
+
+  test("q_join_revenue: every dimension broadcast, fact side never shuffles for the join") {
+    val p = plan("q_join_revenue")
+    assert(count(p, "BroadcastHashJoin") == 3)
+    assert(count(p, "SortMergeJoin") == 0)
+    // single exchange: the final groupBy(r_name) — not one per join
+    assert(count(p, "Exchange hashpartitioning") == 1)
+  }
+
+  test("q_topk_orders: TakeOrderedAndProject, no global sort exchange") {
+    val p = plan("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(count(p, "Exchange rangepartitioning") == 0)
+  }
+
+  test("q_ode_field_validations: zero exchanges — validation is partition-parallel") {
+    val p = plan("q_ode_field_validations")
+    assert(count(p, "Exchange ") == 0)
+  }
+
+  test("q_ode_sequential: the whole window suite rides ONE exchange on the file key") {
+    val p = plan("q_ode_sequential")
+    assert(count(p, "Exchange hashpartitioning") == 1)
+  }
+
+  test("q_dedup_exact: only the digest shuffles, with map-side partial aggregation") {
+    val p = plan("q_dedup_exact")
+    assert(count(p, "Exchange hashpartitioning") == 1)
+    // what crosses the shuffle is the partial-agg output row: the digest
+    // grouping expression + min/count, never the text column
+    val partialOut = p.linesIterator
+      .find(l => l.contains("partial_min")).get
+      .split("output=").last
+    assert(!partialOut.contains("text#"),
+      s"the text column must not cross the shuffle: $partialOut")
+  }
+
+  test("q_ann_brute_force: query side broadcast, corpus never shuffles for the join") {
+    val p = plan("q_ann_brute_force")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    // corpus → window top-k needs the one per-query exchange, nothing more
+    assert(count(p, "Exchange hashpartitioning") <= 1)
+  }
+}
