@@ -185,6 +185,48 @@ object Similarity {
   }
 
   /**
+   * Lloyd's k-means over the embedding column, pure DataFrame algebra —
+   * real centroid training for the IVF path (sampled-row "centroids" are
+   * only a stand-in). Deterministic: seeds are the k lowest-id vectors.
+   *
+   * Per iteration: one broadcast assign (the centroid table is k rows —
+   * never a corpus shuffle) and one mean-update whose shuffle key is
+   * (centroid_id, dim) — at most k·d keys, corpus-size-independent, with
+   * map-side partial aggregation doing the heavy lifting. This is the
+   * textbook scalable k-means shape: the corpus is only ever scanned,
+   * never re-partitioned.
+   *
+   * Returns (centroid_id, centroid: array<double>). Cosine assignment
+   * (matching [[assignToCentroids]]); empty cells keep their previous
+   * centroid.
+   */
+  def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int = 3): DataFrame = {
+    val seeds = df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol), col(vecCol))
+      .withColumn("centroid_id",
+        row_number().over(Window.orderBy(col(idCol))) - 1)
+      .select(col("centroid_id"),
+        transform(col(vecCol), _.cast("double")).as("centroid"))
+
+    (0 until iters).foldLeft(seeds) { (centroids, _) =>
+      val assigned = assignToCentroids(df, idCol, vecCol,
+        centroids, "centroid_id", "centroid")
+      val means = assigned
+        .select(col("centroid_id"),
+          posexplode(col(vecCol)).as(Seq("dim", "component")))
+        .groupBy(col("centroid_id"), col("dim"))
+        .agg(avg(col("component")).as("mean"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          s => s.getField("mean")).as("centroid"))
+      // empty cells: keep the previous centroid (left anti join is k rows)
+      val kept = centroids.join(means, Seq("centroid_id"), "left_anti")
+      means.unionByName(kept)
+    }
+  }
+
+  /**
    * IVF search: corpus pre-assigned to centroid cells; each query probes
    * only its `nProbe` nearest cells (broadcast centroid table), then exact
    * cosine + top-k inside the probed cells. The candidate join is an
