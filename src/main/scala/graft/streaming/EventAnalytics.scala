@@ -1,0 +1,146 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Event-time analytics over the `events` stream table (SURVEY §2.8
+ * widening): watermarked tumbling-window aggregation and stateful
+ * sessionization. Every operator is written once against DataFrame /
+ * Dataset and runs identically in batch and Structured Streaming — the
+ * batch run is the DuckDB-oracled correctness gate (q_windowed_agg,
+ * q_sessions), the streaming run is asserted equal in
+ * EventAnalyticsSpec.
+ *
+ * `ts` arrives as LongType nanoseconds (the table is TIMESTAMP(NANOS)
+ * parquet read under `spark.sql.legacy.parquet.nanosAsLong=true`);
+ * [[eventTime]] converts once at microsecond precision, matching
+ * DuckDB's epoch_us view of the same column.
+ */
+object EventAnalytics {
+
+  /** Long nanos → TimestampType (µs precision, UTC). Integer `div`
+   *  (IntegralDivide), not `/`: epoch nanos (~1.7e18) exceed double's
+   *  53-bit mantissa, so the true-division path rounds the last
+   *  microsecond digit (caught by the q_sessions DuckDB oracle). */
+  def eventTime(tsNanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftBridge
+    timestamp_micros(GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftBridge.expression(tsNanos),
+        GraftBridge.expression(lit(1000L)))))
+  }
+
+  /**
+   * Tumbling event-time windows per event type: count + value sum.
+   * On a streaming input the caller supplies `watermark` (late data
+   * beyond it is dropped and window state is reclaimed — without a
+   * watermark a streaming windowed agg holds every window forever,
+   * which is the classic unbounded-state bug at 100 TB/day rates);
+   * batch ignores it.
+   */
+  def windowedCounts(events: DataFrame, windowMinutes: Int,
+                     watermark: Option[String] = None): DataFrame = {
+    val withTime = events.withColumn("event_time", eventTime(col("ts")))
+    val marked = watermark.fold(withTime)(withTime.withWatermark("event_time", _))
+    marked
+      .groupBy(window(col("event_time"), s"$windowMinutes minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  /** One closed user session: consecutive events with gaps < the session
+   *  gap, [start, end] inclusive of the bounding events. */
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Open-session state, one fixed-size record per active user. Public:
+   *  the state encoder's generated code needs constructor access. */
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long)
+
+  /**
+   * Batch sessionization — gaps-and-islands: a new session starts where
+   * the gap from the previous event of the same user is ≥ `gapMinutes`.
+   * One exchange on user_id; the running-sum island id rides the same
+   * partitioning. This is the oracle formulation (q_sessions).
+   */
+  def sessionsBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_time"))
+    events.withColumn("event_time", eventTime(col("ts")))
+      .withColumn("prev", lag(col("event_time"), 1).over(w))
+      // double cast keeps the fractional seconds (exact for µs epochs
+      // within double's 53 bits) — a long cast would truncate and
+      // misclassify a 29:59.5 gap against the 30-minute boundary
+      .withColumn("new_session",
+        when(col("prev").isNull ||
+          col("event_time").cast("double") - col("prev").cast("double") >= gapMinutes * 60.0, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("event_time")).as("session_start"),
+        max(col("event_time")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+  }
+
+  /**
+   * Streaming sessionization with CUSTOM state — `flatMapGroupsWithState`
+   * + event-time timeout (the brief's custom-state tier; built-in
+   * `session_window` covers the aggregate case, this one emits on
+   * session CLOSE with arbitrary per-group state). A session closes and
+   * emits when the watermark passes its last event + gap; state is one
+   * fixed-size record per open session, reclaimed on timeout — bounded
+   * by concurrently-active users, not event volume.
+   *
+   * Input must carry (user_id: Long, event_time: Timestamp). Late events
+   * beyond the watermark are dropped by the runtime before the function
+   * sees them.
+   */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int,
+                       watermark: String): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    events.withColumn("event_time", eventTime(col("ts")))
+      .withWatermark("event_time", watermark)
+      .select(col("user_id").as[Long], col("event_time").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          def ts2us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000 % 1000)
+          def us2ts(us: Long): java.sql.Timestamp = {
+            val t = new java.sql.Timestamp(us / 1000)
+            t.setNanos(((us % 1000000) * 1000).toInt)
+            t
+          }
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: the session is closed for good
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, us2ts(s.startUs), us2ts(s.lastUs), s.n))
+          } else {
+            val sorted = rows.map(r => ts2us(r._2)).toArray.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption.orNull
+            for (us <- sorted) {
+              if (cur == null) cur = SessionState(us, us, 1L)
+              else if (us - cur.lastUs >= gapUs) {
+                closed ::= Session(userId, us2ts(cur.startUs), us2ts(cur.lastUs), cur.n)
+                cur = SessionState(us, us, 1L)
+              } else cur = cur.copy(lastUs = math.max(cur.lastUs, us), n = cur.n + 1)
+            }
+            state.update(cur)
+            // close when the watermark passes last + gap
+            state.setTimeoutTimestamp(cur.lastUs / 1000 + gapMinutes * 60L * 1000)
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventAnalytics
+
+/** §2.8 widening: the watermarked streaming runs must agree with the
+  * batch (DuckDB-oracled) formulations of the same operators. */
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val eventsFile = "/root/testdata/sf0.001/events.parquet"
+
+  /** File stream sources need a DIRECTORY: expose the single parquet file
+    * through a temp dir symlink (testdata stays untouched). */
+  private lazy val eventsPath: String = {
+    val dir = Files.createTempDirectory("graft-events-stream")
+    Files.createSymbolicLink(dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(eventsFile))
+    dir.toString
+  }
+
+  test("streaming windowed counts equal batch over the same files") {
+    val batchDf = spark.read.parquet(eventsFile)
+    val expected = EventAnalytics.windowedCounts(batchDf, 60)
+      .collect().map(_.toString).sorted.toSeq
+
+    val stream = spark.readStream.schema(batchDf.schema).parquet(eventsPath)
+    val q = EventAnalytics.windowedCounts(stream, 60, watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete) // all windows, late-state bound by the watermark
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("win_counts").collect().map(_.toString).sorted.toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("flatMapGroupsWithState sessionization: closed sessions equal batch minus open tails") {
+    val batchDf = spark.read.parquet(eventsFile)
+    val batchSessions = EventAnalytics.sessionsBatch(batchDf, gapMinutes = 30)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    // A non-tail session closes inline (a later same-user event arrives in
+    // the batch). A user's LAST session only closes via event-time
+    // timeout: AvailableNow runs a final batch after the watermark
+    // advances to max(event_time) - delay, firing timeouts for tails with
+    // last + gap < that watermark; younger tails stay open.
+    val maxMs = batchDf.agg(max(EventAnalytics.eventTime(col("ts"))))
+      .head().getTimestamp(0).getTime
+    val delayMs = 10L * 60 * 1000
+    val gapMs = 30L * 60 * 1000
+    val tails = batchSessions.groupBy(_._1).values.map(_.maxBy(_._2.getTime)).toSet
+    val openTails = tails.filter(s => s._3.getTime + gapMs >= maxMs - delayMs)
+    val expectedClosed = batchSessions -- openTails
+
+    val ckpt = Files.createTempDirectory("graft-sessions").toString
+    val stream = spark.readStream.schema(batchDf.schema).parquet(eventsPath)
+    val q = EventAnalytics.sessionizeStream(stream, gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("sessions_out")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    assert(expectedClosed.nonEmpty, "vacuous: no session ever closes in the fixture")
+    assert(got == expectedClosed)
+  }
+}
