@@ -63,6 +63,36 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(c(2) == Seq("one t", "ne tw", "e two"))
   }
 
+  test("new expressions survive SQL registration") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq(("a b c d", Seq(10, 20, 30))).toDF("t", "arr")
+      .createOrReplaceTempView("text_expr_spec")
+    val r = spark.sql(
+      """SELECT graft_word_shingles(t, 2) AS ws, graft_char_shingles(t, 3) AS cs,
+        |       graft_array_get(arr, 1) AS el, graft_array_get(arr, 9) AS oob,
+        |       graft_gunzip_text(CAST('plain' AS BINARY)) AS pt
+        |FROM text_expr_spec""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("a b", "b c", "c d"))
+    assert(r.getSeq[String](1).head == "a b")
+    assert(r.getInt(2) == 20 && r.isNullAt(3))
+    assert(r.getString(4) == "plain")
+  }
+
+  test("gunzip roundtrips arbitrary text (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val prop = Prop.forAll(Gen.asciiPrintableStr, Gen.alphaNumStr) { (a, b) =>
+      val text = a + "é" + b // force some multi-byte UTF-8
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(text.getBytes("UTF-8")); gz.close()
+      val viaGzip = graft.functions.CodecOps.gunzipText(bos.toByteArray).toString
+      val viaPlain = graft.functions.CodecOps.gunzipText(text.getBytes("UTF-8")).toString
+      viaGzip == text && viaPlain == text
+    }
+    assert(check(Parameters.default.withMinSuccessfulTests(50), prop).passed)
+  }
+
   test("edge semantics: multi-space runs, tabs, and case folding") {
     val df = Seq("A  B\tC d", "aaaa").toDF("text")
     val got = df.select(graftWordShingles(col("text"), 2)).collect().map(_.getSeq[String](0))
