@@ -62,6 +62,18 @@ class PlanSpec extends AnyFunSuite {
       s"the text column must not cross the shuffle: $partialOut")
   }
 
+  test("q_sessions: lag, island id and session agg all ride ONE user_id exchange") {
+    val p = plan("q_sessions")
+    assert(count(p, "Exchange hashpartitioning") == 1)
+    assert(p.contains("user_id"))
+  }
+
+  test("q_windowed_agg: one partial-agg exchange on the window keys") {
+    val p = plan("q_windowed_agg")
+    assert(count(p, "Exchange hashpartitioning") == 1)
+    assert(p.contains("partial_"))
+  }
+
   test("q_ann_brute_force: query side broadcast, corpus never shuffles for the join") {
     val p = plan("q_ann_brute_force")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
