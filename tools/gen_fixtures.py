@@ -321,6 +321,9 @@ CSV_ROWS = [
     # ("Field empty" × 6, AllowEmpty note aside); only whitespace-only
     # lines are skipped (cvp_bucket_event_lambda_handler.py:45,52)
     ",,,,,",
+    # extra trailing cell: the reference's parse_csv loops over field_list
+    # only (validator.py:424-427) — surplus cells are silently ignored
+    "106,2019-05-14T19:05:52.123Z,2019-05-14 19:05:52,tail,42,on,EXTRA",
 ]
 
 
