@@ -99,6 +99,66 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Duplicate clustering (pairs → components → survivors)
+  // ------------------------------------------------------------------
+
+  /**
+   * Connected components over a near-duplicate pair list — the step that
+   * turns pairwise matches into dedup groups (a chain a~b, b~c is ONE
+   * group even though (a, c) was never emitted). Min-label propagation:
+   * every vertex starts as its own label; each round takes the min of its
+   * own and all neighbors' labels; fixpoint in ≤ diameter rounds.
+   *
+   * Scale shape: per round one shuffle of the EDGE list (near-dup pairs —
+   * orders of magnitude smaller than the corpus) keyed by vertex, plus a
+   * label aggregate; the corpus itself is never touched. Convergence is
+   * checked with a count of changed labels per round; `maxIter` bounds
+   * pathological chains (a path graph of length n needs n rounds — real
+   * duplicate clusters are near-cliques and converge in 2-3).
+   *
+   * Returns (id, component) with component = min id in the cluster.
+   */
+  def duplicateComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("neighbor_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("neighbor_min"), col("component")))
+            .as("component"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("component", "prev"), Seq("id"))
+        .filter(col("component") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Survivor selection: every document keeps its component's min id as
+   *  `canonical_id` (itself when it has no near-duplicate) — the final
+   *  keep/drop verdict of the near-dup pipeline. */
+  def nearDupSurvivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = duplicateComponents(pairs)
+    df.join(comps.withColumnRenamed("id", "__cid"), col(idCol) === col("__cid"), "left")
+      .withColumn("canonical_id", coalesce(col("component"), col(idCol)))
+      .withColumn("is_survivor", col("canonical_id") === col(idCol))
+      .drop("__cid", "component")
+  }
+
+  // ------------------------------------------------------------------
   // MinHash + LSH banding
   // ------------------------------------------------------------------
 

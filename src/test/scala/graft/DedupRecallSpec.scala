@@ -55,6 +55,23 @@ class DedupRecallSpec extends AnyFunSuite {
     assert(capped.nonEmpty)
   }
 
+  test("duplicateComponents merges chains the pair list never emitted directly") {
+    // path graph 1-2-3-4 plus isolated pair 10-11: one 4-cluster, one 2-cluster
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.duplicateComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    val docsDf = (1L to 12L).toDF("doc_id")
+    val surv = Dedup.nearDupSurvivors(docsDf, "doc_id", pairs)
+      .select(col("doc_id"), col("canonical_id"), col("is_survivor"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    // unpaired docs survive as themselves; one survivor per cluster
+    assert(surv.contains((5L, 5L, true)) && surv.contains((12L, 12L, true)))
+    assert(surv.contains((1L, 1L, true)) && surv.contains((4L, 1L, false)))
+    assert(surv.contains((10L, 10L, true)) && surv.contains((11L, 10L, false)))
+    assert(surv.count(_._3) == 12 - 3 - 1) // 12 docs, 4+2 clustered keep 2
+  }
+
   test("minhash near-dups recover >=90% of exact Jaccard pairs at the registered params") {
     val exact = pairSet(Dedup.ngramJaccardPairs(docs, "text", "doc_id",
       n = 3, threshold = 0.3, maxDocFreq = Long.MaxValue), "id_a", "id_b")
