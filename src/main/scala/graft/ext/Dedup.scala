@@ -105,46 +105,69 @@ object Dedup {
   /**
    * Connected components over a near-duplicate pair list — the step that
    * turns pairwise matches into dedup groups (a chain a~b, b~c is ONE
-   * group even though (a, c) was never emitted). Min-label propagation:
-   * every vertex starts as its own label; each round takes the min of its
-   * own and all neighbors' labels; fixpoint in ≤ diameter rounds.
+   * group even though (a, c) was never emitted).
    *
-   * Scale shape: per round one shuffle of the EDGE list (near-dup pairs —
-   * orders of magnitude smaller than the corpus) keyed by vertex, plus a
-   * label aggregate; the corpus itself is never touched. Convergence is
-   * checked with a count of changed labels per round; `maxIter` bounds
-   * pathological chains (a path graph of length n needs n rounds — real
-   * duplicate clusters are near-cliques and converge in 2-3).
+   * Algorithm: alternating large-star / small-star contraction (the
+   * published MapReduce connected-components formulation — Kiveris et
+   * al., "Connected Components in MapReduce and Beyond", SoCC'14).
+   * Each round is two vertex-keyed aggregate+join passes over the EDGE
+   * list only; the round count is O(log² n) with small constants
+   * (2-4 in practice), NOT O(diameter) like naive min-label propagation —
+   * a 10 000-doc duplicate chain converges in a handful of rounds where
+   * label propagation needs 10 000. At fixpoint the edge set is a forest
+   * of stars rooted at each component's min id.
+   *
+   * Scale shape: shuffle keys are vertex ids (bounded buckets, no
+   * all-pairs); the corpus itself is never touched; `localCheckpoint` per
+   * round truncates the iterative lineage so plan size stays constant.
+   * Non-convergence within `maxIter` throws rather than returning a
+   * silently-wrong clustering.
    *
    * Returns (id, component) with component = min id in the cluster.
    */
-  def duplicateComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).persist()
-    var converged = false
+  def duplicateComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // canonical direction: u > v (toward the smaller id), self-loops out
+    def orient(df: DataFrame): DataFrame = df
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+    val vertices = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct().persist()
+
+    var edges = orient(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+      .localCheckpoint()
     var iter = 0
+    var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("component")).as("neighbor_min"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("neighbor_min"), col("component")))
-            .as("component"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("component", "prev"), Seq("id"))
-        .filter(col("component") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      // large-star: every neighbor LARGER than u links to u's min
+      // neighbor (min over Γ(u) ∪ {u})
+      val und = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = und.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val ls = orient(und.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+      // small-star: u and all its (smaller) neighbors link to their min
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val withMin = ls.join(ssMin, "u")
+      val ss = orient(
+        withMin.select(col("v").as("u"), col("m").as("v"))
+          .unionByName(withMin.select(col("u"), col("m").as("v"))))
+        .localCheckpoint()
+      converged = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      edges = ss
       iter += 1
     }
-    edges.unpersist()
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds")
+    // fixpoint: edges are stars (id -> component root); roots and any
+    // vertex only ever seen as a target map to themselves
+    val out = vertices
+      .join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("component"))
+    vertices.unpersist()
+    out
   }
 
   /** Survivor selection: every document keeps its component's min id as

@@ -97,4 +97,35 @@ object TextAnalysis {
 
   /** Rolling polynomial hash of the text (order-sensitive fingerprint). */
   def rollingHash(text: Column): Column = xxhash64(text)
+
+  // ---------------------------------------------------------------------
+  // Normalization + PII scrubbing (corpus-curation pre-processing)
+  // ---------------------------------------------------------------------
+
+  /** Canonical text normalization: lowercase, collapse all whitespace runs
+   *  to single spaces, trim. One codegen'd projection; the shared-syntax
+   *  regex (no lookaround, no backrefs) runs identically under Java regex
+   *  and DuckDB's RE2, so the oracle is exact. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** PII patterns (shared Java-regex/RE2 syntax — no lookaround). Order
+   *  matters: emails first (their dot-separated domains would otherwise be
+   *  half-eaten by the IP pattern), then IPs, then phone-like runs. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+\\d[\\d() -]{6,}\\d", "<PHONE>"))
+
+  /** Redact emails / IPv4s / phone-shaped runs with typed placeholders. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Per-category PII hit counts as (name -> count) columns. */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (name, pat, _) =>
+      (s"n_$name", regexp_count(text, lit(pat)).cast("long"))
+    }
 }

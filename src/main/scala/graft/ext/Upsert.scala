@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Latest-wins merge (CDC compaction / SCD-type-1 snapshot): fold a batch
+ * of upserts + deletes into a base table, keeping per key the highest
+ * version (updates beating base on ties) and dropping keys whose winning
+ * row is a tombstone.
+ *
+ * Scale shape: ONE hash exchange on the key columns and an in-partition
+ * sort — the union never materializes pairs, and map-side the two inputs
+ * stream straight into the exchange. This is the standard big-data
+ * compaction plan (what table formats run under `MERGE INTO` for the
+ * latest-wins case), so it survives 100 TB: cost is a single shuffle of
+ * |base| + |updates| rows regardless of overlap.
+ */
+object Upsert {
+
+  /**
+   * @param base      current snapshot
+   * @param updates   upsert/delete batch; same schema as `base` plus
+   *                  optionally `deleteCol`
+   * @param keys      primary-key columns
+   * @param versionCol monotonically increasing version/sequence column
+   *                  present in both inputs; per key the max wins, with
+   *                  `updates` beating `base` on equal versions
+   * @param deleteCol optional boolean tombstone column in `updates`; a
+   *                  winning tombstone removes the key from the snapshot
+   */
+  def latestSnapshot(
+      base: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      deleteCol: Option[String] = None): DataFrame = {
+    val del = deleteCol.getOrElse("_deleted")
+    // the tombstone column may exist on either side (typically only on
+    // `updates`); a side without it never deletes
+    def tagged(df: DataFrame, src: Int): DataFrame = {
+      val withDel = if (df.columns.contains(del)) df
+        else df.withColumn(del, lit(false))
+      withDel.withColumn("_src", lit(src))
+    }
+    val b = tagged(base, 0)
+    val u = tagged(updates, 1)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc, col("_src").desc)
+    b.unionByName(u)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && !col(del))
+      .drop("_rn", "_src", del)
+  }
+}

@@ -101,6 +101,10 @@ object GraftFunctions {
  *  session build. `.config("spark.sql.extensions",
  *  "graft.functions.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
+    // As-of join lowering inside the operator-optimization fixed point, so
+    // pruning/pushdown re-fire against the lowered Union+Window form.
+    ext.injectOptimizerRule(_ => graft.plans.LowerAsOfJoin)
+  }
 }

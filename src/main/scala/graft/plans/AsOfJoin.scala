@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Last}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /**
  * As-of (backward) join as a first-class logical operator — the
@@ -72,23 +72,32 @@ object LowerAsOfJoin extends Rule[LogicalPlan] {
   private def lower(j: AsOfJoin): LogicalPlan = {
     val tbType = j.tieBreak.map(_.dataType).getOrElse(LongType)
 
-    // Shared union schema: _k0.._kn, _t, _side, _tb, left cols, right cols.
+    // The whole right row travels as ONE nullable struct, so the window's
+    // `last(_, ignoreNulls)` picks every column from the SAME right row.
+    // (Per-column last(ignoreNulls) would skip a null cell in the newest
+    // right row and splice in an older row's value for just that column.)
+    val rStructType = StructType(j.right.output.map(a =>
+      StructField(a.name, a.dataType, a.nullable)))
+    val rStruct = CreateNamedStruct(
+      j.right.output.flatMap(a => Seq(Literal(a.name), a)))
+
+    // Shared union schema: _k0.._kn, _t, _side, _tb, left cols, _r struct.
     val keyAliases = j.leftKeys.zipWithIndex.map { case (e, i) => Alias(e, s"_k$i")() }
     val leftBranch = Project(
       keyAliases ++ Seq(
         Alias(j.leftTime, "_t")(),
         Alias(Literal(1), "_side")(),
         Alias(Literal(null, tbType), "_tb")()) ++
-        j.left.output ++
-        j.right.output.map(a => Alias(Literal(null, a.dataType), a.name)()),
+        j.left.output :+
+        Alias(Literal(null, rStructType), "_r")(),
       j.left)
     val rightBranch = Project(
       j.rightKeys.zipWithIndex.map { case (e, i) => Alias(e, s"_k$i")() } ++ Seq(
         Alias(j.rightTime, "_t")(),
         Alias(Literal(0), "_side")(),
         Alias(j.tieBreak.getOrElse(Literal(null, tbType)), "_tb")()) ++
-        j.left.output.map(a => Alias(Literal(null, a.dataType), a.name)()) ++
-        j.right.output,
+        j.left.output.map(a => Alias(Literal(null, a.dataType), a.name)()) :+
+        Alias(rStruct, "_r")(),
       j.right)
 
     val union = Union(leftBranch, rightBranch)
@@ -97,7 +106,7 @@ object LowerAsOfJoin extends Rule[LogicalPlan] {
     val (keyAttrs, tAttr, sideAttr, tbAttr) =
       (out.take(nk), out(nk), out(nk + 1), out(nk + 2))
     val leftAttrs = out.slice(nk + 3, nk + 3 + j.left.output.length)
-    val rightAttrs = out.takeRight(j.right.output.length)
+    val rAttr = out.last
 
     // Right rows (side 0) sort before the left row at an equal timestamp,
     // so a right row AT the left time is matched (>= semantics); among
@@ -110,22 +119,23 @@ object LowerAsOfJoin extends Rule[LogicalPlan] {
         SortOrder(tbAttr, Ascending)),
       frameSpecification =
         SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
-    val filled = rightAttrs.map { a =>
-      Alias(
-        WindowExpression(
-          AggregateExpression(Last(a, ignoreNulls = true), Complete, isDistinct = false),
-          spec),
-        s"_f_${a.name}")()
-    }
+    val filled = Alias(
+      WindowExpression(
+        AggregateExpression(Last(rAttr, ignoreNulls = true), Complete, isDistinct = false),
+        spec),
+      "_match")()
 
     val filtered = Filter(
       EqualTo(sideAttr, Literal(1)),
-      Window(filled, keyAttrs, spec.orderSpec, union))
+      Window(Seq(filled), keyAttrs, spec.orderSpec, union))
 
     // Restore the node's declared output ids: left attrs already carry
-    // them through the union's first branch; right attrs are re-bound.
-    val restored = leftAttrs ++ j.right.output.zip(filled).map {
-      case (orig, f) => Alias(f.toAttribute, orig.name)(exprId = orig.exprId)
+    // them through the union's first branch; right attrs are re-bound as
+    // fields of the matched struct.
+    val restored = leftAttrs ++ j.right.output.zipWithIndex.map {
+      case (orig, i) =>
+        Alias(GetStructField(filled.toAttribute, i, Some(orig.name)),
+          orig.name)(exprId = orig.exprId)
     }
     Project(restored, filtered)
   }

@@ -52,6 +52,65 @@ object EventAnalytics {
         col("event_type"), col("n_events"), col("total_value"))
   }
 
+  /**
+   * Exact dedup to one event per (user, type, day) — the streaming face of
+   * exact deduplication (SURVEY §7.1 step 9 / training-data ingestion).
+   * Batch: plain `dropDuplicates` (hash-shuffle on the triple). Streaming:
+   * `dropDuplicatesWithinWatermark` — duplicate arrivals land within the
+   * same event-time day, so any watermark ≥ 1 day keeps exactly-once
+   * output while the runtime DROPS per-key state once the watermark passes
+   * the day boundary. State is bounded by keys-per-watermark-window, not
+   * by stream length — the difference between this and a naive streaming
+   * `dropDuplicates` (state grows forever) at 100 TB/day.
+   *
+   * Which row survives a duplicate group is arrival-order-dependent in
+   * streaming, so downstream oracle-checked consumers aggregate on the
+   * KEY columns only (q_streaming_dedup counts surviving keys).
+   */
+  def dedupDaily(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val withTime = events.withColumn("event_time", eventTime(col("ts")))
+      .withColumn("day", to_date(col("event_time")))
+    watermark match {
+      case Some(w) => withTime.withWatermark("event_time", w)
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+      case None => withTime.dropDuplicates("user_id", "event_type", "day")
+    }
+  }
+
+  /** Surviving-key counts per event type over the deduped stream/batch —
+   *  the oracle-facing aggregate (key columns only; see [[dedupDaily]]). */
+  def dedupDailyCounts(events: DataFrame, watermark: Option[String] = None): DataFrame =
+    dedupDaily(events, watermark)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_user_days"))
+
+  /**
+   * Purchase→view attribution: every (purchase, prior view ≤ `hours` old,
+   * same user) pair — a stream-stream INNER interval join. Streaming:
+   * both sides watermarked and the join condition carries the time bound,
+   * so each side's buffered state is evicted once the other side's
+   * watermark passes the interval — state ∝ events-per-interval, not
+   * stream length (the canonical bounded-state stream-stream join shape).
+   * Batch: the identical expression runs as a plain range join (the
+   * DuckDB-oracle path, q_stream_interval_join).
+   */
+  def attributedPurchases(purchases: DataFrame, views: DataFrame,
+                          hours: Int, watermark: Option[String] = None): DataFrame = {
+    val p0 = purchases.select(col("user_id").as("p_user"),
+      col("event_id").as("purchase_id"), eventTime(col("ts")).as("p_time"))
+    val v0 = views.select(col("user_id").as("v_user"),
+      col("event_id").as("view_id"), eventTime(col("ts")).as("v_time"))
+    val (p, v) = watermark match {
+      case Some(w) => (p0.withWatermark("p_time", w), v0.withWatermark("v_time", w))
+      case None => (p0, v0)
+    }
+    p.join(v,
+        col("p_user") === col("v_user") &&
+          col("v_time") <= col("p_time") &&
+          col("v_time") >= col("p_time") - expr(s"INTERVAL $hours HOURS"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"))
+  }
+
   /** One closed user session: consecutive events with gaps < the session
    *  gap, [start, end] inclusive of the bounding events. */
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,

@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /**
  * Column ↔ Catalyst Expression bridge.
@@ -24,4 +25,13 @@ object GraftBridge {
 
   /** Accept any of the given types (re-export of `types.TypeCollection`). */
   def oneOf(ts: types.DataType*): AbstractType = types.TypeCollection(ts: _*)
+
+  /** Analyzed logical plan of a (classic) Dataset — for custom LogicalPlan
+   *  nodes that need resolved child attributes. */
+  def analyzed(df: Dataset[_]): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Wrap a LogicalPlan back into a DataFrame (classic sessions). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

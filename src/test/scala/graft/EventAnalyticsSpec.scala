@@ -42,6 +42,53 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("dropDuplicatesWithinWatermark dedup equals batch distinct on the key") {
+    val batchDf = spark.read.parquet(eventsFile)
+    val expected = EventAnalytics.dedupDaily(batchDf)
+      .select("user_id", "event_type", "day")
+      .collect().map(_.toString).sorted.toSeq
+
+    val ckpt = Files.createTempDirectory("graft-dedup").toString
+    val stream = spark.readStream.schema(batchDf.schema).parquet(eventsPath)
+    // watermark (2 days) covers any same-day duplicate spread, so the
+    // bounded-state dedup emits exactly the batch-distinct key set
+    val q = EventAnalytics.dedupDaily(stream, watermark = Some("2 days"))
+      .select("user_id", "event_type", "day")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("dedup_out").collect().map(_.toString).sorted.toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("stream-stream interval join equals the batch range join") {
+    val batchDf = spark.read.parquet(eventsFile)
+    def purchases(df: org.apache.spark.sql.DataFrame) = df.filter($"event_type" === "purchase")
+    def views(df: org.apache.spark.sql.DataFrame) = df.filter($"event_type" === "view")
+    val expected = EventAnalytics.attributedPurchases(
+        purchases(batchDf), views(batchDf), hours = 6)
+      .collect().map(_.toString).sorted.toSeq
+
+    val ckpt = Files.createTempDirectory("graft-ssjoin").toString
+    val s1 = spark.readStream.schema(batchDf.schema).parquet(eventsPath)
+    val s2 = spark.readStream.schema(batchDf.schema).parquet(eventsPath)
+    val q = EventAnalytics.attributedPurchases(
+        purchases(s1), views(s2), hours = 6, watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("ssjoin_out").collect().map(_.toString).sorted.toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization: closed sessions equal batch minus open tails") {
     val batchDf = spark.read.parquet(eventsFile)
     val batchSessions = EventAnalytics.sessionsBatch(batchDf, gapMinutes = 30)
