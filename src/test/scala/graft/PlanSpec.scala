@@ -80,4 +80,22 @@ class PlanSpec extends AnyFunSuite {
     // corpus → window top-k needs the one per-query exchange, nothing more
     assert(count(p, "Exchange hashpartitioning") <= 1)
   }
+
+  test("q_partitioned_scan: the event_type filter prunes DIRECTORIES, not rows") {
+    val p = plan("q_partitioned_scan")
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      "partition filter must reach the scan")
+    // pruned read: the type filter never appears as a post-scan row filter
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type"))
+  }
+
+  test("q_upsert_latest: merge rides ONE exchange on the key") {
+    val p = plan("q_upsert_latest")
+    assert(count(p, "Exchange hashpartitioning") == 1)
+  }
+
+  test("q_stream_interval_join: user-key exchanges, no nested-loop pair blowup") {
+    val p = plan("q_stream_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
 }

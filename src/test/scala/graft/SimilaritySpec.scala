@@ -83,4 +83,24 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = bf.intersect(trained).size.toDouble / bf.size
     assert(recall >= 0.85, s"recall $recall")
   }
+
+  test("PQ ADC top-k holds >=85% recall vs brute force (m=16, 16 codes, 8x overfetch)") {
+    // sf0.01 (500 vectors): large enough that ADC ordering is actually
+    // exercised — at sf0.001 the 8x overfetch would cover most of the
+    // corpus. Params match the registered q_pq_topk (replica-measured
+    // recall 0.94 on this corpus; near-uniform synthetic embeddings are a
+    // worst case for quantization, hence m=16 narrow subspaces).
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val queries = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bf = pairs(Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5))
+    val pq = pairs(Similarity.pqTopK(e, "vec_id", "embedding",
+      queries, "vec_id", "embedding",
+      dims = 64, m = 16, codes = 16, iters = 3, k = 5, overfetch = 8))
+    val recall = bf.intersect(pq).size.toDouble / bf.size
+    assert(recall >= 0.85, s"recall $recall")
+  }
 }
