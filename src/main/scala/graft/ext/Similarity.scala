@@ -264,37 +264,61 @@ object Similarity {
              k: Int = 5, overfetch: Int = 8): DataFrame = {
     require(dims % m == 0, s"dims $dims not divisible by m $m")
     val subDim = dims / m
-    def sub(vec: Column, j: Int): Column = slice(vec, j * subDim + 1, subDim)
 
-    // per-subspace codebooks: (subspace, code, centroid). L2 k-means, the
-    // canonical PQ quantizer — cosine assignment on sub-vectors discards
-    // magnitude, which IS signal within a subspace (measured recall@5
-    // 0.54 cosine vs 0.94 l2 at these params on the 500-vector corpus).
-    // Materialized as a LocalRelation, same as q_ivf_trained: m·codes
-    // rows is broadcast-small metadata, and inlining m deep training
-    // lineages into one plan would re-execute them per consumer.
+    // every (vector, subspace) slice as one row — ALL m subspaces train
+    // and encode in a single batched pipeline keyed by (subspace, ...).
+    // m separate per-subspace trainings would serialize m·iters small
+    // jobs (measured 96 s at sf0.1 for m=16, iters=3 — pure job
+    // overhead); batched, the iteration count is independent of m.
+    val sliceArr = array((0 until m).map(j =>
+      slice(col(corpusVec), j * subDim + 1, subDim)): _*)
+    val subs = corpus.select(col(corpusId).as("id"),
+      posexplode(sliceArr).as(Seq("subspace", "sv")))
+
+    // nearest codebook entry per (subspace, vector) under L2 — the
+    // canonical PQ quantizer (cosine on sub-vectors discards magnitude,
+    // which IS signal within a subspace: measured recall@5 0.54 cosine
+    // vs 0.94 l2 at these params on the 500-vector corpus)
+    def assignAll(cents: DataFrame): DataFrame = {
+      val j = subs.join(broadcast(cents), Seq("subspace"))
+        .withColumn("sim", metricSim(col("sv"), col("centroid"), "l2"))
+      val w = Window.partitionBy(col("subspace"), col("id"))
+        .orderBy(col("sim").desc, col("code"))
+      j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("subspace"), col("id"), col("sv"), col("code"))
+    }
+
+    // seeding matches trainCentroids: the `codes` lowest-id vectors
+    val sw = Window.partitionBy(col("subspace")).orderBy(col("id"))
+    val seeds = subs.withColumn("rk", row_number().over(sw))
+      .filter(col("rk") <= codes)
+      .select(col("subspace"), (col("rk") - 1).as("code"),
+        transform(col("sv"), _.cast("double")).as("centroid"))
+
+    // Lloyd over all subspaces at once: mean-update shuffle keys are
+    // (subspace, code, dim) — ≤ m·codes·subDim keys at any corpus size
+    val trained = (0 until iters).foldLeft(seeds) { (cents, _) =>
+      val means = assignAll(cents)
+        .select(col("subspace"), col("code"),
+          posexplode(col("sv")).as(Seq("dim", "comp")))
+        .groupBy(col("subspace"), col("code"), col("dim"))
+        .agg(avg(col("comp")).as("mean"))
+        .groupBy(col("subspace"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          s => s.getField("mean")).as("centroid"))
+      // empty cells keep their previous centroid
+      means.unionByName(cents.join(means, Seq("subspace", "code"), "left_anti"))
+    }
+    // materialized as a LocalRelation, same as q_ivf_trained: m·codes
+    // rows is broadcast-small metadata, and the deep training lineage
+    // would otherwise re-execute per consumer (encode + distance tables)
     val spark = corpus.sparkSession
-    val trained = (0 until m).map { j =>
-      trainCentroids(
-        corpus.select(col(corpusId).as("id"), sub(col(corpusVec), j).as("sv")),
-        "id", "sv", k = codes, iters = iters, metric = "l2")
-        .select(lit(j).as("subspace"), col("centroid_id").as("code"),
-          col("centroid"))
-    }.reduce(_ unionByName _)
     val codebooks = spark.createDataFrame(
       java.util.Arrays.asList(trained.collect(): _*), trained.schema)
 
-    // encode: m broadcast assigns -> (neighbor_id, subspace, code)
-    val encoded = (0 until m).map { j =>
-      assignToCentroids(
-        corpus.select(col(corpusId).as("id"), sub(col(corpusVec), j).as("sv")),
-        "id", "sv",
-        codebooks.filter(col("subspace") === j)
-          .select(col("code"), col("centroid")),
-        "code", "centroid", metric = "l2")
-        .select(col("id").as("neighbor_id"), lit(j).as("subspace"),
-          col("centroid_id").as("code"))
-    }.reduce(_ unionByName _)
+    // encode: one batched assign -> (neighbor_id, subspace, code)
+    val encoded = assignAll(codebooks)
+      .select(col("id").as("neighbor_id"), col("subspace"), col("code"))
 
     // per-query ADC table: partial dot per (subspace, code) + the code's
     // own norm² (query-independent, reconstructs the neighbor norm)
