@@ -154,7 +154,11 @@ object Dedup {
         withMin.select(col("v").as("u"), col("m").as("v"))
           .unionByName(withMin.select(col("u"), col("m").as("v"))))
         .localCheckpoint()
-      converged = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      // cheap count gate first — rounds that still contract differ in
+      // size, so the exact (exceptAll) set compare only runs on the
+      // final candidate round(s)
+      converged = ss.count() == edges.count() &&
+        ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
       edges = ss
       iter += 1
     }
