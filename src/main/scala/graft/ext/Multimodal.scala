@@ -138,6 +138,53 @@ object Multimodal {
    * PNG bytes through `decodeWithCodec(media, imageIoCodec)` end-to-end,
    * so the mapPartitions batch shape is proven with a non-stub decoder.
    */
+  /** One resized image: re-encoded bytes + the actual output geometry.
+   *  Null content / -1 dims for undecodable inputs. */
+  final case class ResizedImage(item_id: Long, content: Array[Byte],
+                                width: Int, height: Int)
+
+  /**
+   * REAL resize through the same partition-scoped seam: decode with
+   * `javax.imageio`, scale to fit `maxDim` (aspect preserved, never
+   * upscaled) with a Graphics2D bilinear draw, re-encode PNG. All
+   * pure-JVM — no container dependency. Undecodable bytes become a
+   * (null, -1, -1) row — data, not a crashed partition. Narrow
+   * per-partition transform: no shuffle, bytes stream through one
+   * decoder/encoder pair per partition.
+   */
+  def resizeWithCodec(media: DataFrame, maxDim: Int): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    media.select(col("item_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(Option(bytes).getOrElse(Array.emptyByteArray)))
+            catch { case _: java.io.IOException => null }
+          if (img == null) ResizedImage(id, null, -1, -1)
+          else {
+            val scale = math.min(1.0,
+              maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+            val w = math.max(1, math.round(img.getWidth * scale).toInt)
+            val h = math.max(1, math.round(img.getHeight * scale).toInt)
+            val scaled = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+            } finally g.dispose()
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaled, "png", out)
+            ResizedImage(id, out.toByteArray, w, h)
+          }
+        }
+      }
+  }
+
   def imageIoCodec: () => Array[Byte] => (Int, Long) = () => {
     // javax.imageio caches plugin lookups process-wide; the per-partition
     // closure is where a heavier decoder (JNI, model) would hold state

@@ -42,6 +42,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L) == ((-1, 0L))) // undecodable -> data, not a crash
   }
 
+  test("resizeWithCodec really rescales pixels (decode -> scale -> re-encode)") {
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      (1L, png(40, 20, 0x336699)), // downscale 2:1 -> 10x5 at maxDim 10
+      (2L, png(4, 2, 0xABCDEF)),   // already under maxDim: untouched size
+      (3L, "junk".getBytes("UTF-8"))).toDF("item_id", "content")
+    val out = Multimodal.resizeWithCodec(media, maxDim = 10)
+      .collect().map(r => r.item_id -> r).toMap
+    assert(out(1L).width == 10 && out(1L).height == 5)
+    // output is a real decodable image with the solid color preserved
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).content))
+    assert(back.getWidth == 10 && back.getHeight == 5)
+    assert((back.getRGB(5, 2) & 0xFFFFFF) == 0x336699)
+    assert(out(2L).width == 4 && out(2L).height == 2) // no upscale
+    assert(out(3L).content == null && out(3L).width == -1)
+  }
+
   test("resize caps dimensions at maxDim preserving aspect") {
     import spark.implicits._
     val media = Multimodal.fromText(Seq((1L, "xyz")).toDF("id", "text"), "id", "text")
