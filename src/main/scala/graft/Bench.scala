@@ -13,15 +13,22 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Full-evaluation sink: count() lets the optimizer prune deterministic
+    // projections (a projection-only query would time just its scan); the
+    // noop sink materializes every output column without writing bytes.
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED")
+        e.printStackTrace()
+        false
+      }
+    // JVM/codegen/scan warmup so the first timed query doesn't absorb
+    // one-time session costs
+    run("warmup", SparkEntry.queries("q1_agg"))
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED")
-          e.printStackTrace()
-          false
-        }
+      val ok = run(name, fn)
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
