@@ -105,4 +105,40 @@ object EngineProperties extends Properties("graft") {
         .collect().map(_.getSeq[Long](0))
       sigs(0) == sigs(1)
     }
+
+  private val genEdges: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 18)
+    edges <- Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 14L)
+      b <- Gen.choose(0L, 14L)
+    } yield (a, b))
+  } yield {
+    val es = edges.filter { case (a, b) => a != b }
+    if (es.isEmpty) List((0L, 1L)) else es
+  }
+
+  /** Reference union-find over the same edge list. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
+  property("star-contraction components equal union-find on random graphs") =
+    Prop.forAll(genEdges) { edges =>
+      import spark.implicits._
+      // chains, cliques, self-reversed duplicates — whatever the
+      // generator produces, the distributed contraction must agree
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = Dedup.duplicateComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == unionFind(edges)
+    }
 }
