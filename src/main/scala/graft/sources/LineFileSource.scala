@@ -100,10 +100,13 @@ private[sources] case class LinesReaderFactory(fields: Array[String])
     val p = partition.asInstanceOf[LinesPartition]
     new PartitionReader[InternalRow] {
       // whole-object read with magic-byte sniff — extension is never
-      // consulted, matching the reference's body-based detection
+      // consulted, matching the reference's body-based detection. Opened
+      // through the Hadoop FS API so the same reader serves local disk,
+      // HDFS, or an object store mount.
       private val reader = {
+        val hp = new org.apache.hadoop.fs.Path(p.file)
         val raw = new java.io.BufferedInputStream(
-          new java.io.FileInputStream(p.file))
+          hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp))
         raw.mark(2)
         val (b0, b1) = (raw.read(), raw.read())
         raw.reset()
