@@ -141,4 +141,36 @@ object EngineProperties extends Properties("graft") {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       got == unionFind(edges)
     }
+
+  private val genAsOf: Gen[(List[(String, Long, Long)], List[(String, Long, Long)])] =
+    for {
+      nl <- Gen.choose(1, 8)
+      nr <- Gen.choose(0, 8)
+      mk = (n: Int, base: Long) => Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b")
+        t <- Gen.choose(0L, 12L) // small domain: ties are COMMON on purpose
+        id <- Gen.choose(base, base + 100L)
+      } yield (k, t, id))
+      l <- mk(nl, 0L)
+      r <- mk(nr, 1000L)
+    } yield (l, r.distinctBy(x => (x._1, x._2, x._3)))
+
+  property("as-of join equals the in-memory point-in-time reference") =
+    Prop.forAll(genAsOf) { case (lrows, rrows) =>
+      import spark.implicits._
+      val left = lrows.toDF("k", "lt", "lid")
+      val right = rrows.toDF("rk", "rt", "rid")
+      val got = graft.plans.AsOf
+        .joinAsOf(left, right, "lt", "rt", Seq("k" -> "rk"), tieBreak = Some("rid"))
+        .select("k", "lt", "lid", "rid")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      val want = lrows.map { case (k, lt, lid) =>
+        val m = rrows.filter(r => r._1 == k && r._2 <= lt)
+        (k, lt, lid,
+          if (m.isEmpty) None
+          else Some(m.maxBy(r => (r._2, r._3))._3)) // latest time, max tieBreak
+      }.toSet
+      got == want
+    }
 }
