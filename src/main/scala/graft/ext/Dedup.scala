@@ -133,7 +133,7 @@ object Dedup {
       .distinct()
 
     val vertices = pairs.select(col("id_a").as("id"))
-      .unionByName(pairs.select(col("id_b").as("id"))).distinct().persist()
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
 
     var edges = orient(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
       .localCheckpoint()
@@ -155,10 +155,10 @@ object Dedup {
           .unionByName(withMin.select(col("u"), col("m").as("v"))))
         .localCheckpoint()
       // cheap count gate first — rounds that still contract differ in
-      // size, so the exact (exceptAll) set compare only runs on the
-      // final candidate round(s)
-      converged = ss.count() == edges.count() &&
-        ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      // size, so the exact set compare only runs on the final candidate
+      // round(s). Both sides are distinct sets, so equal counts + one
+      // empty difference already imply equality.
+      converged = ss.count() == edges.count() && ss.exceptAll(edges).isEmpty
       edges = ss
       iter += 1
     }
@@ -167,11 +167,9 @@ object Dedup {
         s"connected components did not converge in $maxIter rounds")
     // fixpoint: edges are stars (id -> component root); roots and any
     // vertex only ever seen as a target map to themselves
-    val out = vertices
+    vertices
       .join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("v"), col("id")).as("component"))
-    vertices.unpersist()
-    out
   }
 
   /** Survivor selection: every document keeps its component's min id as

@@ -50,7 +50,9 @@ object Upsert {
       .orderBy(col(versionCol).desc, col("_src").desc)
     b.unionByName(u)
       .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && !col(del))
+      // null tombstone = not deleted (CDC feeds often set the flag only
+      // on deletes; bare `!col(del)` would silently drop null-flag rows)
+      .filter(col("_rn") === 1 && !coalesce(col(del), lit(false)))
       .drop("_rn", "_src", del)
   }
 }

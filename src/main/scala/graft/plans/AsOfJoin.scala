@@ -91,6 +91,14 @@ object LowerAsOfJoin extends Rule[LogicalPlan] {
         j.left.output :+
         Alias(Literal(null, rStructType), "_r")(),
       j.left)
+    // ASOF equality semantics: a right row with a NULL time or NULL key
+    // can never match any left row (rt <= lt and k = rk are both false
+    // for null), but the window's nulls-first ordering and null-equal
+    // grouping would otherwise hand it to null-time/null-key left rows.
+    // Dropping them here also makes null-time/null-key LEFT rows come
+    // back correctly null-extended (their partition holds no right rows).
+    val rightFilter = (j.rightTime +: j.rightKeys)
+      .map(e => IsNotNull(e): Expression).reduce(And)
     val rightBranch = Project(
       j.rightKeys.zipWithIndex.map { case (e, i) => Alias(e, s"_k$i")() } ++ Seq(
         Alias(j.rightTime, "_t")(),
@@ -98,7 +106,7 @@ object LowerAsOfJoin extends Rule[LogicalPlan] {
         Alias(j.tieBreak.getOrElse(Literal(null, tbType)), "_tb")()) ++
         j.left.output.map(a => Alias(Literal(null, a.dataType), a.name)()) :+
         Alias(rStruct, "_r")(),
-      j.right)
+      Filter(rightFilter, j.right))
 
     val union = Union(leftBranch, rightBranch)
     val out = union.output
@@ -177,6 +185,13 @@ object AsOf {
     val rt = attr(rp, rightTimeCol)
     require(lt.dataType == rt.dataType,
       s"as-of time type mismatch: ${lt.dataType} vs ${rt.dataType}")
+    keys.foreach { case (lk, rk) =>
+      val (a, b) = (attr(lp, lk), attr(rp, rk))
+      // the lowering runs post-analysis, so a type mismatch would build
+      // an invalid Union nothing re-checks — fail loudly here instead
+      require(a.dataType == b.dataType,
+        s"as-of key type mismatch on ($lk, $rk): ${a.dataType} vs ${b.dataType}")
+    }
     GraftBridge.ofRows(spark, AsOfJoin(
       lp, rp, lt, rt,
       keys.map(k => attr(lp, k._1)), keys.map(k => attr(rp, k._2)),

@@ -57,7 +57,10 @@ object LineFileSource {
     matched
       .flatMap(st => if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st))
       .filter(_.isFile)
-      .map(st => (st.getPath.toUri.getPath, st.getLen))
+      // full URI string: stripping the scheme (toUri.getPath) would make
+      // executors resolve s3a://- or hdfs://-listed files against their
+      // default (local) filesystem
+      .map(st => (st.getPath.toString, st.getLen))
       .sortBy(_._1)
   }
 }
@@ -87,13 +90,19 @@ private[sources] case class LinesScan(path: String, required: StructType)
     LineFileSource.list(path)
       .map(f => LinesPartition(f._1, f._2): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    LinesReaderFactory(required.fieldNames)
+    // ship the DRIVER's Hadoop conf to executors: a bare Configuration()
+    // there would lose fs.s3a.* credentials / defaultFS settings
+    LinesReaderFactory(required.fieldNames,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
 }
 
 private[sources] case class LinesPartition(file: String, size: Long)
   extends InputPartition
 
-private[sources] case class LinesReaderFactory(fields: Array[String])
+private[sources] case class LinesReaderFactory(
+    fields: Array[String],
+    conf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -101,12 +110,12 @@ private[sources] case class LinesReaderFactory(fields: Array[String])
     new PartitionReader[InternalRow] {
       // whole-object read with magic-byte sniff — extension is never
       // consulted, matching the reference's body-based detection. Opened
-      // through the Hadoop FS API so the same reader serves local disk,
-      // HDFS, or an object store mount.
+      // through the Hadoop FS API with the driver's conf so the same
+      // reader serves local disk, HDFS, or an object store.
       private val reader = {
         val hp = new org.apache.hadoop.fs.Path(p.file)
         val raw = new java.io.BufferedInputStream(
-          hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp))
+          hp.getFileSystem(conf.value).open(hp))
         raw.mark(2)
         val (b0, b1) = (raw.read(), raw.read())
         raw.reset()

@@ -61,6 +61,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(r.getString(0) === "R12" && r.isNullAt(1))
   }
 
+  test("null right times and null keys never match (ASOF equality semantics)") {
+    val l = Seq(("a", 10L, "L1"), (null.asInstanceOf[String], 10L, "LN"))
+      .toDF("k", "lt", "lv")
+    val r = Seq(
+      ("a", Option.empty[Long], 1L, "NULLTIME", Option("x")), // rt null: unmatched
+      (null.asInstanceOf[String], Option(5L), 1L, "NULLKEY", Option("y")))
+      .toDF("rk", "rt", "tb", "pay", "opt")
+    val got = AsOf.joinAsOf(l, r, "lt", "rt", Seq("k" -> "rk"))
+      .select("lv", "pay").collect()
+      .map(row => row.getString(0) -> row.getString(1)).toMap
+    // the only right rows have a null time or a null key — nothing matches,
+    // and the null-key LEFT row must not pair with the null-key right row
+    assert(got == Map("L1" -> null, "LN" -> null))
+  }
+
+  test("key type mismatch fails fast at construction") {
+    val l = Seq((1, 10L)).toDF("k", "lt")
+    val r = Seq((1L, 5L)).toDF("rk", "rt")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(l, r, "lt", "rt", Seq("k" -> "rk"))
+    }
+    assert(e.getMessage.contains("key type mismatch"))
+  }
+
   test("events as-of join matches an independent SQL window formulation") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     ev.createOrReplaceTempView("ev_asof")
