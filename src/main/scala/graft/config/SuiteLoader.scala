@@ -51,7 +51,12 @@ object SuiteLoader {
         val node = mapper.readTree(raw)
         if (node.isObject && node.has("conditions"))
           (parseConditions(node.get("conditions")), false)
-        else (Nil, true) // non-object / no 'conditions' ⇒ all checks skipped (validator.py:96-129)
+        // Python-Iterable values (dict/list/str) without 'conditions' fall
+        // through to _check_unconditional (validator.py:98-126) — the
+        // normal checks still run; only NON-iterable values (numbers,
+        // booleans, null) leave validation = None, skipping everything
+        else if (node.isObject || node.isArray || node.isTextual) (Nil, false)
+        else (Nil, true)
     }
 
     FieldRule(

@@ -42,7 +42,9 @@ object Metadata {
         key.as("key"),
         col("file_size").as("ContentLength"),
         (col("file_size").cast("double") / lit(1024.0 * 1024.0)).as("SizeMiB"), // P4 (:45)
-        date_format(col("file_modification_time"), "yyyy-MM-dd'T'HH:mm:ssXXX")
+        // 'xxx' renders UTC as '+00:00' like datetime.isoformat()
+        // ('XXX' would print 'Z', which the reference never emits)
+        date_format(col("file_modification_time"), "yyyy-MM-dd'T'HH:mm:ssxxx")
           .as("LastModified"), // P5 (:46)
         lit("application/octet-stream").as("ContentType"),
         md5(key).as("ETag"),

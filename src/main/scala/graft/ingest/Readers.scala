@@ -138,7 +138,10 @@ object Readers {
       .withColumn("expected",
         element_at(array(expected.map(lit): _*), col("pos") + 1))
       .withColumn("matches",
-        lower(trim(col("cell"))) === lower(coalesce(col("expected"), lit(""))))
+        // Python str.strip() removes ALL whitespace — Spark trim() only
+        // spaces, which leaves the '\r' on the last cell of CRLF files
+        lower(regexp_replace(col("cell"), "^\\s+|\\s+$", ""))
+          === lower(coalesce(col("expected"), lit(""))))
   }
 
   private def quotedName(n: String): String = s"`$n`"
@@ -160,13 +163,24 @@ object Readers {
 
   /** P1-P6 (bucket_event_lambda_handler.py:41-89): file-path-derived
    *  metadata columns. `key` is the path relative to the bucket root. */
-  def pathMetadata(keyCol: Column): Seq[(String, Column)] = Seq(
-    "Dataset" -> split(keyCol, "/").getItem(0),                        // P1 (:49)
-    "TrafficType" -> nullIfEmpty(regexp_extract(keyCol, "(^|/)type=([^/]+)", 2)),  // P2 (:53-60)
-    "TableName" -> nullIfEmpty(regexp_extract(keyCol, "(^|/)table=([^/]+)", 2)),   // P2 (:61-66)
-    "State" -> nullIfEmpty(regexp_extract(keyCol, "(^|/)state=([^/]+)", 2)),       // P2 (:67-73)
-    "DataProvider" -> element_at(split(keyCol, "/"), 2),               // P3 (:74-85)
-    "DataType" -> element_at(split(keyCol, "/"), 3))                   // P3
+  def pathMetadata(keyCol: Column): Seq[(String, Column)] = {
+    // the reference GATES the derived fields by dataset: type=/table=/
+    // state= only for waze keys (:53-73), positional DataProvider/
+    // DataType only for cv keys (:74-85); other datasets carry neither
+    val dataset = split(keyCol, "/").getItem(0)
+    val isWaze = dataset === "waze"
+    val isCv = dataset === "cv"
+    Seq(
+      "Dataset" -> dataset,                                            // P1 (:49)
+      "TrafficType" -> when(isWaze,
+        nullIfEmpty(regexp_extract(keyCol, "(^|/)type=([^/]+)", 2))),  // P2 (:53-60)
+      "TableName" -> when(isWaze,
+        nullIfEmpty(regexp_extract(keyCol, "(^|/)table=([^/]+)", 2))), // P2 (:61-66)
+      "State" -> when(isWaze,
+        nullIfEmpty(regexp_extract(keyCol, "(^|/)state=([^/]+)", 2))), // P2 (:67-73)
+      "DataProvider" -> when(isCv, element_at(split(keyCol, "/"), 2)), // P3 (:74-85)
+      "DataType" -> when(isCv, element_at(split(keyCol, "/"), 3)))     // P3
+  }
 
   private def nullIfEmpty(c: Column): Column = when(c === "", lit(null)).otherwise(c)
 }

@@ -61,17 +61,9 @@ object ValidationPipeline {
     val sequential =
       if (suite.sequential) {
         val skipPaths = suite.scalarRules.filter(_.skipConditions.nonEmpty).map(_.path)
-        val stdCols = Seq(
-          col("file").as(SequentialChecks.FileCol),
-          col("metadata.serialId.serialNumber").try_cast("long").as(SequentialChecks.SerialNumber),
-          col("metadata.serialId.bundleId").try_cast("long").as(SequentialChecks.BundleId),
-          col("metadata.serialId.recordId").try_cast("long").as(SequentialChecks.RecordId),
-          col("metadata.serialId.bundleSize").try_cast("long").as(SequentialChecks.BundleSize),
-          date_trunc("second", try_to_timestamp(col("metadata.recordGeneratedAt"))).as(SequentialChecks.GeneratedAt),
-          date_trunc("second", try_to_timestamp(col("metadata.odeReceivedAt"))).as(SequentialChecks.ReceivedAt),
-          col("metadata.logFileName").as(SequentialChecks.LogFileName))
         val flagCols = skipPaths.map(p => col(RuleCompiler.skipFlagName(p)))
-        val std = validated.select(stdCols ++ flagCols: _*)
+        val std = SequentialChecks.withStandardColumns(
+          validated, col("file"), extra = flagCols)
         SequentialChecks(std,
           skipPaths.map(p => p -> col(RuleCompiler.skipFlagName(p))).toMap)
       } else {

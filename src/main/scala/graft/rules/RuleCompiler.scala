@@ -179,7 +179,11 @@ object RuleCompiler {
           .otherwise(pass(pathLbl))
 
       case FieldTypes.Decimal =>
-        val dec = value.try_cast(DecimalType(38, 10))
+        // scale 18: wide enough that boundary values with ≤18 fractional
+        // digits compare exactly against the limits like CPython's
+        // arbitrary-precision Decimal (a narrower scale would ROUND
+        // '45.00000000001' to the limit and flip the verdict)
+        val dec = value.try_cast(DecimalType(38, 18))
         // ", error: ..." reproduces CPython's InvalidOperation repr for a
         // syntax error — the only parse-failure class INI-driven data hits
         // (validator.py:215 embeds str(e))
@@ -197,7 +201,11 @@ object RuleCompiler {
         val limitChecks = (upper.toSeq ++ lower.toSeq)
           .reduceOption((a, b) => coalesce(a, b))
           .getOrElse(lit(null))
-        when(dec.isNull, parseFail).otherwise(coalesce(limitChecks, pass(pathLbl)))
+        // no limits ⇒ the reference's hasattr guards short-circuit BEFORE
+        // Decimal(value) is ever called (validator.py:210-213), so an
+        // unparseable value still PASSES a limit-less decimal rule
+        if (rule.upperLimit.isEmpty && rule.lowerLimit.isEmpty) pass(pathLbl)
+        else when(dec.isNull, parseFail).otherwise(coalesce(limitChecks, pass(pathLbl)))
 
       case FieldTypes.Timestamp =>
         val ts = parseTimestamp(value, rule.dateFormat)

@@ -56,9 +56,11 @@ object SequentialChecks {
   }
 
   /** Project an ODE-shaped DataFrame (metadata struct per FIXTURES.md §1)
-   *  to the standard sequential input columns. */
-  def withStandardColumns(df: DataFrame, fileCol: Column): DataFrame =
-    df.select(
+   *  to the standard sequential input columns, plus any `extra` columns
+   *  that must ride along (e.g. per-record skip flags). */
+  def withStandardColumns(df: DataFrame, fileCol: Column,
+                          extra: Seq[Column] = Nil): DataFrame =
+    df.select(Seq(
       fileCol.as(FileCol),
       col("metadata.serialId.serialNumber").try_cast("long").as(SerialNumber),
       col("metadata.serialId.bundleId").try_cast("long").as(BundleId),
@@ -66,7 +68,7 @@ object SequentialChecks {
       col("metadata.serialId.bundleSize").try_cast("long").as(BundleSize),
       date_trunc("second", try_to_timestamp(col("metadata.recordGeneratedAt"))).as(GeneratedAt),
       date_trunc("second", try_to_timestamp(col("metadata.odeReceivedAt"))).as(ReceivedAt),
-      col("metadata.logFileName").as(LogFileName))
+      col("metadata.logFileName").as(LogFileName)) ++ extra: _*)
 
   /**
    * Run all sequential checks.
@@ -93,8 +95,13 @@ object SequentialChecks {
       skips.get(path).map(c => coalesce(max(c).over(fileW), lit(false))).getOrElse(lit(false))
 
     val w = Window.partitionBy(FileCol).orderBy(SerialNumber)
+    // null-SAFE run segmentation: the reference compares raw bundleIds
+    // with Python == (None == None → same bundle, sequential.py:96-104);
+    // a null-unsafe =!= would nullify the comparison and silently make
+    // every null-bundleId record its own singleton bundle, disabling all
+    // pair checks for the file
     val runStart = when(
-      lag(col(BundleId), 1).over(w).isNull || col(BundleId) =!= lag(col(BundleId), 1).over(w), 1
+      !(col(BundleId) <=> lag(col(BundleId), 1).over(w)), 1
     ).otherwise(0)
 
     val seg = records

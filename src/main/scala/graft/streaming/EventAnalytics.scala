@@ -193,7 +193,13 @@ object EventAnalytics {
               else if (us - cur.lastUs >= gapUs) {
                 closed ::= Session(userId, us2ts(cur.startUs), us2ts(cur.lastUs), cur.n)
                 cur = SessionState(us, us, 1L)
-              } else cur = cur.copy(lastUs = math.max(cur.lastUs, us), n = cur.n + 1)
+              } else cur = cur.copy(
+                // a late-but-within-watermark event can EXTEND the open
+                // session backward across micro-batches; keeping only
+                // lastUs would emit a session_start later than the batch
+                // oracle's
+                startUs = math.min(cur.startUs, us),
+                lastUs = math.max(cur.lastUs, us), n = cur.n + 1)
             }
             state.update(cur)
             // close when the watermark passes last + gap

@@ -103,10 +103,15 @@ object StreamingPipeline {
       val om = e.progress.observedMetrics
       if (om.containsKey("graft_ingest")) {
         val r = om.get("graft_ingest")
+        // sum() observes NULL on a zero-row micro-batch — a bare getLong
+        // would NPE on the listener bus and drop exactly the anomalous
+        // batch's datum
+        def long(name: String): Long = {
+          val i = r.fieldIndex(name)
+          if (r.isNullAt(i)) 0L else r.getLong(i)
+        }
         buf.add(BatchMetrics(e.progress.batchId,
-          r.getLong(r.fieldIndex("n_records")),
-          r.getLong(r.fieldIndex("n_corrupt")),
-          r.getLong(r.fieldIndex("n_bytes"))))
+          long("n_records"), long("n_corrupt"), long("n_bytes")))
         ()
       }
     }

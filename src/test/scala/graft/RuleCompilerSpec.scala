@@ -65,12 +65,27 @@ class RuleCompilerSpec extends AnyFunSuite {
     assert(one(ini, """{"d":"89.99"}""")._2)
   }
 
-  test("decimal parse failure carries the CPython ConversionSyntax text") {
-    val ini = "[d]\nType = decimal\n"
-    val (_, valid, details) = one(ini, """{"d":"abc"}""")
+  test("decimal parse failure carries the CPython ConversionSyntax text — limits only") {
+    // verified against the live reference: with a limit, Decimal('abc')
+    // raises inside the guarded block → parse failure; with NO limits the
+    // hasattr guards short-circuit before Decimal() runs → PASS
+    // (validator.py:210-213)
+    val withLimit = "[d]\nType = decimal\nUpperLimit = 90\n"
+    val (_, valid, details) = one(withLimit, """{"d":"abc"}""")
     assert(!valid)
     assert(details ==
       "failure to perform decimal validation on abc, error: [<class 'decimal.ConversionSyntax'>]")
+    val noLimit = "[d]\nType = decimal\n"
+    assert(one(noLimit, """{"d":"abc"}""")._2) // reference passes this
+  }
+
+  test("decimal boundary compares exactly, not rounded to a narrow scale") {
+    val ini = "[d]\nType = decimal\nUpperLimit = 45\n"
+    // 11 fractional digits: a scale-10 cast would round to 45.0000000000
+    // and flip this verdict to pass (reference Decimal compares exactly)
+    val (_, valid, details) = one(ini, """{"d":"45.00000000001"}""")
+    assert(!valid && details == "Value '45' is greater than upper limit '45'")
+    assert(one(ini, """{"d":"45"}""")._2) // the boundary itself passes
   }
 
   // --- timestamp (validator.py:216-229) ----------------------------------

@@ -579,19 +579,28 @@ def main():
             continue
         path = f"{ROOT}/route/{key}"
         size = os.path.getsize(path)
-        # P5: fixed-mtime fixtures make LastModified deterministic
+        # P5: fixed-mtime fixtures make LastModified deterministic;
+        # isoformat() renders UTC as +00:00 like the reference's
+        # LastModified.isoformat() (never 'Z')
         lastmod = datetime.fromtimestamp(
-            os.path.getmtime(path), tz=timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+            os.path.getmtime(path), tz=timezone.utc).replace(microsecond=0).isoformat()
         segs = key.split("/")
         def kv(tag):
             for s in segs:
                 if s.startswith(tag + "="):
                     return s.split("=", 1)[1]
             return None
+        # the reference gates by dataset (bucket_event_lambda_handler.py):
+        # type=/table=/state= only for waze keys, positional
+        # DataProvider/DataType only for cv keys
+        is_waze = segs[0] == "waze"
+        is_cv = segs[0] == "cv"
         meta_rows.append((key, size, lastmod, segs[0],
-                          kv("type"), kv("table"), kv("state"),
-                          segs[1] if len(segs) > 2 else None,
-                          segs[2] if len(segs) > 2 else None,
+                          kv("type") if is_waze else None,
+                          kv("table") if is_waze else None,
+                          kv("state") if is_waze else None,
+                          segs[1] if is_cv and len(segs) > 2 else None,
+                          segs[2] if is_cv and len(segs) > 2 else None,
                           "test-env", len(records)))
     oracle["q_file_metadata"] = (
         "SELECT key, CAST(ContentLength AS BIGINT) AS ContentLength,\n"
