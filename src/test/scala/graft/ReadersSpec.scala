@@ -14,6 +14,22 @@ import graft.ingest.{Metadata, Readers}
 class ReadersSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("CRLF header line matches every column (Python strip() semantics, S8)") {
+    val dir = Files.createTempDirectory("graft-crlf").toFile
+    val f = new java.io.File(dir, "data.csv")
+    Files.writeString(f.toPath, "alpha,beta,gamma\r\n1,2,3\r\n")
+    val suite = graft.config.SuiteLoader.fromString(
+      "[_settings]\nDataType = csv\nSequential = False\nHasHeader = True\n\n" +
+        "[alpha]\nType = string\n\n[beta]\nType = string\n\n[gamma]\nType = string\n")
+    val checks = Readers.checkCsvHeaders(spark, f.getAbsolutePath, suite)
+      .select("cell", "matches").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // the last cell arrives as "gamma\r" — str.strip() equivalence must
+    // still match it (trim() alone leaves the \r and fails the column)
+    assert(checks.values.forall(identity), s"header mismatches: $checks")
+    assert(checks.size == 3)
+  }
+
   test("gz files auto-decompress with blank lines dropped (S4/S5/F13)") {
     val dir = Files.createTempDirectory("graft-gz").toFile
     val gz = new java.io.File(dir, "part.json.gz")

@@ -61,6 +61,26 @@ class SequentialChecksSpec extends AnyFunSuite {
     assert(!fails.exists(_._4.contains("recordId. Expected")))
   }
 
+  test("null bundleIds group as ONE bundle (Python None == None), pair checks run") {
+    import spark.implicits._
+    // the reference compares raw bundleIds with ==, so records whose
+    // bundleId is None form one bundle and a serial gap inside them MUST
+    // fail; a null-unsafe comparison would split them into singleton
+    // bundles and emit a clean sentinel instead
+    val df = Seq(
+      ("f", 100L, Option.empty[Long], 0L, 3L, 1, 1, Option("log")),
+      ("f", 105L, Option.empty[Long], 1L, 3L, 2, 2, Option("log")),
+      ("f", 106L, Option.empty[Long], 2L, 3L, 3, 3, Option("log")))
+      .map { case (f, s, b, r, sz, g, rc, lf) => (f, s, b, r, sz, ts(g), ts(rc), lf) }
+      .toDF(SequentialChecks.FileCol, SequentialChecks.SerialNumber,
+        SequentialChecks.BundleId, SequentialChecks.RecordId,
+        SequentialChecks.BundleSize, SequentialChecks.GeneratedAt,
+        SequentialChecks.ReceivedAt, SequentialChecks.LogFileName)
+    val fails = results(df).filter(!_._3)
+    assert(fails.map(_._4).contains(
+      "Detected incorrectly incremented serialNumber. Expected serialNumber '101' but got '105'"))
+  }
+
   test("serial gap inside a bundle fails; across islands it does not (W1/W3)") {
     val df = std(
       ("f", 100, 1, 0, 2, 1, 1, "log"),
