@@ -2,5 +2,6 @@ SELECT CAST(file AS VARCHAR) AS file, CAST(num_messages_total AS BIGINT) AS num_
 ('a1.json', 6, 116, 0, 0, 6),
 ('a2.json', 10, 209, 17, 7, 3),
 ('a3.json', 4, 70, 2, 2, 2),
-('a4.json.gz', 4, 70, 0, 0, 4)
+('a4.json.gz', 4, 70, 0, 0, 4),
+('a5.json', 4, 70, 4, 4, 0)
 ) AS t(file, num_messages_total, num_validations, num_errors, num_error_messages, num_valid)

@@ -76,6 +76,6 @@ class StreamingPipelineSpec extends AnyFunSuite {
     // second run: checkpoint already covers every input file
     StreamingPipeline.runAvailableNow(spark, glob, suite, s"$tmp/out", s"$tmp/ckpt")
     val n2 = spark.read.parquet(s"$tmp/out/file_totals").count()
-    assert(n1 == 4 && n2 == 4)
+    assert(n1 == 5 && n2 == 5) // one totals row per fixture file, run twice
   }
 }

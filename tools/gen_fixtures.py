@@ -391,11 +391,21 @@ FILE_A4 = [  # gzipped file (S4): clean 3-record bundle
     for i in range(3)
 ]
 
+FILE_A5 = [  # null bundleIds: Python None == None -> ONE bundle
+    # (sequential.py:96-104), so the serial gap 501->505 must fail INSIDE
+    # it; a null-unsafe bundle comparison would split singletons and pass.
+    # Field-validation side: bundleId null -> 'Field missing' per record.
+    rec(500, None, 0, 3, T.format(52), T.format(53)),
+    rec(501, None, 1, 3, T.format(53), T.format(54)),
+    rec(505, None, 2, 3, T.format(54), T.format(55)),
+]
+
 
 def main():
     import gzip
     write(f"{ROOT}/odejson/suite.ini", ODE_CONFIG)
-    for name, records in [("a1", FILE_A1), ("a2", FILE_A2), ("a3", FILE_A3)]:
+    for name, records in [("a1", FILE_A1), ("a2", FILE_A2), ("a3", FILE_A3),
+                          ("a5", FILE_A5)]:
         lines = [json.dumps(r, separators=(",", ":")) for r in records]
         if name == "a2":  # blank + whitespace-only lines are skipped
             # (cvp_bucket_event_lambda_handler.py:45,52 — F13)
@@ -440,7 +450,7 @@ def main():
     totals_rows = []      # (file, num_messages_total, num_validations, num_errors, num_error_messages, num_valid)
     hist_rows = []        # (file, error_message, occurrences)
     import gzip as _gzip
-    for fname in ["a1.json", "a2.json", "a3.json", "a4.json.gz"]:
+    for fname in ["a1.json", "a2.json", "a3.json", "a4.json.gz", "a5.json"]:
         path = f"{ROOT}/odejson/data/{fname}"
         raw = (_gzip.open(path, "rt").read() if fname.endswith(".gz")
                else open(path).read())
@@ -618,7 +628,7 @@ def main():
     # (file_size is the on-disk — compressed for .gz — size, like S3
     # ContentLength for a gzipped object)
     s5_rows = []
-    for fname in ["a1.json", "a2.json", "a3.json", "a4.json.gz"]:
+    for fname in ["a1.json", "a2.json", "a3.json", "a4.json.gz", "a5.json"]:
         p = f"{ROOT}/odejson/data/{fname}"
         raw = (_gzip.open(p, "rt").read() if fname.endswith(".gz")
                else open(p).read())
