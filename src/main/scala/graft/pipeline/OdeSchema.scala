@@ -78,4 +78,37 @@ object OdeSchema {
     // payload is opaque to rules; retained raw for the report sink
     // (result.py:20-23 keeps the whole record)
     StructField("payload", StringType)))
+
+  /**
+   * Extend a base schema with every (static) dotted rule path a suite
+   * addresses, as nullable StringType leaves. The reference parses the
+   * whole JSON dynamically, so its effective schema IS the rule config —
+   * a fixed authored schema would silently null out any field a custom
+   * suite validates (surfacing as a spurious 'Field missing'). Dynamic
+   * `{i}` list paths are skipped: their base arrays must be authored.
+   */
+  def withRulePaths(base: StructType, paths: Seq[String]): StructType =
+    paths.filterNot(_.contains("{")).foldLeft(base) { (st, p) =>
+      insert(st, p.split('.').toList)
+    }
+
+  private def insert(st: StructType, ps: List[String]): StructType = ps match {
+    case Nil => st
+    case leaf :: Nil =>
+      if (st.fieldNames.contains(leaf)) st
+      else StructType(st.fields :+ StructField(leaf, StringType))
+    case head :: rest =>
+      val idx = st.fields.indexWhere(_.name == head)
+      if (idx == -1) {
+        val nested = rest.init.foldRight(
+          StructType(Seq(StructField(rest.last, StringType))))(
+          (n, acc) => StructType(Seq(StructField(n, acc))))
+        StructType(st.fields :+ StructField(head, nested))
+      } else st.fields(idx).dataType match {
+        case inner: StructType =>
+          StructType(st.fields.updated(idx,
+            st.fields(idx).copy(dataType = insert(inner, rest))))
+        case _ => st // collides with a non-struct field: leave authored type
+      }
+  }
 }

@@ -58,7 +58,11 @@ object Routing {
       : Map[String, ValidationPipeline.Result] = {
     val suites = loadSuites(root, prefixes)
     suites.map { case (prefix, suite) =>
-      val records = graft.ingest.Readers.ndjson(spark, s"$root/$prefix/*/*", OdeSchema.record)
+      // schema = authored base + whatever this suite's rules address
+      // (custom fields would otherwise null out as 'Field missing')
+      val schema = OdeSchema.withRulePaths(
+        OdeSchema.record, suite.scalarRules.map(_.path))
+      val records = graft.ingest.Readers.ndjson(spark, s"$root/$prefix/*/*", schema)
         .filter(Routing.isBelowPrefixRoot(
           graft.ingest.Metadata.keyColumn(col("file"), root), lit(prefix)))
       val validated = ValidationPipeline.validateRecords(records, suite)

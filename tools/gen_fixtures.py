@@ -358,6 +358,23 @@ LowerLimit = 0
 """
 
 
+ROUTE_SUITE_EDGE = """[_settings]
+DataType = json
+Sequential = False
+
+[metadata.recordType]
+Type = string
+EqualsValue = "free-form"
+
+[metadata.score]
+Type = decimal
+
+[metadata.serialId.serialNumber]
+Type = decimal
+LowerLimit = 0
+"""
+
+
 def route_rec(serial, rtype):
     return {"metadata": {"recordType": rtype,
                          "serialId": {"serialNumber": serial}}, "payload": "p"}
@@ -367,13 +384,22 @@ ROUTE_FILES = {
     "cv/provider1/bsm/2020/r1.json": [route_rec(1, "bsmTx"), route_rec(2, "rxMsg")],
     "cv/provider1/bsm/rootfile.json": [route_rec(3, "bsmTx")],  # at prefix root: skipped
     "cv/provider2/tim/2021/r2.json": [route_rec(4, "dnMsg"), route_rec(5, "bsmTx")],
+    # rule-semantics edges, reference-pinned: a STRING EqualsValue still
+    # runs the unconditional checks (Python Iterable branch) and a
+    # limit-less decimal passes unparseable values (hasattr short-circuit)
+    "cv/provider3/edge/2022/r3.json": [
+        {"metadata": {"recordType": "anything-goes", "score": "abc",
+                      "serialId": {"serialNumber": 10}}, "payload": "p"},
+        {"metadata": {"score": "1.5",
+                      "serialId": {"serialNumber": 11}}, "payload": "p"},
+    ],
     "other/x/y/z.json": [route_rec(6, "dnMsg")],  # unmatched prefix: skipped
     # waze-style hive key exercising the P2 projections:
     "waze/type=alerts/table=t1/state=CO/w1.json": [route_rec(7, "dnMsg"),
                                                    route_rec(8, "dnMsg"),
                                                    route_rec(9, "dnMsg")],
 }
-ROUTE_PREFIXES = ["cv/provider1/bsm", "cv/provider2/tim"]
+ROUTE_PREFIXES = ["cv/provider1/bsm", "cv/provider2/tim", "cv/provider3/edge"]
 
 
 # ---------------------------------------------------------------------------
@@ -424,6 +450,7 @@ def main():
 
     write(f"{ROOT}/route/cv/provider1/bsm/config.ini", ROUTE_SUITE_BSM)
     write(f"{ROOT}/route/cv/provider2/tim/config.ini", ROUTE_SUITE_TIM)
+    write(f"{ROOT}/route/cv/provider3/edge/config.ini", ROUTE_SUITE_EDGE)
     # fixed, per-file mtimes so LastModified (P5) is oracle-checkable
     ROUTE_MTIME_BASE = 1705320000  # 2024-01-15T12:00:00Z
     for i, (key, records) in enumerate(sorted(ROUTE_FILES.items())):
@@ -517,7 +544,8 @@ def main():
     # --- fixture C: routed pipeline per prefix
     route_rows = []  # (file, serial_number, field_path, valid, details)
     for prefix, cfg in [("cv/provider1/bsm", "cv/provider1/bsm/config.ini"),
-                        ("cv/provider2/tim", "cv/provider2/tim/config.ini")]:
+                        ("cv/provider2/tim", "cv/provider2/tim/config.ini"),
+                        ("cv/provider3/edge", "cv/provider3/edge/config.ini")]:
         for key, records in ROUTE_FILES.items():
             if not key.startswith(prefix):
                 continue
