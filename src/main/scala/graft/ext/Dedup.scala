@@ -55,6 +55,39 @@ object Dedup {
   def charShingles(text: Column, n: Int): Column =
     graft.functions.GraftFunctions.graftCharShingles(text, n)
 
+  /**
+   * Benchmark decontamination — the standard pre-training hygiene stage:
+   * flag every corpus document sharing ≥ `minOverlap` distinct word
+   * n-grams with the evaluation set, so eval data can be dropped from
+   * the training corpus.
+   *
+   * Scale shape: the eval side is distinct shingles only (eval sets are
+   * tiny next to the corpus) and BROADCAST, so the corpus is scanned
+   * once, exploded to (doc, shingle), hash-joined in place and
+   * re-aggregated on doc id — no corpus shuffle by shingle, no skew
+   * exposure to hot shingles (the join key lives on the broadcast side).
+   *
+   * Returns (id, n_overlap, contaminated) for every corpus document.
+   */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+                    textCol: String, idCol: String,
+                    n: Int = 3, minOverlap: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val evalShingles = evalSet
+      .select(explode(wordShingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    val overlaps = corpus
+      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("shingle"))
+      .join(broadcast(evalShingles), Seq("shingle"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_overlap")) // shingles are distinct per doc
+    corpus.select(col(idCol).as("id"))
+      .join(overlaps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
   // ------------------------------------------------------------------
   // n-gram Jaccard near-dup (exact, join-based)
   // ------------------------------------------------------------------

@@ -123,6 +123,19 @@ object TextAnalysis {
       regexp_replace(c, pat, repl)
     }
 
+  /** Repetition ratio over word n-grams: 1 − distinct/total (0 = no
+   *  repetition) — the cheap boilerplate/spam signal corpus filters cut
+   *  on. Total n-grams is the closed form max(words − n + 1, 0); the
+   *  distinct count reuses the native shingle expression. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val words = when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(lower(text)), "\\s+")))
+    val total = greatest(words - (n - 1), lit(0))
+    val distinctN = size(graft.functions.GraftFunctions.graftWordShingles(text, n))
+    when(total === 0, 0.0)
+      .otherwise(lit(1.0) - distinctN.cast("double") / total.cast("double"))
+  }
+
   /** Per-category PII hit counts as (name -> count) columns. */
   def piiCounts(text: Column): Seq[(String, Column)] =
     piiPatterns.map { case (name, pat, _) =>
