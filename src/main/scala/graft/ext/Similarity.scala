@@ -272,6 +272,10 @@ object Similarity {
     // overhead); batched, the iteration count is independent of m.
     val sliceArr = array((0 until m).map(j =>
       slice(col(corpusVec), j * subDim + 1, subDim)): _*)
+    // NOT persisted: each Lloyd iteration re-derives subs, but the
+    // scan+explode is cheap next to the aggregates, and caching these
+    // rows measured SLOWER (18s vs 8s at sf0.1 — the InMemoryRelation
+    // barrier costs more than the recomputation it saves)
     val subs = corpus.select(col(corpusId).as("id"),
       posexplode(sliceArr).as(Seq("subspace", "sv")))
 
