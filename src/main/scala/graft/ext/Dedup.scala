@@ -102,24 +102,27 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxDocFreq: Long = 1000L): DataFrame = {
-    val shingled = df.select(col(idCol).as("id"),
-      wordShingles(col(textCol), n).as("shingles"))
-      .withColumn("set_size", size(col("shingles")))
+    // Set sizes must cover exactly the shingles that reach the join: when
+    // the stop-shingle guard filters, sizes are recomputed AFTER the
+    // filter (a pre-filter denominator against a post-filter intersection
+    // would underestimate similarity for every doc containing a hot
+    // shingle — two identical docs could fall below threshold). Without
+    // the guard, sizes come free from the shingle arrays, no extra pass.
+    val sized =
+      if (maxDocFreq == Long.MaxValue)
+        df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("shingles"))
+          .withColumn("set_size", size(col("shingles")))
+          .select(col("id"), col("set_size"), explode(col("shingles")).as("shingle"))
+      else
+        df.select(col(idCol).as("id"),
+            explode(wordShingles(col(textCol), n)).as("shingle"))
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+          .filter(col("df") <= maxDocFreq)
+          .drop("df")
+          .withColumn("set_size", count(lit(1)).over(Window.partitionBy(col("id"))))
 
-    val exploded = shingled
-      .select(col("id"), col("set_size"), explode(col("shingles")).as("shingle"))
-
-    // stop-shingle skew guard; disabled (Long.MaxValue) skips the whole
-    // doc-frequency pass rather than shuffling for a no-op filter
-    val rare =
-      if (maxDocFreq == Long.MaxValue) exploded
-      else exploded
-        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-        .filter(col("df") <= maxDocFreq)
-        .drop("df")
-
-    val a = rare.select(col("id").as("id_a"), col("set_size").as("size_a"), col("shingle"))
-    val b = rare.select(col("id").as("id_b"), col("set_size").as("size_b"), col("shingle"))
+    val a = sized.select(col("id").as("id_a"), col("set_size").as("size_a"), col("shingle"))
+    val b = sized.select(col("id").as("id_b"), col("set_size").as("size_b"), col("shingle"))
     a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
@@ -358,7 +361,10 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
     val chunks = maxHamming + 1
     val width = (64 + chunks - 1) / chunks
-    val mask = (1L << width) - 1
+    // maxHamming=0 gives width=64, where (1L << 64) wraps to 1 (JVM
+    // shifts mod 64) and the mask would zero every chunk — all docs in
+    // one bucket, exactly the O(n²) degeneration this bucketing prevents
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = simhashSignatures(df, textCol, idCol)
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until chunks).map(i =>

@@ -73,8 +73,10 @@ object Multimodal {
       lit(1.0))
     media.withColumn("meta", struct(
       col("meta.kind"), col("meta.format"),
-      ceil(col("meta.width") * scale).cast("int").as("width"),
-      ceil(col("meta.height") * scale).cast("int").as("height"),
+      // round, not ceil: must agree with resizeWithCodec's math.round so
+      // the metadata geometry matches the actually re-encoded image
+      greatest(round(col("meta.width") * scale).cast("int"), lit(1)).as("width"),
+      greatest(round(col("meta.height") * scale).cast("int"), lit(1)).as("height"),
       col("meta.sample_rate"), col("meta.duration_ms")))
   }
 
@@ -161,7 +163,10 @@ object Multimodal {
           val img =
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(Option(bytes).getOrElse(Array.emptyByteArray)))
-            catch { case _: java.io.IOException => null }
+            // NonFatal, not just IOException: ImageIO plugins throw
+            // RuntimeExceptions on corrupt data, and one bad object must
+            // be data, not a crashed partition
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) ResizedImage(id, null, -1, -1)
           else {
             val scale = math.min(1.0,
@@ -191,7 +196,8 @@ object Multimodal {
     bytes => {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        // NonFatal: corrupt data throws RuntimeExceptions from plugins
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) (-1, 0L)
       else {
         val w = img.getWidth

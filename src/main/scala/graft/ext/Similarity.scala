@@ -97,6 +97,10 @@ object Similarity {
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, planes: Int = 12, probeBits: Int = 1,
               tables: Int = 1): DataFrame = {
+    // only single-bit probing is implemented; silently accepting larger
+    // values would make a recall-tuning sweep on this knob a no-op
+    require(probeBits >= 0 && probeBits <= 1,
+      s"probeBits must be 0 or 1 (multi-bit probing not implemented), got $probeBits")
     val corpusSigs = (0 until tables).map(t =>
       struct(lit(t).as("t"),
         hyperplaneSignature(col(corpusVec), planes, seed = t.toLong).as("b")))

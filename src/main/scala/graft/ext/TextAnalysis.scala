@@ -49,7 +49,9 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "en", "que", "qui", "dans", "pour", "pas", "sur"),
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "他", "就", "人", "都", "一", "个"))
 
-  /** Fraction of tokens that are known stopwords of `lang`. */
+  /** Fraction of DISTINCT words that are known stopwords of `lang` —
+   *  a vocabulary-level signal (deliberately insensitive to repetition;
+   *  [[repetitionRatio]] covers that axis). */
   def stopwordRatio(text: Column, lang: String = "en"): Column = {
     val words = split(trim(lower(text)), "\\s+")
     val stops = array(stopwords(lang).map(lit): _*)

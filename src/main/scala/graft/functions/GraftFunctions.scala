@@ -58,36 +58,43 @@ object GraftFunctions {
 
   // ---- SQL registration ----------------------------------------------
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "", "", "", "math_funcs", "", "", "internal")
+  private def info(name: String, usage: String, clazz: Class[_]) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "", "", "", "math_funcs", "", "", "internal")
+
+  /** SQL integer literals arrive as boxed Integer; a blind Long cast
+   *  would throw on the natural `graft_hyperplane(v, 16, 42)` spelling. */
+  private def asLong(e: Expression): Long = e.eval() match {
+    case n: Number => n.longValue()
+    case other => throw new IllegalArgumentException(s"expected a numeric literal, got $other")
+  }
 
   /** (name, info, builder) triples — scalar functions only; the typed
    *  aggregates stay DataFrame-side (their `k` is a constructor param). */
   private[functions] val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
     (FunctionIdentifier("graft_dot"),
-      info("graft_dot", "graft_dot(a, b) - dot product of two numeric arrays in double"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two numeric arrays in double", classOf[DotProduct]),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     (FunctionIdentifier("graft_cosine"),
-      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two numeric arrays"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two numeric arrays", classOf[CosineSimilarity]),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
     (FunctionIdentifier("graft_hyperplane"),
-      info("graft_hyperplane", "graft_hyperplane(vec, planes, seed) - packed hyperplane LSH sign bits"),
+      info("graft_hyperplane", "graft_hyperplane(vec, planes, seed) - packed hyperplane LSH sign bits", classOf[HyperplaneSignature]),
       (children: Seq[Expression]) => {
-        val planes = children(1).eval().asInstanceOf[Int]
-        val seed = children.lift(2).map(_.eval().asInstanceOf[Long]).getOrElse(0L)
+        val planes = asLong(children(1)).toInt
+        val seed = children.lift(2).map(asLong).getOrElse(0L)
         HyperplaneSignature(children(0), planes, seed)
       }),
     (FunctionIdentifier("graft_array_get"),
-      info("graft_array_get", "graft_array_get(arr, i) - 0-based element, null out of bounds"),
+      info("graft_array_get", "graft_array_get(arr, i) - 0-based element, null out of bounds", classOf[SafeArrayGet]),
       (children: Seq[Expression]) => SafeArrayGet(children(0), children(1))),
     (FunctionIdentifier("graft_word_shingles"),
-      info("graft_word_shingles", "graft_word_shingles(text, n) - distinct word n-gram shingles of lower(text)"),
-      (children: Seq[Expression]) => WordShingles(children(0), children(1).eval().asInstanceOf[Int])),
+      info("graft_word_shingles", "graft_word_shingles(text, n) - distinct word n-gram shingles of lower(text)", classOf[WordShingles]),
+      (children: Seq[Expression]) => WordShingles(children(0), asLong(children(1)).toInt)),
     (FunctionIdentifier("graft_char_shingles"),
-      info("graft_char_shingles", "graft_char_shingles(text, n) - distinct char n-gram shingles of lower(text)"),
-      (children: Seq[Expression]) => CharShingles(children(0), children(1).eval().asInstanceOf[Int])),
+      info("graft_char_shingles", "graft_char_shingles(text, n) - distinct char n-gram shingles of lower(text)", classOf[CharShingles]),
+      (children: Seq[Expression]) => CharShingles(children(0), asLong(children(1)).toInt)),
     (FunctionIdentifier("graft_gunzip_text"),
-      info("graft_gunzip_text", "graft_gunzip_text(bytes) - magic-byte-sniffing gzip decode to string"),
+      info("graft_gunzip_text", "graft_gunzip_text(bytes) - magic-byte-sniffing gzip decode to string", classOf[GunzipText]),
       (children: Seq[Expression]) => GunzipText(children(0))))
 
   /** Register on a live session (post-build). */

@@ -175,7 +175,14 @@ object AsOf {
         spark.experimental.extraOptimizations :+ LowerAsOfJoin
 
     val lp = GraftBridge.analyzed(left)
-    val rp = GraftBridge.analyzed(right)
+    val rp0 = GraftBridge.analyzed(right)
+    // self-join: both sides of the SAME analyzed plan share exprIds, and
+    // AsOfJoin.output would carry duplicates (ambiguous downstream
+    // resolution). Re-alias the right side under fresh ids, like Spark's
+    // own join dedup.
+    val rp: LogicalPlan =
+      if (lp.outputSet.intersect(rp0.outputSet).isEmpty) rp0
+      else Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(

@@ -128,18 +128,41 @@ private[sources] case class LinesReaderFactory(
       private var line: String = _
       private var no = 0L
 
+      // per-reader precomputed column codes + one reused value buffer:
+      // the per-LINE hot path must not re-dispatch on field-name strings
+      // or allocate a Seq per row (this source exists for 100 TB scans)
+      private val VALUE = 0; private val FILE = 1; private val SIZE = 2; private val LINE_NO = 3
+      private val codes: Array[Int] = fields.map {
+        case "value" => VALUE
+        case "file" => FILE
+        case "file_size" => SIZE
+        case "line_no" => LINE_NO
+      }
+      private val values = new Array[Any](codes.length)
+      // constant columns never change; fill once
+      codes.indices.foreach { i =>
+        if (codes(i) == FILE) values(i) = fileUtf8
+        if (codes(i) == SIZE) values(i) = p.size
+      }
+      private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+
       override def next(): Boolean = {
         line = reader.readLine()
         if (line != null) { no += 1; true } else false
       }
 
-      override def get(): InternalRow = InternalRow.fromSeq(
-        fields.toSeq.map {
-          case "value" => UTF8String.fromString(line)
-          case "file" => fileUtf8
-          case "file_size" => p.size
-          case "line_no" => no
-        })
+      override def get(): InternalRow = {
+        var i = 0
+        while (i < codes.length) {
+          codes(i) match {
+            case VALUE => values(i) = UTF8String.fromString(line)
+            case LINE_NO => values(i) = no
+            case _ => ()
+          }
+          i += 1
+        }
+        row
+      }
 
       override def close(): Unit = reader.close()
     }

@@ -76,6 +76,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == Map("L1" -> null, "LN" -> null))
   }
 
+  test("self as-of join: shared exprIds are deduplicated, no ambiguity") {
+    val ev = Seq(("a", 10L, 1L), ("a", 20L, 2L), ("a", 30L, 3L))
+      .toDF("k", "t", "id")
+    // same DataFrame on both sides: each event matched to itself or the
+    // latest event at-or-before it (here: itself, since times are equal)
+    val got = AsOf.joinAsOf(ev, ev.withColumnRenamed("k", "rk")
+          .withColumnRenamed("t", "rt").withColumnRenamed("id", "rid"),
+        "t", "rt", Seq("k" -> "rk"))
+      .select("id", "rid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // the raw self-join path (no renames) must also resolve cleanly
+    val self = AsOf.joinAsOf(ev, ev, "t", "t", Seq("k" -> "k"))
+    assert(self.columns.length == 6 && self.count() == 3)
+  }
+
   test("key type mismatch fails fast at construction") {
     val l = Seq((1, 10L)).toDF("k", "lt")
     val r = Seq((1L, 5L)).toDF("rk", "rt")

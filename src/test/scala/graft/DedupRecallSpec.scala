@@ -55,6 +55,36 @@ class DedupRecallSpec extends AnyFunSuite {
     assert(capped.nonEmpty)
   }
 
+  test("stop-shingle filter keeps Jaccard internally consistent (identical docs stay 1.0)") {
+    // 'x0 x1 x2' .. appears in EVERY doc (hot shingle, filtered at
+    // maxDocFreq=3); docs 1 and 2 are identical — with a pre-filter
+    // denominator their similarity would drop below 1.0
+    val common = "x0 x1 x2 x3"
+    val docsDf = Seq(
+      (1L, s"$common alpha beta gamma delta"),
+      (2L, s"$common alpha beta gamma delta"),
+      (3L, s"$common unrelated words only here"),
+      (4L, s"$common more unrelated material again"),
+      (5L, s"$common and still different stuff"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docsDf, "text", "doc_id",
+        n = 3, threshold = 0.99, maxDocFreq = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 == 1.0)
+  }
+
+  test("simhash maxHamming=0 buckets on the full signature, not a zeroed mask") {
+    val docsDf = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // identical -> same sig
+      (3L, "completely different text goes here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDuplicates(docsDf, "text", "doc_id", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // exact-signature pair found, no blowup
+  }
+
   test("duplicateComponents merges chains the pair list never emitted directly") {
     // path graph 1-2-3-4 plus isolated pair 10-11: one 4-cluster, one 2-cluster
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
