@@ -14,15 +14,7 @@ object BenchValidation {
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/root/repo/target/refbench/data.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(cpus)
     val suite = SuiteLoader.fromFile("/root/repo/fixtures/odejson/suite.ini")
 
     // warm the JVM/codegen once so the measured pass times the ENGINE,

@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One local-session recipe for every driver-contract main (Verify,
+  * Bench, BenchValidation, PlanAudit) — a config fix applied here (e.g.
+  * a new required legacy flag) cannot silently diverge between the
+  * correctness gate and the benchmark. UTC, classic (non-ANSI) casts,
+  * TIMESTAMP(NANOS) surfaced as long. */
+object GraftSession {
+  def local(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

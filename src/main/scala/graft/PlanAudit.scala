@@ -12,14 +12,7 @@ object PlanAudit {
       "q1_agg", "q_join_revenue", "q_ode_field_validations",
       "q_ode_sequential", "q_events_sequential", "q_file_totals_parquet",
       "q_dedup_exact", "q_minhash_pairs", "q_ann_lsh", "q_topk_orders")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     spark.sparkContext.setLogLevel("ERROR")
     val exec = sys.env.get("PLAN_EXEC").contains("1")
     names.foreach { n =>

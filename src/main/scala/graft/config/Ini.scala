@@ -40,7 +40,15 @@ object Ini {
         else rawLine
       noComment match {
         case l if l.trim.isEmpty =>
-          lastKey = None // blank line ends a multi-line value
+          // configparser default (empty_lines_in_values=True): a blank or
+          // comment line INSIDE a multi-line value keeps the value going
+          // (recorded as an empty line; trailing empties stripped below) —
+          // resetting here would silently truncate wrapped JSON values
+          if (lastKey.isDefined && current.isDefined) {
+            val sec = current.get; val key = lastKey.get
+            sections = sections.updated(sec,
+              sections(sec).updated(key, sections(sec)(key) + "\n"))
+          }
         case SectionRe(name) =>
           current = Some(name.trim)
           lastKey = None
@@ -59,24 +67,33 @@ object Ini {
         case _ => // stray line outside a section — ignore
       }
     }
-    interpolateAll(IniFile(sections))
+    // configparser strips trailing empty lines from values
+    val trimmed = sections.map { case (sec, kvs) =>
+      sec -> kvs.map { case (k, v) => k -> v.replaceAll("\\n+$", "") }
+    }
+    interpolateAll(IniFile(trimmed))
   }
 
   /** Resolve `${Key}` / `${section:Key}` recursively (depth-capped). */
   private def interpolateAll(ini: IniFile): IniFile = {
     val Ref = """\$\{([^}]+)\}""".r
     def resolve(section: String, value: String, depth: Int): String = {
-      if (depth > 10 || !value.contains("${")) value
-      else Ref.replaceAllIn(value, m => {
-        val ref = m.group(1)
-        val (sec, key) =
-          if (ref.contains(":")) { val Array(s, k) = ref.split(":", 2); (s, k) }
-          else (section, ref)
-        val replacement = ini.get(sec, key)
-          .map(v => resolve(sec, v, depth + 1))
-          .getOrElse(m.matched)
-        java.util.regex.Matcher.quoteReplacement(replacement)
-      })
+      // ExtendedInterpolation's '$$' escape: sentinel it out BEFORE ref
+      // matching so '$${x}' yields the literal '${x}', restore at top
+      val esc = value.replace("$$", "\u0000")
+      val out =
+        if (depth > 10 || !esc.contains("${")) esc
+        else Ref.replaceAllIn(esc, m => {
+          val ref = m.group(1)
+          val (sec, key) =
+            if (ref.contains(":")) { val Array(s, k) = ref.split(":", 2); (s, k) }
+            else (section, ref)
+          val replacement = ini.get(sec, key)
+            .map(v => resolve(sec, v, depth + 1))
+            .getOrElse(m.matched)
+          java.util.regex.Matcher.quoteReplacement(replacement)
+        })
+      if (depth == 0) out.replace("\u0000", "$") else out
     }
     IniFile(ini.sections.map { case (sec, kvs) =>
       sec -> kvs.map { case (k, v) => k -> resolve(sec, v, 0) }

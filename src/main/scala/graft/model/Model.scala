@@ -107,6 +107,19 @@ final case class ValidationSuite(
     rules: Seq[FieldRule]) {
   def scalarRules: Seq[FieldRule] = rules.filterNot(_.isListRule)
   def listRules: Seq[FieldRule] = rules.filter(_.isListRule)
+
+  /** Every static dotted path the suite's rules READ — the rule targets
+   *  plus cross-field condition references (`ifPart.fieldName`,
+   *  `thenPart.startsWithField`) and choice children. The read schema
+   *  must cover all of them or conditions silently evaluate against
+   *  null (see OdeSchema.withRulePaths). */
+  def referencedPaths: Seq[String] =
+    rules.flatMap { r =>
+      Seq(r.path) ++
+        r.conditions.flatMap(c =>
+          c.ifPart.fieldName +: c.thenPart.flatMap(_.startsWithField).toList) ++
+        r.choices.map(c => s"${r.path}.$c")
+    }.distinct
 }
 
 /** Per-field verdict (result.py:6-18). */

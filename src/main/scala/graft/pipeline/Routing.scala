@@ -34,14 +34,16 @@ object Routing {
     (size(split(key, "/")) - 1) > (size(split(prefix, "/")) - 1) + 1
 
   /** Route assignment: adds `route_prefix` (null = unmatched) and
-   *  `routable` (matched AND below the prefix root AND not the config file
-   *  itself). */
+   *  `routable` (matched AND below the prefix root AND not the loaded
+   *  suite file itself). Only `<prefix>/config.ini` is special — a
+   *  config.ini nested deeper is ordinary data to the reference, and
+   *  `runRouted`'s glob does process it; flag and pipeline must agree. */
   def assignRoutes(df: DataFrame, key: Column, prefixes: Seq[String]): DataFrame = {
     val prefix = matchedPrefix(key, prefixes)
     df.withColumn("route_prefix", prefix)
       .withColumn("routable",
         prefix.isNotNull && isBelowPrefixRoot(key, prefix) &&
-          !key.endsWith("/config.ini"))
+          key =!= concat(prefix, lit("/config.ini")))
   }
 
   /** Load `<root>/<prefix>/config.ini` per prefix (driver-side, once per
@@ -58,10 +60,11 @@ object Routing {
       : Map[String, ValidationPipeline.Result] = {
     val suites = loadSuites(root, prefixes)
     suites.map { case (prefix, suite) =>
-      // schema = authored base + whatever this suite's rules address
-      // (custom fields would otherwise null out as 'Field missing')
+      // schema = authored base + every path this suite's rules READ —
+      // targets AND condition references (custom fields would otherwise
+      // null out as 'Field missing' / never-firing conditions)
       val schema = OdeSchema.withRulePaths(
-        OdeSchema.record, suite.scalarRules.map(_.path))
+        OdeSchema.record, suite.referencedPaths)
       val records = graft.ingest.Readers.ndjson(spark, s"$root/$prefix/*/*", schema)
         .filter(Routing.isBelowPrefixRoot(
           graft.ingest.Metadata.keyColumn(col("file"), root), lit(prefix)))

@@ -32,9 +32,14 @@ object ValidationPipeline {
 
   /** Validate parsed records that already carry a `file` column. */
   def validateRecords(records: DataFrame, suite: ValidationSuite): DataFrame = {
+    // reader-internal columns are hidden from the rule compiler — UNLESS
+    // the suite itself addresses the name (a positional-CSV rule section
+    // named [value] is legal in the reference and owns that column)
+    val reserved = Set("file", "file_size", "file_modification_time", "value",
+      "route_prefix", "routable") --
+      suite.scalarRules.map(_.path).filterNot(_.contains('.')).toSet
     val schema = StructType(records.schema.fields.filterNot(f =>
-      Set("file", "file_size", "file_modification_time", "value",
-        "route_prefix", "routable").contains(f.name)))
+      reserved.contains(f.name)))
     val skips = RuleCompiler.skipFlagColumns(suite, schema)
     val withSkips = skips.foldLeft(records) { case (df, (path, c)) =>
       df.withColumn(RuleCompiler.skipFlagName(path), c)

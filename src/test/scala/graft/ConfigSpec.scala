@@ -14,6 +14,34 @@ class ConfigSpec extends AnyFunSuite {
   private lazy val csvCfg = SuiteLoader.fromFile(s"$ref/csvconfig_2.ini")
   private lazy val jsonCfg = SuiteLoader.fromFile(s"$ref/jsontestconfig_2.ini")
 
+  test("blank and comment lines inside a multi-line value keep it going (configparser)") {
+    val ini = Ini.parse(
+      """[s]
+        |K = {"a": 1,
+        |
+        |# wrapped json may carry comments
+        |  "b": 2}
+        |Next = x
+        |""".stripMargin)
+    // the value continues across the blank + comment lines — configparser
+    // records one empty line for EACH (blank and stripped comment), and
+    // trailing empties are dropped; a reset would truncate at '{"a": 1,'
+    assert(ini.get("s", "K").contains("{\"a\": 1,\n\n\n\"b\": 2}"))
+    assert(ini.get("s", "Next").contains("x"))
+  }
+
+  test("$$ escapes to a literal dollar; $${x} is never interpolated") {
+    val ini = Ini.parse(
+      """[s]
+        |Price = 5$$
+        |Raw = $${NotARef}
+        |Ref = ${Price}!
+        |""".stripMargin)
+    assert(ini.get("s", "Price").contains("5$"))
+    assert(ini.get("s", "Raw").contains("${NotARef}"))
+    assert(ini.get("s", "Ref").contains("5$!"))
+  }
+
   test("config_2 settings: json, non-sequential") {
     assert(config2.dataType == "json")
     assert(!config2.sequential)
