@@ -115,10 +115,13 @@ final case class ValidationSuite(
    *  null (see OdeSchema.withRulePaths). */
   def referencedPaths: Seq[String] =
     rules.flatMap { r =>
-      Seq(r.path) ++
+      // a choice rule's target is an OBJECT holding its children — emit
+      // the child paths (their parent struct materializes implicitly); a
+      // bare leaf first would block the struct insertion
+      (if (r.choices.nonEmpty) r.choices.map(c => s"${r.path}.$c")
+       else Seq(r.path)) ++
         r.conditions.flatMap(c =>
-          c.ifPart.fieldName +: c.thenPart.flatMap(_.startsWithField).toList) ++
-        r.choices.map(c => s"${r.path}.$c")
+          c.ifPart.fieldName +: c.thenPart.flatMap(_.startsWithField).toList)
     }.distinct
 }
 

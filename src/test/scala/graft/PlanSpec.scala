@@ -98,4 +98,13 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_stream_interval_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q_decontaminate: eval shingles broadcast — corpus never shuffles by shingle") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+    // at most ONE shingle-keyed exchange: the distinct over the tiny
+    // EVAL side feeding the broadcast — the corpus side only ever
+    // exchanges on doc id (overlap agg)
+    assert(count(p, "hashpartitioning\\(shingle") <= 1)
+  }
 }
