@@ -155,6 +155,44 @@ object EngineProperties extends Properties("graft") {
       r <- mk(nr, 1000L)
     } yield (l, r.distinctBy(x => (x._1, x._2, x._3)))
 
+  property("latest-wins upsert equals the in-memory fold") =
+    Prop.forAll(
+      Gen.listOfN(6, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0, 9))),
+      Gen.listOfN(6, Gen.zip(Gen.zip(Gen.choose(0L, 6L), Gen.choose(0, 9)),
+        Gen.option(Gen.oneOf(true, false))))) { (baseRows, updRows) =>
+      import spark.implicits._
+      val base = baseRows.zipWithIndex
+        .map { case ((k, v), i) => (k, s"b$i", v) }.toDF("id", "payload", "version")
+      val updates = updRows.zipWithIndex
+        .map { case (((k, v), del), i) => (k, s"u$i", v, del) }
+        .toDF("id", "payload", "version", "deleted")
+      val got = graft.ext.Upsert
+        .latestSnapshot(base, updates, Seq("id"), "version", Some("deleted"))
+        .select("id", "payload").as[(Long, String)].collect().toMap
+      // reference fold: per key the max (version, src, input-order) wins —
+      // row_number ties inside the same side resolve by input order, so
+      // the reference keeps the LAST seen row at equal (version, src)
+      val all = baseRows.zipWithIndex.map { case ((k, v), i) =>
+        (k, s"b$i", v, 0, false) } ++
+        updRows.zipWithIndex.map { case (((k, v), del), i) =>
+          (k, s"u$i", v, 1, del.getOrElse(false)) }
+      val want = all.groupBy(_._1).flatMap { case (k, rows) =>
+        val winner = rows.maxBy(r => (r._3, r._4))
+        if (winner._5) None else Some(k -> winner._2)
+      }
+      // ties on (version, src) within one side are arbitrary in Spark's
+      // row_number — compare only keys whose winner is unique
+      val unambiguous = all.groupBy(_._1).collect {
+        case (k, rows) if rows.count(r =>
+          (r._3, r._4) == (rows.maxBy(x => (x._3, x._4))._3,
+            rows.maxBy(x => (x._3, x._4))._4)) == 1 => k
+      }.toSet
+      // ambiguous keys (ties on version+side) may legally resolve either
+      // way — including deleted-vs-kept — so only unambiguous keys are
+      // value-compared
+      unambiguous.forall(k => got.get(k) == want.get(k))
+    }
+
   property("as-of join equals the in-memory point-in-time reference") =
     Prop.forAll(genAsOf) { case (lrows, rrows) =>
       import spark.implicits._
