@@ -89,6 +89,38 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming session_window emits exactly the watermark-closed batch sessions") {
+    val batchDf = spark.read.parquet(eventsFile)
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("event_time", EventAnalytics.eventTime(col("ts")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy($"user_id", session_window($"event_time", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window.start".as("s"),
+        $"session_window.end".as("e"), $"n_events")
+    val batchAll = agg(batchDf)
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    // append mode emits a session once the watermark (max event - delay)
+    // passes its end (= last event + gap)
+    val maxMs = batchDf.agg(max(EventAnalytics.eventTime(col("ts"))))
+      .head().getTimestamp(0).getTime
+    val expectedClosed = batchAll.filter(_._3.getTime < maxMs - 10L * 60 * 1000)
+
+    val ckpt = Files.createTempDirectory("graft-sesswin").toString
+    val stream = spark.readStream.schema(batchDf.schema).parquet(eventsPath)
+    val q = agg(stream)
+      .writeStream.format("memory").queryName("sesswin_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("sesswin_out")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    assert(expectedClosed.nonEmpty)
+    assert(got == expectedClosed)
+  }
+
   test("flatMapGroupsWithState sessionization: closed sessions equal batch minus open tails") {
     val batchDf = spark.read.parquet(eventsFile)
     val batchSessions = EventAnalytics.sessionsBatch(batchDf, gapMinutes = 30)
