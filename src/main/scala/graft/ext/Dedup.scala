@@ -278,11 +278,11 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
-  /** Full MinHash near-dup: LSH candidates verified with exact Jaccard. */
-  def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
-                            n: Int = 3, k: Int = 128, bands: Int = 32,
-                            threshold: Double = 0.7): DataFrame = {
-    val candidates = minhashCandidatePairs(df, textCol, idCol, n, k, bands)
+  /** Exact-Jaccard verification of (id_a, id_b) candidate pairs against
+   *  the docs' shingle sets — the shared tail of every LSH family. */
+  private def verifyJaccard(df: DataFrame, textCol: String, idCol: String,
+                            n: Int, candidates: DataFrame,
+                            threshold: Double): DataFrame = {
     val shingled = df.select(col(idCol).as("id"),
       wordShingles(col(textCol), n).as("shingles"))
     val withA = candidates.join(shingled.withColumnRenamed("id", "id_a")
@@ -295,6 +295,55 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Full MinHash near-dup: LSH candidates verified with exact Jaccard. */
+  def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+                            n: Int = 3, k: Int = 128, bands: Int = 32,
+                            threshold: Double = 0.7): DataFrame =
+    verifyJaccard(df, textCol, idCol, n,
+      minhashCandidatePairs(df, textCol, idCol, n, k, bands), threshold)
+
+  /**
+   * MinHash near-dup under the md5 hash family — the ORACLE-CHECKABLE
+   * variant: slot i of shingle s is the 32-hex-char string
+   * md5(i || ':' || s) and the signature is the per-slot lexicographic
+   * MIN (a min over any total order on a uniform hash family is a valid
+   * MinHash). Bands hash as md5 of the comma-joined slot strings. Every
+   * intermediate is a deterministic string both Spark and DuckDB compute
+   * identically, so the full candidate set — not just the verified
+   * Jaccard values — has a value-level SQL oracle. The production path
+   * stays the native xxhash64 family ([[minhashNearDuplicates]], typed
+   * aggregate, no per-slot md5); DedupRecallSpec pins that family's
+   * recall, the DuckDB gate pins this one's values.
+   *
+   * Scale shape matches the production path: the shuffle keys are
+   * (id, slot) for signatures and (band, band_hash) for candidates —
+   * bounded buckets, never O(n²); the md5-per-(shingle, slot) cost is
+   * the price of cross-engine replay, k× the hashing of the typed
+   * aggregate.
+   */
+  def minhashNearDuplicatesMd5(df: DataFrame, textCol: String, idCol: String,
+                               n: Int = 3, k: Int = 64, bands: Int = 16,
+                               threshold: Double = 0.05): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val slots = df
+      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("s"))
+      .select(col("id"), col("s"), explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .groupBy(col("id"), col("i"))
+      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("s")))).as("slot"))
+    val banded = slots
+      .groupBy(col("id"), expr(s"i div $rows").as("band"))
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("i"), col("slot")))),
+          x => x.getField("slot")), ",")).as("band_hash"))
+    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    verifyJaccard(df, textCol, idCol, n, candidates, threshold)
   }
 
   // ------------------------------------------------------------------
