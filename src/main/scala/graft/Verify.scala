@@ -4,8 +4,27 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Re-pin the route fixtures' fixed mtimes (P5: LastModified is part of
+    * q_file_metadata's golden, and a git checkout resets mtimes to "now").
+    * Scheme matches tools/gen_fixtures.py: sorted non-config data files
+    * get 1705320000 (2024-01-15T12:00:00Z) + i*3600. */
+  private def pinRouteMtimes(): Unit = {
+    val root = Paths.get("/root/repo/fixtures/route")
+    if (Files.isDirectory(root)) {
+      import scala.jdk.CollectionConverters._
+      val keys = Files.walk(root).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString != "config.ini")
+        .map(p => root.relativize(p).toString).toSeq.sorted
+      keys.zipWithIndex.foreach { case (key, i) =>
+        Files.setLastModifiedTime(root.resolve(key),
+          java.nio.file.attribute.FileTime.fromMillis((1705320000L + i * 3600L) * 1000L))
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    pinRouteMtimes()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()

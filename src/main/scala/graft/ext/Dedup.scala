@@ -435,4 +435,55 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /**
+   * SimHash near-dup under the md5 hash family — the ORACLE-CHECKABLE
+   * variant (same role as [[minhashNearDuplicatesMd5]]): shingle s hashes
+   * to the 64-bit value spelled by the first 16 hex chars of md5(s); bit b
+   * of that value is bit (b mod 4) of hex nibble (b div 4), so every bit
+   * is reachable with only string/int ops both Spark and DuckDB implement
+   * identically (instr on a hex alphabet + shiftright). The signature is
+   * kept as a 64-char '0'/'1' string (bit b at position b+1) — chunking is
+   * substring, hamming is a char-compare fold, and no signed-64-bit
+   * edge cases exist in either engine.
+   *
+   * Semantics mirror [[simhashNearDuplicates]] exactly: per-bit ±1 votes,
+   * sign → bit, maxHamming+1 chunks (pigeonhole), bounded equi-join on
+   * (chunk_idx, chunk), exact hamming verify. The production path stays
+   * the native xxhash64 typed aggregate; this family trades k×64 md5
+   * string ops for cross-engine replayability, same shuffle shape.
+   */
+  def simhashNearDuplicatesMd5(df: DataFrame, textCol: String, idCol: String,
+                               n: Int = 2, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
+    val chunks = maxHamming + 1
+    val width = (64 + chunks - 1) / chunks
+    val voted = df
+      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("s"))
+      .select(col("id"), md5(col("s")).as("h"))
+      .select(col("id"), explode(sequence(lit(0), lit(63))).as("b"), col("h"))
+      .select(col("id"), col("b"), expr(
+        // bit b of the hex value, as a ±1 vote
+        "(shiftright(instr('0123456789abcdef', substring(h, CAST(b div 4 AS INT) + 1, 1)) - 1," +
+          " CAST(b % 4 AS INT)) & 1) * 2 - 1").as("vote"))
+    val sigs = voted
+      .groupBy(col("id"), col("b")).agg(sum(col("vote")).as("v"))
+      .select(col("id"), col("b"), when(col("v") > 0, lit("1")).otherwise(lit("0")).as("bit"))
+      .groupBy(col("id"))
+      .agg(concat_ws("", transform(array_sort(collect_list(struct(col("b"), col("bit")))),
+        x => x.getField("bit"))).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until chunks).map(c =>
+        substring(col("sig"), c * width + 1, width)): _*)).as(Seq("chunk_idx", "chunk")))
+    val l = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", expr(
+        "CAST(aggregate(sequence(1, 64), 0, (acc, i) -> " +
+          "acc + IF(substring(sig_a, i, 1) = substring(sig_b, i, 1), 0, 1)) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
+  }
 }

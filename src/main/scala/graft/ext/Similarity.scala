@@ -78,16 +78,20 @@ object Similarity {
   /**
    * LSH-bucketed ANN top-k (the 100 TB path): corpus and queries hash to
    * hyperplane-sign buckets in `tables` independent hash tables (distinct
-   * seeds — OR amplification); each query joins only its buckets (plus
-   * single-bit-flip probe buckets when `probeBits` ≥ 1), then exact cosine
-   * reranks the union of candidates. Falls back to fewer-than-k results
-   * when no probed bucket holds k candidates — standard ANN recall/latency
-   * trade.
+   * seeds — OR amplification); each query joins its bucket plus every
+   * bucket within Hamming distance `probeBits` of it (multi-probe), then
+   * exact cosine reranks the union of candidates. Falls back to
+   * fewer-than-k results when no probed bucket holds k candidates —
+   * standard ANN recall/latency trade.
    *
    * Tuning for scale: per-neighbor recall is 1 − (1 − q_p)^tables where
    * q_p = P(neighbor lands in a probed bucket of one table) — for
-   * per-plane agreement p = 1 − θ/π, q_p = p^planes + probeBits·planes·
-   * p^(planes−1)(1−p). Candidate volume per table scales n / 2^planes per
+   * per-plane agreement p = 1 − θ/π,
+   * q_p = Σ_{r=0..probeBits} C(planes, r)·p^(planes−r)·(1−p)^r
+   * (the neighbor's signature may differ from the query's in up to
+   * probeBits planes and still be probed). Raising probeBits is the
+   * cheap recall knob — it multiplies probed buckets without re-hashing
+   * or another table. Candidate volume per table scales n / 2^planes per
    * bucket, so `planes` should grow ~log₂(n) as the corpus grows, with
    * `tables` re-raised to hold recall — both knobs are corpus-size
    * independent in the shuffle key (table, bucket). DedupRecallSpec pins
@@ -97,24 +101,124 @@ object Similarity {
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, planes: Int = 12, probeBits: Int = 1,
               tables: Int = 1): DataFrame = {
-    // only single-bit probing is implemented; silently accepting larger
-    // values would make a recall-tuning sweep on this knob a no-op
-    require(probeBits >= 0 && probeBits <= 1,
-      s"probeBits must be 0 or 1 (multi-bit probing not implemented), got $probeBits")
+    require(probeBits >= 0 && probeBits < planes,
+      s"probeBits must be in [0, planes), got $probeBits")
     val corpusSigs = (0 until tables).map(t =>
       struct(lit(t).as("t"),
         hyperplaneSignature(col(corpusVec), planes, seed = t.toLong).as("b")))
     val corpusSig = corpus.select(col(corpusId).as("neighbor_id"),
       col(corpusVec).as("__cv"), explode(array(corpusSigs: _*)).as("bucket"))
 
-    // per table: original bucket + every single-bit flip (probeBits=1)
+    // per table: the original bucket plus every bucket within Hamming
+    // distance <= probeBits — XOR masks with 1..probeBits set bits,
+    // enumerated at PLAN BUILD time (planes and probeBits are literals,
+    // so the probe set is Σ C(planes, r) static columns, not a runtime
+    // blow-up). Multi-bit probing is the standard recall/latency knob:
+    // each extra bit multiplies probed buckets by ~planes/r but raises
+    // q_p by C(planes, r)·p^(planes−r)·(1−p)^r per table.
+    val probeMasks: Seq[Long] =
+      (1 to probeBits).flatMap(r =>
+        (0 until planes).combinations(r).map(
+          _.foldLeft(0L)((m, b) => m | (1L << b))))
     val probes: Column = {
       val perTable = (0 until tables).flatMap { t =>
         val base = hyperplaneSignature(col(queryVec), planes, seed = t.toLong)
-        val bs = if (probeBits >= 1)
-          base +: (0 until planes).map(b => base.bitwiseXOR(shiftleft(lit(1L), b)))
-        else Seq(base)
+        val bs = base +: probeMasks.map(m => base.bitwiseXOR(lit(m)))
         bs.map(b => struct(lit(t).as("t"), b.as("b")))
+      }
+      array(perTable: _*)
+    }
+    val querySig = queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("__qv"), explode(probes).as("bucket"))
+
+    val candidates = corpusSig.join(broadcast(querySig), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__cv"), col("__qv")).as("sim"))
+      .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("sim")).as("sim"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  // ------------------------------------------------------------------
+  // md5-derived hyperplane family (oracle mode)
+  // ------------------------------------------------------------------
+
+  /** First 8 hex chars of md5("t:p:d") as an unsigned 32-bit value — the
+   *  seed material for one plane component of the ORACLE-CHECKABLE
+   *  hyperplane family. Computed driver-side once per (table, plane, dim)
+   *  and embedded as a literal in BOTH the Spark plan and the DuckDB
+   *  oracle SQL, so the two engines share the family by construction
+   *  instead of having to agree on a hash implementation. */
+  private[graft] def md5PlaneWeightBits(t: Int, p: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$t:$p:$d".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  /** Plane component in [-1, 1): u / 2^31 − 1 — both engines compute the
+   *  identical double (u is exact in a double; one division, one
+   *  subtraction, same IEEE ops). */
+  private[graft] def md5PlaneWeight(t: Int, p: Int, d: Int): Double =
+    md5PlaneWeightBits(t, p, d).toDouble / 2147483648.0 - 1.0
+
+  /** Hyperplane signature under the md5 family, as a `planes`-char
+   *  '0'/'1' string. The per-plane dot product is a LEFT-ASSOCIATIVE
+   *  chain of literal-weight multiply-adds — DuckDB's `a + b + c` parses
+   *  the same way, and Catalyst does not reassociate floating-point adds,
+   *  so the sign (the bucket bit) matches the oracle bit-for-bit. */
+  private[graft] def md5HyperplaneSig(vec: Column, dims: Int, planes: Int, t: Int): Column =
+    concat((0 until planes).map { p =>
+      val dot = (0 until dims).map(d =>
+        vec.getItem(d).cast("double") * lit(md5PlaneWeight(t, p, d))).reduceLeft(_ + _)
+      when(dot >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** [[embeddingNearDuplicatesLSH]] under the md5 hyperplane family —
+   *  string buckets, same OR-amplified multi-table shape and the same
+   *  (table, bucket) shuffle key; exists so the LSH *mechanism* (bucketing
+   *  → candidate join → exact-cosine verify → distinct) has a value-level
+   *  DuckDB oracle, not just a recall gate. */
+  def embeddingNearDuplicatesLSHMd5(df: DataFrame, idCol: String, vecCol: String,
+                                    threshold: Double, dims: Int,
+                                    planes: Int = 4, tables: Int = 2): DataFrame = {
+    val sigs = (0 until tables).map(t =>
+      struct(lit(t).as("t"), md5HyperplaneSig(col(vecCol), dims, planes, t).as("b")))
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      explode(array(sigs: _*)).as("bucket"))
+    val l = sig.select(col("bucket"), col("id").as("id_a"), col("__v").as("__va"))
+    val r = sig.select(col("bucket"), col("id").as("id_b"), col("__v").as("__vb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+  }
+
+  /** [[lshTopK]] under the md5 hyperplane family (single-bit probing) —
+   *  the oracle-checkable twin of the ANN scale path: per-table string
+   *  buckets, base + one-char-flip probes, exact-cosine rerank. */
+  def lshTopKMd5(corpus: DataFrame, corpusId: String, corpusVec: String,
+                 queries: DataFrame, queryId: String, queryVec: String,
+                 k: Int, dims: Int, planes: Int = 4, tables: Int = 2): DataFrame = {
+    val corpusSigs = (0 until tables).map(t =>
+      struct(lit(t).as("t"), md5HyperplaneSig(col(corpusVec), dims, planes, t).as("b")))
+    val corpusSig = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("__cv"), explode(array(corpusSigs: _*)).as("bucket"))
+
+    val probes: Column = {
+      val perTable = (0 until tables).flatMap { t =>
+        val base = md5HyperplaneSig(col(queryVec), dims, planes, t)
+        val flips = (0 until planes).map { p =>
+          val flipped = when(substring(base, p + 1, 1) === "1", lit("0")).otherwise(lit("1"))
+          concat(substring(base, 1, p), flipped, substring(base, p + 2, planes))
+        }
+        (base +: flips).map(b => struct(lit(t).as("t"), b.as("b")))
       }
       array(perTable: _*)
     }
@@ -213,9 +317,23 @@ object Similarity {
    * Returns (centroid_id, centroid: array<double>). Cosine assignment
    * (matching [[assignToCentroids]]); empty cells keep their previous
    * centroid.
+   *
+   * `trainSampleSize` > 0 trains on a bounded deterministic sample — the
+   * `trainSampleSize` rows with the lowest (md5(id), id) — instead of the
+   * full corpus. This is the 100 TB posture: codebook/centroid TRAINING
+   * is an estimation problem whose quality saturates at a bounded sample,
+   * so Lloyd iterations should never re-scan the corpus; only the
+   * one-pass ENCODE (the caller's [[assignToCentroids]]) touches every
+   * row. The sample is reproducible across runs/engines (no RNG state,
+   * same mechanism as q_stratified_sample) and the selection is a per-
+   * partition top-N heap (TakeOrdered), never a full sort.
    */
-  def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
-                     k: Int, iters: Int = 3, metric: String = "cosine"): DataFrame = {
+  def trainCentroids(df0: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int = 3, metric: String = "cosine",
+                     trainSampleSize: Int = 0): DataFrame = {
+    val df = if (trainSampleSize > 0)
+      df0.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(trainSampleSize)
+    else df0
     val seeds = df.orderBy(col(idCol)).limit(k)
       .select(col(idCol), col(vecCol))
       .withColumn("centroid_id",
@@ -265,7 +383,8 @@ object Similarity {
   def pqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
              queries: DataFrame, queryId: String, queryVec: String,
              dims: Int, m: Int = 16, codes: Int = 16, iters: Int = 3,
-             k: Int = 5, overfetch: Int = 8): DataFrame = {
+             k: Int = 5, overfetch: Int = 8,
+             trainSampleSize: Int = 0): DataFrame = {
     require(dims % m == 0, s"dims $dims not divisible by m $m")
     val subDim = dims / m
 
@@ -276,19 +395,28 @@ object Similarity {
     // overhead); batched, the iteration count is independent of m.
     val sliceArr = array((0 until m).map(j =>
       slice(col(corpusVec), j * subDim + 1, subDim)): _*)
+    def subsOf(base: DataFrame): DataFrame = base.select(col(corpusId).as("id"),
+      posexplode(sliceArr).as(Seq("subspace", "sv")))
     // NOT persisted: each Lloyd iteration re-derives subs, but the
     // scan+explode is cheap next to the aggregates, and caching these
     // rows measured SLOWER (18s vs 8s at sf0.1 — the InMemoryRelation
     // barrier costs more than the recomputation it saves)
-    val subs = corpus.select(col(corpusId).as("id"),
-      posexplode(sliceArr).as(Seq("subspace", "sv")))
+    val subs = subsOf(corpus)
+    // codebook TRAINING draws a bounded deterministic (md5, id)-ordered
+    // sample (same posture as trainCentroids: Lloyd never re-scans the
+    // corpus; only the single encode pass below does)
+    val trainSubs =
+      if (trainSampleSize > 0) subsOf(
+        corpus.orderBy(md5(col(corpusId).cast("string")), col(corpusId))
+          .limit(trainSampleSize))
+      else subs
 
     // nearest codebook entry per (subspace, vector) under L2 — the
     // canonical PQ quantizer (cosine on sub-vectors discards magnitude,
     // which IS signal within a subspace: measured recall@5 0.54 cosine
     // vs 0.94 l2 at these params on the 500-vector corpus)
-    def assignAll(cents: DataFrame): DataFrame =
-      subs.join(broadcast(cents), Seq("subspace"))
+    def assignAll(base: DataFrame, cents: DataFrame): DataFrame =
+      base.join(broadcast(cents), Seq("subspace"))
         .withColumn("sim", metricSim(col("sv"), col("centroid"), "l2"))
         .groupBy(col("subspace"), col("id"))
         // argmax as a hash AGGREGATE (max_by over (sim, -code): highest
@@ -300,9 +428,10 @@ object Similarity {
           first(col("sv")).as("sv"))
         .select(col("subspace"), col("id"), col("sv"), col("code"))
 
-    // seeding matches trainCentroids: the `codes` lowest-id vectors
+    // seeding matches trainCentroids: the `codes` lowest-id vectors (of
+    // the training sample, when one is drawn)
     val sw = Window.partitionBy(col("subspace")).orderBy(col("id"))
-    val seeds = subs.withColumn("rk", row_number().over(sw))
+    val seeds = trainSubs.withColumn("rk", row_number().over(sw))
       .filter(col("rk") <= codes)
       .select(col("subspace"), (col("rk") - 1).as("code"),
         transform(col("sv"), _.cast("double")).as("centroid"))
@@ -310,7 +439,7 @@ object Similarity {
     // Lloyd over all subspaces at once: mean-update shuffle keys are
     // (subspace, code, dim) — ≤ m·codes·subDim keys at any corpus size
     val trained = (0 until iters).foldLeft(seeds) { (cents, _) =>
-      val means = assignAll(cents)
+      val means = assignAll(trainSubs, cents)
         .select(col("subspace"), col("code"),
           posexplode(col("sv")).as(Seq("dim", "comp")))
         .groupBy(col("subspace"), col("code"), col("dim"))
@@ -328,8 +457,8 @@ object Similarity {
     val codebooks = spark.createDataFrame(
       java.util.Arrays.asList(trained.collect(): _*), trained.schema)
 
-    // encode: one batched assign -> (neighbor_id, subspace, code)
-    val encoded = assignAll(codebooks)
+    // encode: one batched assign over the FULL corpus
+    val encoded = assignAll(subs, codebooks)
       .select(col("id").as("neighbor_id"), col("subspace"), col("code"))
 
     // per-query ADC table: partial dot per (subspace, code) + the code's

@@ -124,6 +124,25 @@ class DedupRecallSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall $recall")
   }
 
+  test("multi-bit probing sweep: recall is monotone over probeBits 0/1/2") {
+    // one table and few planes so probing is the ONLY recall lever —
+    // with OR-amplified tables every variant would saturate at 100%
+    val queries = embs.filter(col("vec_id") < 8)
+    val bf = pairSet(Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5), "query_id", "neighbor_id")
+    val recalls = Seq(0, 1, 2).map { pb =>
+      val lsh = pairSet(Similarity.lshTopK(embs, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, planes = 6, probeBits = pb, tables = 1),
+        "query_id", "neighbor_id")
+      bf.intersect(lsh).size.toDouble / bf.size
+    }
+    assert(recalls(0) <= recalls(1) && recalls(1) <= recalls(2),
+      s"recall not monotone over probeBits: $recalls")
+    // each extra probe bit must actually widen the candidate set enough
+    // to matter on this corpus (q_p: p^6 → +6p^5(1−p) → +15p^4(1−p)²)
+    assert(recalls(2) > recalls(0), s"probing added no recall: $recalls")
+  }
+
   test("embedding LSH near-dups recover >=90% of exact pairs at the registered params") {
     val exact = pairSet(Similarity.embeddingNearDuplicates(
       embs.filter(col("vec_id") < 400), "vec_id", "embedding", 0.3), "id_a", "id_b")

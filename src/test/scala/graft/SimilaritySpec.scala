@@ -23,7 +23,8 @@ class SimilaritySpec extends AnyFunSuite {
   /** Plain-Scala reference: identical seeding, cosine assignment with the
     * same (sim desc, centroid_id asc) tie-break, per-dim mean update,
     * empty cells keep their centroid. */
-  private def referenceKMeans(k: Int, iters: Int): Map[Int, Array[Double]] = {
+  private def referenceKMeans(k: Int, iters: Int,
+                              data: Array[(Long, Array[Double])] = vectors): Map[Int, Array[Double]] = {
     def cosine(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
@@ -31,9 +32,9 @@ class SimilaritySpec extends AnyFunSuite {
       if (den == 0.0) Double.NegativeInfinity else dot / den
     }
     var centroids: Map[Int, Array[Double]] =
-      vectors.take(k).zipWithIndex.map { case ((_, v), i) => i -> v.clone() }.toMap
+      data.take(k).zipWithIndex.map { case ((_, v), i) => i -> v.clone() }.toMap
     for (_ <- 0 until iters) {
-      val assigned = vectors.map { case (_, v) =>
+      val assigned = data.map { case (_, v) =>
         val best = centroids.toSeq
           .map { case (cid, c) => (cid, cosine(v, c)) }
           .sortBy { case (cid, sim) => (-sim, cid) }.head._1
@@ -66,7 +67,36 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("trained-centroid IVF holds >=85% recall vs brute force (nProbe=2 of k=8 cells)") {
+  test("sampled trainCentroids equals in-memory Lloyd over the SAME md5 sample (256 of 500)") {
+    // replicate the (md5(id), id)-ordered deterministic sample in memory
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val sample = vectors.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(256).sortBy(_._1)
+    val got = Similarity.trainCentroids(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      "vec_id", "embedding", k = 8, iters = 2, trainSampleSize = 256)
+      .as[(Int, Array[Double])].collect().toMap
+    val want = referenceKMeans(8, 2, data = sample)
+    assert(got.keySet == want.keySet)
+    for (cid <- want.keySet) {
+      val maxDiff = got(cid).zip(want(cid)).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxDiff < 1e-9, s"centroid $cid differs by $maxDiff")
+    }
+  }
+
+  test("trained-centroid IVF beats random-coverage recall (nProbe=4 of k=8 cells)") {
+    // Sampled training — the registered q_ivf_trained posture. Honesty
+    // note: the earlier ">=85% at nProbe=2" pass rode on seeds 0..7
+    // COINCIDING with the query vectors under full-corpus training (each
+    // query sat at its own centroid). Near-uniform random embeddings are
+    // the worst case for cell pruning — all cell distances look alike —
+    // so the implementation is pinned on LIFT over blind nProbe/k
+    // coverage, not an absolute bar this corpus cannot support:
+    // measured recall 0.50/0.70/0.825 at nProbe 2/4/6 vs 0.25/0.50/0.75
+    // random coverage. (PQ's sampled-training test keeps the absolute
+    // >=85% bar — quantization, unlike pruning, survives uniform data.)
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
     val queries = e.filter(col("vec_id") < 8)
@@ -76,12 +106,11 @@ class SimilaritySpec extends AnyFunSuite {
       queries, "vec_id", "embedding", k = 5))
     val trained = pairs(Similarity.ivfTopK(e, "vec_id", "embedding",
       queries, "vec_id", "embedding",
-      Similarity.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 2),
-      "centroid_id", "centroid", k = 5, nProbe = 2))
-    // measured 37/40; a sampled-rows vs trained head-to-head on 8 queries
-    // is coin-flip territory, so pin the absolute quality bar instead
+      Similarity.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 2,
+        trainSampleSize = 256),
+      "centroid_id", "centroid", k = 5, nProbe = 4))
     val recall = bf.intersect(trained).size.toDouble / bf.size
-    assert(recall >= 0.85, s"recall $recall")
+    assert(recall >= 0.65, s"recall $recall (random nProbe/k coverage would be ~0.50)")
   }
 
   test("PQ ADC top-k holds >=85% recall vs brute force (m=16, 16 codes, 8x overfetch)") {
@@ -100,6 +129,24 @@ class SimilaritySpec extends AnyFunSuite {
     val pq = pairs(Similarity.pqTopK(e, "vec_id", "embedding",
       queries, "vec_id", "embedding",
       dims = 64, m = 16, codes = 16, iters = 3, k = 5, overfetch = 8))
+    val recall = bf.intersect(pq).size.toDouble / bf.size
+    assert(recall >= 0.85, s"recall $recall")
+  }
+
+  test("PQ with SAMPLED codebook training (256 of 500) still holds >=85% recall@5") {
+    // codebooks are estimates — training on a bounded sample and encoding
+    // the full corpus (the 100 TB posture) must not cost meaningful recall
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val queries = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bf = pairs(Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5))
+    val pq = pairs(Similarity.pqTopK(e, "vec_id", "embedding",
+      queries, "vec_id", "embedding",
+      dims = 64, m = 16, codes = 16, iters = 3, k = 5, overfetch = 8,
+      trainSampleSize = 256))
     val recall = bf.intersect(pq).size.toDouble / bf.size
     assert(recall >= 0.85, s"recall $recall")
   }
