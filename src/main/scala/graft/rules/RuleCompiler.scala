@@ -240,7 +240,27 @@ object RuleCompiler {
         val boundChecks = (earliest.toSeq ++ latest.toSeq)
           .reduceOption((a, b) => coalesce(a, b))
           .getOrElse(lit(null))
-        when(ts.isNull, parseFail).otherwise(coalesce(boundChecks, pass(pathLbl)))
+        // dateutil returns an AWARE datetime only for explicit offsets
+        // (strptime only with %z); the reference's Z-suffixed config
+        // bounds are aware, so its first bound compare on a naive value
+        // raises TypeError — caught at validator.py:229 into this exact
+        // message. Bound-less rules never compare, so naive values pass.
+        // (Approximation: bounds parsed from offset-less config strings
+        // would be naive in the reference; every shipped/fixture config
+        // writes Z-suffixed bounds, so awareness of the BOUND is assumed.)
+        val hasBounds = rule.earliestTime.isDefined || rule.latestTime.isDefined
+        val aware: Column = rule.dateFormat match {
+          case Some(fmt) => lit(fmt.contains("%z"))
+          case None => value.cast(StringType).rlike("(Z|[+-][0-9]{2}:?[0-9]{2})\\s*$")
+        }
+        val naiveFail = fail(pathLbl, lit("failure to perform timestamp " +
+          "validation, error: can't compare offset-naive and offset-aware datetimes"))
+        if (hasBounds)
+          when(ts.isNull, parseFail)
+            .when(!aware, naiveFail)
+            .otherwise(coalesce(boundChecks, pass(pathLbl)))
+        else
+          when(ts.isNull, parseFail).otherwise(pass(pathLbl))
 
       case FieldTypes.Choice =>
         val children = rule.choices.map(childResolver)
@@ -275,7 +295,16 @@ object RuleCompiler {
       try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")),
       try_to_timestamp(value, lit("yyyy-MM-dd HH:mm:ssXXX")),
       try_to_timestamp(value, lit("yyyy/MM/dd HH:mm:ss")),
-      try_to_timestamp(value, lit("MM/dd/yyyy HH:mm:ss")))
+      try_to_timestamp(value, lit("MM/dd/yyyy HH:mm:ss")),
+      // dateutil-leniency tail, pinned by the q_rule_timestamp_lenient
+      // ref-golden (fixtures/lenient): colon-less offsets, compact ISO,
+      // English month names, minute-precision US dates
+      try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ssXX")),   // +0000
+      try_to_timestamp(value, lit("yyyyMMdd'T'HHmmssXX")),       // 20190514T190547Z
+      try_to_timestamp(value, lit("MMM d yyyy HH:mm:ss XX")),    // May 14 2019 19:05:47 +0000
+      try_to_timestamp(value, lit("MMM d yyyy HH:mm:ss")),
+      try_to_timestamp(value, lit("MMM d yyyy")),                // May 14 2019
+      try_to_timestamp(value, lit("MM/dd/yyyy HH:mm")))          // 05/14/2019 19:05
   }
 
   /** Python strptime directives → java.time pattern (the subset seen in

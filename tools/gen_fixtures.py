@@ -427,6 +427,45 @@ FILE_A5 = [  # null bundleIds: Python None == None -> ONE bundle
 ]
 
 
+LENIENT_CONFIG = """[_settings]
+DataType = json
+Sequential = False
+
+[ts]
+Type = timestamp
+EarliestTime = 2030-01-01T00:00:00.000Z
+"""
+
+# dateutil-leniency grid (validator.py:219 `dateutil.parser.parse`). The
+# far-future EarliestTime makes every AWARE parseable value fail with
+# "occurs before earliest limit '<str(parsed)>'" — pinning the PARSED
+# VALUE, not just parseability. Three deliberate exclusions, documented
+# here because they bound the engine's claimed leniency:
+#  - non-UTC offsets (str(datetime) preserves the original offset; the
+#    engine renders in UTC),
+#  - named zones ("GMT"), which depend on dateutil tzinfos,
+#  - in-range-looking but invalid dates ("2019-13-45"), whose ParserError
+#    text differs from the generic "Unknown string format".
+LENIENT_TS_VALUES = [
+    # aware (UTC): parsed value pinned via the earliest-limit message
+    "2019-05-14T19:05:47Z",
+    "2019-05-14T19:05:47+0000",
+    "2019-05-14 19:05:47+00:00",
+    "May 14 2019 19:05:47 +0000",
+    "2019-05-14T19:05:47.123456Z",
+    "20190514T190547Z",
+    # naive: the reference's aware-bound compare raises TypeError
+    "2019-05-14T19:05:47",
+    "May 14 2019",
+    "05/14/2019 19:05",
+    "2019-05-14",
+    "2019/05/14 19:05:47",
+    # unparseable: dateutil ParserError "Unknown string format"
+    "not-a-timestamp",
+    "xx 99 zz",
+]
+
+
 def main():
     import gzip
     write(f"{ROOT}/odejson/suite.ini", ODE_CONFIG)
@@ -560,6 +599,20 @@ def main():
                                        v.field_path, v.valid, v.details))
     goldens["route_field_validations"] = route_rows
 
+    # --- fixture D: dateutil parse-leniency grid (validator.py:219)
+    write(f"{ROOT}/lenient/suite.ini", LENIENT_CONFIG)
+    lenient_records = [{"id": i, "ts": v} for i, v in enumerate(LENIENT_TS_VALUES)]
+    write(f"{ROOT}/lenient/data/ts.json",
+          "\n".join(json.dumps(r, separators=(",", ":")) for r in lenient_records) + "\n")
+    tc, results = run_reference(
+        f"{ROOT}/lenient/suite.ini",
+        [json.dumps(r, separators=(",", ":")) for r in lenient_records])
+    lenient_rows = []
+    for rec_obj, res in zip(lenient_records, results):
+        for v in res.field_validations:
+            lenient_rows.append((rec_obj["id"], v.field_path, v.valid, v.details))
+    goldens["rule_timestamp_lenient"] = lenient_rows
+
     os.makedirs(f"{ROOT}/golden", exist_ok=True)
     for name, rows in goldens.items():
         with open(f"{ROOT}/golden/{name}.json", "w") as f:
@@ -607,6 +660,9 @@ def main():
         "q_route_field_validations": values_sql(
             route_rows, ["file", "serial_number", "field_path", "valid", "details"],
             ["VARCHAR", "BIGINT", "VARCHAR", "BOOLEAN", "VARCHAR"]),
+        "q_rule_timestamp_lenient": values_sql(
+            lenient_rows, ["id", "field_path", "valid", "details"],
+            ["BIGINT", "VARCHAR", "BOOLEAN", "VARCHAR"]),
     }
     # --- size-dependent oracles (file metadata, S2/S5) --------------------
     # metadata docs over the depth-5 route files (cv + waze)
