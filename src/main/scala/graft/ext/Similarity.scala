@@ -30,6 +30,13 @@ object Similarity {
    *  codegen'd expression). */
   def dot(a: Column, b: Column): Column = GraftFunctions.graftDot(a, b)
 
+  /** Bounded deterministic training sample: the `n` rows with the lowest
+   *  (md5(id), id). Reproducible without RNG state (the q_stratified_sample
+   *  mechanism), and the selection plans as a per-partition top-N heap
+   *  (TakeOrderedAndProject — pinned in PlanSpec), never a global sort. */
+  def trainingSample(df: DataFrame, idCol: String, n: Int): DataFrame =
+    df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(n)
+
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -168,15 +175,20 @@ object Similarity {
     md5PlaneWeightBits(t, p, d).toDouble / 2147483648.0 - 1.0
 
   /** Hyperplane signature under the md5 family, as a `planes`-char
-   *  '0'/'1' string. The per-plane dot product is a LEFT-ASSOCIATIVE
-   *  chain of literal-weight multiply-adds — DuckDB's `a + b + c` parses
-   *  the same way, and Catalyst does not reassociate floating-point adds,
-   *  so the sign (the bucket bit) matches the oracle bit-for-bit. */
+   *  '0'/'1' string. Each plane's dot product is the native codegen'd
+   *  [[graft.functions.DotProduct]] loop against a LITERAL weight array —
+   *  it accumulates left-to-right in index order, the same IEEE op
+   *  sequence as the DuckDB oracle's left-associative `a + b + c` chain
+   *  (Catalyst does not reassociate floating-point adds), so the sign
+   *  (the bucket bit) matches the oracle bit-for-bit. A literal-unrolled
+   *  multiply-add chain would be value-identical but generates one
+   *  unsplittable planes×dims expression per signature — too large for
+   *  Janino at 64 dims (method-size limit), where the loop stays tiny. */
   private[graft] def md5HyperplaneSig(vec: Column, dims: Int, planes: Int, t: Int): Column =
     concat((0 until planes).map { p =>
-      val dot = (0 until dims).map(d =>
-        vec.getItem(d).cast("double") * lit(md5PlaneWeight(t, p, d))).reduceLeft(_ + _)
-      when(dot >= 0, lit("1")).otherwise(lit("0"))
+      val weights = (0 until dims).map(d => md5PlaneWeight(t, p, d)).toArray
+      when(GraftFunctions.graftDot(vec, typedlit(weights)) >= 0, lit("1"))
+        .otherwise(lit("0"))
     }: _*)
 
   /** [[embeddingNearDuplicatesLSH]] under the md5 hyperplane family —
@@ -211,19 +223,26 @@ object Similarity {
     val corpusSig = corpus.select(col(corpusId).as("neighbor_id"),
       col(corpusVec).as("__cv"), explode(array(corpusSigs: _*)).as("bucket"))
 
-    val probes: Column = {
-      val perTable = (0 until tables).flatMap { t =>
-        val base = md5HyperplaneSig(col(queryVec), dims, planes, t)
-        val flips = (0 until planes).map { p =>
-          val flipped = when(substring(base, p + 1, 1) === "1", lit("0")).otherwise(lit("1"))
-          concat(substring(base, 1, p), flipped, substring(base, p + 2, planes))
-        }
-        (base +: flips).map(b => struct(lit(t).as("t"), b.as("b")))
-      }
-      array(perTable: _*)
+    // two-step probe build: FIRST materialize the per-table signature as
+    // a projected column, THEN derive the char-flip probes from that
+    // column. Building flips directly on the signature expression would
+    // duplicate the whole planes×dims multiply-add tree into every probe
+    // (3 substring references each) — measured 17 s → ~1 s at sf0.1.
+    // The Generate (explode) between the projections blocks
+    // CollapseProject from re-inlining the tree.
+    val baseSigs = (0 until tables).map(t =>
+      struct(lit(t).as("t"), md5HyperplaneSig(col(queryVec), dims, planes, t).as("b")))
+    val qBase = queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("__qv"), explode(array(baseSigs: _*)).as("bb"))
+      .select(col("query_id"), col("__qv"),
+        col("bb.t").as("t"), col("bb.b").as("b0"))
+    val flips = (0 until planes).map { p =>
+      val flipped = when(substring(col("b0"), p + 1, 1) === "1", lit("0")).otherwise(lit("1"))
+      concat(substring(col("b0"), 1, p), flipped, substring(col("b0"), p + 2, planes))
     }
-    val querySig = queries.select(col(queryId).as("query_id"),
-      col(queryVec).as("__qv"), explode(probes).as("bucket"))
+    val querySig = qBase.select(col("query_id"), col("__qv"), col("t"),
+      explode(array(col("b0") +: flips: _*)).as("b"))
+      .select(col("query_id"), col("__qv"), struct(col("t"), col("b")).as("bucket"))
 
     val candidates = corpusSig.join(broadcast(querySig), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -331,8 +350,10 @@ object Similarity {
   def trainCentroids(df0: DataFrame, idCol: String, vecCol: String,
                      k: Int, iters: Int = 3, metric: String = "cosine",
                      trainSampleSize: Int = 0): DataFrame = {
+    // localCheckpoint: the bounded sample materializes ONCE instead of
+    // re-running the TakeOrdered selection on every iteration's reuse
     val df = if (trainSampleSize > 0)
-      df0.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(trainSampleSize)
+      trainingSample(df0, idCol, trainSampleSize).localCheckpoint()
     else df0
     val seeds = df.orderBy(col(idCol)).limit(k)
       .select(col(idCol), col(vecCol))
@@ -341,7 +362,15 @@ object Similarity {
       .select(col("centroid_id"),
         transform(col(vecCol), _.cast("double")).as("centroid"))
 
-    (0 until iters).foldLeft(seeds) { (centroids, _) =>
+    // each iteration is truncated to a k-row LocalRelation: the lazy fold
+    // would otherwise embed iteration N−1's plan TWICE in iteration N
+    // (assign + empty-cell union) — a 2^iters plan blowup whose broadcast
+    // subtrees each re-execute the whole history at the final action
+    val spark = df0.sparkSession
+    def localize(d: DataFrame): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(d.collect(): _*), d.schema)
+
+    (0 until iters).foldLeft(localize(seeds)) { (centroids, _) =>
       val assigned = assignToCentroids(df, idCol, vecCol,
         centroids, "centroid_id", "centroid", metric)
       val means = assigned
@@ -354,7 +383,7 @@ object Similarity {
           s => s.getField("mean")).as("centroid"))
       // empty cells: keep the previous centroid (left anti join is k rows)
       val kept = centroids.join(means, Seq("centroid_id"), "left_anti")
-      means.unionByName(kept)
+      localize(means.unionByName(kept))
     }
   }
 
@@ -404,11 +433,11 @@ object Similarity {
     val subs = subsOf(corpus)
     // codebook TRAINING draws a bounded deterministic (md5, id)-ordered
     // sample (same posture as trainCentroids: Lloyd never re-scans the
-    // corpus; only the single encode pass below does)
+    // corpus; only the single encode pass below does). localCheckpoint
+    // materializes the sample once for all iterations.
     val trainSubs =
-      if (trainSampleSize > 0) subsOf(
-        corpus.orderBy(md5(col(corpusId).cast("string")), col(corpusId))
-          .limit(trainSampleSize))
+      if (trainSampleSize > 0)
+        subsOf(trainingSample(corpus, corpusId, trainSampleSize).localCheckpoint())
       else subs
 
     // nearest codebook entry per (subspace, vector) under L2 — the
@@ -437,8 +466,15 @@ object Similarity {
         transform(col("sv"), _.cast("double")).as("centroid"))
 
     // Lloyd over all subspaces at once: mean-update shuffle keys are
-    // (subspace, code, dim) — ≤ m·codes·subDim keys at any corpus size
-    val trained = (0 until iters).foldLeft(seeds) { (cents, _) =>
+    // (subspace, code, dim) — ≤ m·codes·subDim keys at any corpus size.
+    // Every iteration truncates to an m·codes-row LocalRelation: the lazy
+    // fold would otherwise embed the previous iteration's plan twice
+    // (assign + empty-cell union) — a 2^iters blowup re-executed through
+    // every broadcast subtree at the final action.
+    val spark = corpus.sparkSession
+    def localize(d: DataFrame): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(d.collect(): _*), d.schema)
+    val codebooks = (0 until iters).foldLeft(localize(seeds)) { (cents, _) =>
       val means = assignAll(trainSubs, cents)
         .select(col("subspace"), col("code"),
           posexplode(col("sv")).as(Seq("dim", "comp")))
@@ -448,14 +484,8 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
           s => s.getField("mean")).as("centroid"))
       // empty cells keep their previous centroid
-      means.unionByName(cents.join(means, Seq("subspace", "code"), "left_anti"))
+      localize(means.unionByName(cents.join(means, Seq("subspace", "code"), "left_anti")))
     }
-    // materialized as a LocalRelation, same as q_ivf_trained: m·codes
-    // rows is broadcast-small metadata, and the deep training lineage
-    // would otherwise re-execute per consumer (encode + distance tables)
-    val spark = corpus.sparkSession
-    val codebooks = spark.createDataFrame(
-      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
 
     // encode: one batched assign over the FULL corpus
     val encoded = assignAll(subs, codebooks)

@@ -107,4 +107,15 @@ class PlanSpec extends AnyFunSuite {
     // exchanges on doc id (overlap agg)
     assert(count(p, "hashpartitioning\\(shingle") <= 1)
   }
+
+  test("training sample: (md5, id)-ordered limit plans as TakeOrdered, not a global sort") {
+    // the 100 TB posture of sampled codebook training rests on the
+    // sample selection being a per-partition top-N heap — a global sort
+    // exchange over the corpus would defeat the point
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.ext.Similarity.trainingSample(e, "vec_id", 64)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), "sample must be TakeOrdered")
+    assert(count(p, "Exchange rangepartitioning") == 0, "no global sort exchange")
+  }
 }
