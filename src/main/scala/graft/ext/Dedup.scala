@@ -173,6 +173,9 @@ object Dedup {
 
     var edges = orient(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
       .localCheckpoint()
+    // carry the edge count across rounds: counting the new round's edges
+    // once is enough for the cheap gate (previous count is already known)
+    var edgeCount = edges.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -194,8 +197,10 @@ object Dedup {
       // size, so the exact set compare only runs on the final candidate
       // round(s). Both sides are distinct sets, so equal counts + one
       // empty difference already imply equality.
-      converged = ss.count() == edges.count() && ss.exceptAll(edges).isEmpty
+      val ssCount = ss.count()
+      converged = ssCount == edgeCount && ss.exceptAll(edges).isEmpty
       edges = ss
+      edgeCount = ssCount
       iter += 1
     }
     if (!converged)

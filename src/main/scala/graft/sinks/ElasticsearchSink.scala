@@ -1,7 +1,5 @@
 package graft.sinks
 
-import java.nio.charset.StandardCharsets
-
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
@@ -47,28 +45,8 @@ object ElasticsearchSink {
         "\n" + doc
     }.mkString("", "\n", "\n")
 
-  /** POST `body` to `url`; throws on non-2xx (task failure → retry). */
-  private def post(url: String, body: String): Unit = {
-    val conn = new java.net.URL(url).openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
-    try {
-      conn.setRequestMethod("POST")
-      conn.setDoOutput(true)
-      conn.setRequestProperty("Content-Type", "application/x-ndjson")
-      conn.setConnectTimeout(10000)
-      conn.setReadTimeout(30000)
-      val bytes = body.getBytes(StandardCharsets.UTF_8)
-      conn.setFixedLengthStreamingMode(bytes.length)
-      val os = conn.getOutputStream
-      try os.write(bytes) finally os.close()
-      val code = conn.getResponseCode
-      if (code < 200 || code >= 300)
-        throw new java.io.IOException(s"bulk index to $url failed: HTTP $code")
-      // drain the response so the connection can be reused
-      val is = conn.getInputStream
-      try { while (is.read() != -1) () } finally is.close()
-    } finally conn.disconnect()
-  }
+  private def post(url: String, body: String): Unit =
+    Http.post(url, body, contentType = "application/x-ndjson")
 
   /**
    * Index every row of `df` into `endpoint/_bulk` under `index`/`docType`
