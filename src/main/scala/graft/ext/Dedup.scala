@@ -168,11 +168,15 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
 
-    val vertices = pairs.select(col("id_a").as("id"))
-      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
-
     var edges = orient(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
       .localCheckpoint()
+    // vertices from the CHECKPOINTED edges, not from `pairs`: orientation
+    // keeps both endpoints of every (distinct-id) pair, and reading pairs
+    // again here would re-execute the caller's candidate join — for the
+    // Jaccard pipelines, a second full shingle self-join at final-action
+    // time
+    val vertices = edges.select(col("u").as("id"))
+      .unionByName(edges.select(col("v").as("id"))).distinct()
     // carry the edge count across rounds: counting the new round's edges
     // once is enough for the cheap gate (previous count is already known)
     var edgeCount = edges.count()

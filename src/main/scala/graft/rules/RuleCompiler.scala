@@ -288,10 +288,13 @@ object RuleCompiler {
     case Some(fmt) => try_to_timestamp(value, lit(pythonToJavaFormat(fmt)))
     case None => coalesce(
       try_to_timestamp(value), // ISO local / space-separated
+      // exact-Z first: the dominant reference format — any value it
+      // matches parses identically under the XXX branches below, so
+      // ordering only short-circuits the exception-driven walk
+      try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
       try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
       try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
       try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
-      try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
       try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")),
       try_to_timestamp(value, lit("yyyy-MM-dd HH:mm:ssXXX")),
       try_to_timestamp(value, lit("yyyy/MM/dd HH:mm:ss")),
