@@ -8,10 +8,13 @@ import org.apache.spark.sql.types._
  * Multimodal-column plumbing (SURVEY §7.1 step 9): image/audio/video as
  * opaque BINARY columns beside a typed metadata struct. The Spark-side
  * contract — schema, partition-friendly batch shape, operator signatures —
- * is real and tested; the actual codec work is STUBBED with deterministic
- * fakes (image/audio libraries are not in this container). Each stub is
- * marked `STUB:` and isolated behind one function so a real codec slots in
- * without touching the pipeline.
+ * is real and tested. Codec status: IMAGE decode/resize is REAL
+ * (javax.imageio, pure JVM) and AUDIO decode is REAL for PCM containers
+ * (javax.sound.sampled: WAV/AIFF/AU) — both drive the same
+ * partition-scoped seam; VIDEO (and compressed audio like MP3) would
+ * need codec libraries this container doesn't have, so those paths are
+ * deterministic STUBs, each marked `STUB:` and isolated behind one
+ * function so a real codec slots in without touching the pipeline.
  *
  * Scale notes: binary payloads ride along untouched (Parquet stores them
  * column-separate, so metadata-only queries never read the bytes);
@@ -185,6 +188,75 @@ object Multimodal {
             val out = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(scaled, "png", out)
             ResizedImage(id, out.toByteArray, w, h)
+          }
+        }
+      }
+  }
+
+  /** Decoded per-item audio stats (REAL decode path). */
+  final case class AudioStats(item_id: Long, n_frames: Long, sample_rate: Int,
+                              channels: Int, duration_ms: Long, rms: Double)
+
+  /**
+   * REAL audio decode through the same partition-scoped seam: pure-JVM
+   * `javax.sound.sampled` (WAV / AIFF / AU PCM — present in every JRE,
+   * no container dependency; compressed formats like MP3/OGG would need
+   * an SPI jar and stay out of scope). Per item: frame count, sample
+   * rate, channels, duration, and RMS amplitude normalized to [0, 1]
+   * over the 16-bit (or 8-bit) PCM samples — the standard loudness
+   * signal an audio-curation gate filters on. Undecodable bytes become
+   * a (-1, …) row: data, not a crashed partition. Narrow per-partition
+   * transform, no shuffle — the same batch shape as the image codecs.
+   */
+  def decodeAudioStats(media: DataFrame): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.select(col("item_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(Option(bytes).getOrElse(Array.emptyByteArray)))
+            try {
+              val fmt = in.getFormat
+              val data = in.readAllBytes()
+              val bits = fmt.getSampleSizeInBits
+              val frames = data.length.toLong / math.max(1, fmt.getFrameSize)
+              val rate = math.round(fmt.getSampleRate)
+              val durationMs = math.round(frames * 1000.0 / fmt.getSampleRate)
+              val rms: Double =
+                if (bits == 16) {
+                  val big = fmt.isBigEndian
+                  var sumSq = 0.0
+                  var i = 0
+                  while (i + 1 < data.length) {
+                    val s =
+                      if (big) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+                      else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+                    val x = s / 32768.0
+                    sumSq += x * x
+                    i += 2
+                  }
+                  math.sqrt(sumSq / math.max(1, data.length / 2))
+                } else if (bits == 8) {
+                  val signed = fmt.getEncoding ==
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+                  var sumSq = 0.0
+                  var i = 0
+                  while (i < data.length) {
+                    val x = (if (signed) data(i).toDouble
+                             else (data(i) & 0xff) - 128.0) / 128.0
+                    sumSq += x * x
+                    i += 1
+                  }
+                  math.sqrt(sumSq / math.max(1, data.length))
+                } else 0.0
+              AudioStats(id, frames, rate, fmt.getChannels, durationMs, rms)
+            } finally in.close()
+          } catch {
+            // UnsupportedAudioFileException and friends: bad object = data
+            case scala.util.control.NonFatal(_) =>
+              AudioStats(id, -1L, -1, -1, -1L, 0.0)
           }
         }
       }

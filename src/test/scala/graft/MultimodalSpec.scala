@@ -75,6 +75,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getInt(0) > 0 && r.getInt(1) > 0)
   }
 
+  test("decodeAudioStats decodes a real WAV (frames, rate, duration, RMS) through the seam") {
+    import spark.implicits._
+    // 0.25 s of a 440 Hz sine at amplitude 0.5, 8 kHz mono 16-bit PCM,
+    // written by the JRE's own WAV encoder — RMS of a sine is A/√2
+    val rate = 8000f
+    val nFrames = 2000
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s = math.round(0.5 * math.sin(2 * math.Pi * 440.0 * i / rate) * 32767).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val wav = {
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val media = Seq(
+      (1L, wav, "audio"),
+      (2L, "definitely not audio".getBytes("UTF-8"), "audio"))
+      .toDF("item_id", "content", "kind")
+    val stats = Multimodal.decodeAudioStats(media)
+      .collect().map(s => s.item_id -> s).toMap
+    val ok = stats(1L)
+    assert(ok.n_frames == nFrames && ok.sample_rate == 8000 && ok.channels == 1)
+    assert(ok.duration_ms == 250L)
+    assert(math.abs(ok.rms - 0.5 / math.sqrt(2.0)) < 0.01, s"rms ${ok.rms}")
+    // corrupt bytes are DATA (sentinel row), not a crashed partition
+    val bad = stats(2L)
+    assert(bad.n_frames == -1L && bad.sample_rate == -1)
+  }
+
   test("extractFeatures yields fixed-width deterministic vectors") {
     import spark.implicits._
     val media = Multimodal.fromText(Seq((1L, "same"), (2L, "same")).toDF("id", "text"), "id", "text")
