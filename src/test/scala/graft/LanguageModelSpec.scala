@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.LanguageModel
+
+/** Hand-computed cases for the bigram LM scorer (the q_lm_score oracle
+  * pins the full-corpus algebra; this pins the smoothing semantics a
+  * self-scored corpus never exercises). */
+class LanguageModelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val train = Seq("a b", "a b", "a c").toDF("text")
+
+  // model: c("a b")=2, c("a c")=1, c1(a)=3, V={a,b,c}=3, α=1
+
+  test("in-vocabulary doc scores ln P(b|a) = ln((2+1)/(3+3))") {
+    val got = LanguageModel.score(
+      Seq((1L, "a b")).toDF("doc_id", "text"), "text", "doc_id", train, "text")
+      .as[(Long, Long, Double)].collect().map { case (id, n, s) => id -> (n, s) }.toMap
+    assert(got(1L)._1 == 1L)
+    assert(got(1L)._2 == BigDecimal(math.log(0.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("unseen bigrams SMOOTH to alpha/(c1+alpha*V) instead of dropping") {
+    val got = LanguageModel.score(
+      Seq((1L, "z z"), (2L, "a z")).toDF("doc_id", "text"), "text", "doc_id", train, "text")
+      .as[(Long, Long, Double)].collect().map { case (id, n, s) => id -> (n, s) }.toMap
+    // wholly unseen history: P = 1/V = 1/3
+    assert(got(1L) == ((1L, BigDecimal(math.log(1.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // seen history 'a', unseen bigram "a z": P = (0+1)/(3+3)
+    assert(got(2L) == ((1L, BigDecimal(math.log(1.0 / 6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("repeated common bigrams outscore rare ones; <2-word docs drop out") {
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "a"), (4L, "")).toDF("doc_id", "text")
+    val got = LanguageModel.score(docs, "text", "doc_id", train, "text")
+      .as[(Long, Long, Double)].collect().map { case (id, n, s) => id -> (n, s) }.toMap
+    assert(!got.contains(3L) && !got.contains(4L), "no-bigram docs carry no LM signal")
+    assert(got(1L)._1 == 3L) // "a b","b a","a b" — with multiplicity
+    assert(got(1L)._2 > got(2L)._2, "common-bigram doc must outscore the rare one")
+  }
+}
