@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses Bench/Verify stdout (one JSON line). sbt's
+// default LoggedOutput prefixes every forked-stdout line with "[info] ",
+// which breaks that parse (BENCH_r01..r04 all have parsed:null). Route
+// the forked process's stdout straight through instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
  * opaque BINARY columns beside a typed metadata struct. The Spark-side
  * contract — schema, partition-friendly batch shape, operator signatures —
  * is real and tested. Codec status: IMAGE decode/resize is REAL
- * (javax.imageio, pure JVM) and AUDIO decode is REAL for PCM containers
- * (javax.sound.sampled: WAV/AIFF/AU) — both drive the same
- * partition-scoped seam; VIDEO (and compressed audio like MP3) would
- * need codec libraries this container doesn't have, so those paths are
- * deterministic STUBs, each marked `STUB:` and isolated behind one
- * function so a real codec slots in without touching the pipeline.
+ * (javax.imageio, pure JVM), AUDIO decode is REAL for PCM containers
+ * (javax.sound.sampled: WAV/AIFF/AU), and VIDEO decode is REAL for the
+ * uncompressed Y4M/YUV4MPEG2 container ([[parseY4m]], pure JVM) — all
+ * driving the same partition-scoped seam; compressed codecs (H.264,
+ * MP3, …) would need codec libraries this container doesn't have, so
+ * those paths are deterministic STUBs, each marked `STUB:` and isolated
+ * behind one function so a real codec slots in without touching the
+ * pipeline.
  *
  * Scale notes: binary payloads ride along untouched (Parquet stores them
  * column-separate, so metadata-only queries never read the bytes);
@@ -260,6 +262,152 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** Decoded per-item video stats (REAL decode path for Y4M). */
+  final case class VideoStats(item_id: Long, width: Int, height: Int,
+                              fps_num: Int, fps_den: Int, n_frames: Int,
+                              duration_ms: Long, mean_luma: Double)
+
+  /** One sampled video frame: luma-plane statistics (REAL extraction). */
+  final case class VideoFrame(item_id: Long, frame_idx: Int, width: Int,
+                              height: Int, mean_luma: Double)
+
+  /** Parsed Y4M container: geometry, frame rate, raw luma plane per frame. */
+  private[graft] final case class Y4m(width: Int, height: Int,
+                                      fpsNum: Int, fpsDen: Int,
+                                      lumaFrames: Vector[Array[Byte]])
+
+  /**
+   * REAL video container parse — YUV4MPEG2 (Y4M), the uncompressed
+   * interchange format every video toolchain (ffmpeg, x264, VLC) reads
+   * and writes. Pure JVM: a textual stream header (`YUV4MPEG2 W.. H..
+   * F<num>:<den> .. C<colorspace>`), then per frame a `FRAME` marker line
+   * followed by raw planar YUV bytes. This replaces the video STUB with
+   * an actual decoder for the one video format that needs no codec
+   * library; compressed codecs (H.264 …) still need a JNI decoder and
+   * would slot into the same [[decodeWithCodec]] partition seam.
+   *
+   * Supported chroma subsamplings: C420* (default), C422, C444, Cmono.
+   * Returns None for anything that is not a well-formed Y4M stream —
+   * callers turn that into a (-1, …) row: data, not a crashed partition.
+   */
+  private[graft] def parseY4m(bytes: Array[Byte]): Option[Y4m] = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < bytes.length && bytes(i) != '\n') i += 1
+      i
+    }
+    val magic = "YUV4MPEG2"
+    if (bytes == null || bytes.length < magic.length ||
+        new String(bytes, 0, magic.length, "US-ASCII") != magic) return None
+    val hEnd = lineEnd(0)
+    if (hEnd >= bytes.length) return None
+    val header = new String(bytes, 0, hEnd, "US-ASCII")
+    var w = -1; var h = -1; var fn = 25; var fd = 1; var cs = "420"
+    header.split(' ').drop(1).foreach { p =>
+      if (p.nonEmpty) p.charAt(0) match {
+        case 'W' => w = p.drop(1).toIntOption.getOrElse(-1)
+        case 'H' => h = p.drop(1).toIntOption.getOrElse(-1)
+        case 'F' => p.drop(1).split(':') match {
+          case Array(a, b) =>
+            fn = a.toIntOption.getOrElse(25); fd = b.toIntOption.getOrElse(1)
+          case _ =>
+        }
+        case 'C' => cs = p.drop(1)
+        case _ => // I (interlace), A (aspect), X (extension): ignored
+      }
+    }
+    if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+    val ySize = w * h
+    val chromaSize =
+      if (cs.startsWith("420")) 2 * ((w / 2) * (h / 2))
+      else if (cs.startsWith("422")) 2 * ((w / 2) * h)
+      else if (cs.startsWith("444")) 2 * ySize
+      else if (cs.startsWith("mono")) 0
+      else return None
+    val frames = Vector.newBuilder[Array[Byte]]
+    var pos = hEnd + 1
+    while (pos < bytes.length) {
+      val fEnd = lineEnd(pos)
+      val marker = new String(bytes, pos, math.min(5, fEnd - pos), "US-ASCII")
+      if (marker != "FRAME" || fEnd >= bytes.length) return None
+      val dataStart = fEnd + 1
+      if (dataStart + ySize + chromaSize > bytes.length) return None
+      frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + ySize)
+      pos = dataStart + ySize + chromaSize
+    }
+    Some(Y4m(w, h, fn, fd, frames.result()))
+  }
+
+  /** REAL Y4M writer (the test/fixture counterpart of [[parseY4m]]):
+   *  C420 planar frames, chroma planes neutral (128). An independent
+   *  implementation of the container spec, so round-tripping through
+   *  parseY4m actually exercises the format. */
+  private[graft] def y4mBytes(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+                              lumaFrames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width % 2 == 0 && height % 2 == 0, "C420 needs even dimensions")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 C420\n"
+      .getBytes("US-ASCII"))
+    val chroma = Array.fill((width / 2) * (height / 2))(128.toByte)
+    lumaFrames.foreach { y =>
+      require(y.length == width * height, "luma plane size mismatch")
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      out.write(y); out.write(chroma); out.write(chroma)
+    }
+    out.toByteArray
+  }
+
+  private def meanLuma(frames: Seq[Array[Byte]]): Double = {
+    var sum = 0.0; var n = 0L
+    frames.foreach { f => var i = 0; while (i < f.length) { sum += (f(i) & 0xff); i += 1 }; n += f.length }
+    if (n == 0) 0.0 else sum / n
+  }
+
+  /**
+   * Per-item video stats through the partition-scoped codec seam: REAL
+   * Y4M parse (geometry, frame rate, frame count, duration, mean luma).
+   * Undecodable bytes become a (-1, …) row. Narrow transform, no shuffle.
+   */
+  def decodeVideoStats(media: DataFrame): Dataset[VideoStats] = {
+    import media.sparkSession.implicits._
+    media.select(col("item_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseY4m(Option(bytes).getOrElse(Array.emptyByteArray)) match {
+          case Some(v) =>
+            VideoStats(id, v.width, v.height, v.fpsNum, v.fpsDen,
+              v.lumaFrames.length,
+              math.round(v.lumaFrames.length * 1000.0 * v.fpsDen / v.fpsNum),
+              meanLuma(v.lumaFrames))
+          case None => VideoStats(id, -1, -1, -1, -1, -1, -1L, 0.0)
+        }
+      })
+  }
+
+  /**
+   * REAL frame sampling: decode the Y4M stream and keep every `everyNth`
+   * frame (frame 0 first) up to `maxFrames`, emitting the luma-plane mean
+   * per sampled frame — one output row per frame, keys staying with the
+   * parent item (downstream groupBy(item_id) needs one exchange, same
+   * shape as the stub [[sampleFrames]] this supersedes for Y4M inputs).
+   */
+  def sampleVideoFrames(media: DataFrame, everyNth: Int, maxFrames: Int)
+  : Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.select(col("item_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseY4m(Option(bytes).getOrElse(Array.emptyByteArray)) match {
+          case Some(v) =>
+            v.lumaFrames.indices
+              .filter(_ % everyNth == 0).take(maxFrames)
+              .map(i => VideoFrame(id, i, v.width, v.height,
+                meanLuma(Seq(v.lumaFrames(i)))))
+          case None => Seq(VideoFrame(id, -1, -1, -1, 0.0))
+        }
+      })
   }
 
   def imageIoCodec: () => Array[Byte] => (Int, Long) = () => {

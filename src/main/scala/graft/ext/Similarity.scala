@@ -409,11 +409,36 @@ object Similarity {
    * Approximation quality is pinned by the recall gate in
    * SimilaritySpec against [[bruteForceTopK]].
    */
+  /** One codebook component for the md5 family: first 8 hex chars of
+   *  md5("pq:subspace:code:dim") as u32, mapped to [-1, 1) exactly like
+   *  [[md5PlaneWeight]]. Embedded as literals in BOTH engines, so the
+   *  ORACLE-CHECKABLE PQ twin shares its codebooks with DuckDB by
+   *  construction (no training — the twin value-checks the encode → ADC →
+   *  rerank mechanism; the k-means-trained production path keeps its
+   *  recall gate). */
+  private[graft] def md5CodebookWeight(j: Int, c: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"pq:$j:$c:$d".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16).toDouble / 2147483648.0 - 1.0
+  }
+
+  /** The md5-family codebook table (subspace, code, centroid) as a local
+   *  DataFrame — broadcast-small by construction (m·codes rows). */
+  def md5Codebooks(spark: org.apache.spark.sql.SparkSession,
+                   m: Int, codes: Int, subDim: Int): DataFrame = {
+    import spark.implicits._
+    (for (j <- 0 until m; c <- 0 until codes)
+      yield (j, c, (0 until subDim).map(d => md5CodebookWeight(j, c, d)).toArray))
+      .toDF("subspace", "code", "centroid")
+  }
+
   def pqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
              queries: DataFrame, queryId: String, queryVec: String,
              dims: Int, m: Int = 16, codes: Int = 16, iters: Int = 3,
              k: Int = 5, overfetch: Int = 8,
-             trainSampleSize: Int = 0): DataFrame = {
+             trainSampleSize: Int = 0,
+             fixedCodebooks: Option[DataFrame] = None): DataFrame = {
     require(dims % m == 0, s"dims $dims not divisible by m $m")
     val subDim = dims / m
 
@@ -474,18 +499,19 @@ object Similarity {
     val spark = corpus.sparkSession
     def localize(d: DataFrame): DataFrame =
       spark.createDataFrame(java.util.Arrays.asList(d.collect(): _*), d.schema)
-    val codebooks = (0 until iters).foldLeft(localize(seeds)) { (cents, _) =>
-      val means = assignAll(trainSubs, cents)
-        .select(col("subspace"), col("code"),
-          posexplode(col("sv")).as(Seq("dim", "comp")))
-        .groupBy(col("subspace"), col("code"), col("dim"))
-        .agg(avg(col("comp")).as("mean"))
-        .groupBy(col("subspace"), col("code"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
-          s => s.getField("mean")).as("centroid"))
-      // empty cells keep their previous centroid
-      localize(means.unionByName(cents.join(means, Seq("subspace", "code"), "left_anti")))
-    }
+    val codebooks = fixedCodebooks.getOrElse(
+      (0 until iters).foldLeft(localize(seeds)) { (cents, _) =>
+        val means = assignAll(trainSubs, cents)
+          .select(col("subspace"), col("code"),
+            posexplode(col("sv")).as(Seq("dim", "comp")))
+          .groupBy(col("subspace"), col("code"), col("dim"))
+          .agg(avg(col("comp")).as("mean"))
+          .groupBy(col("subspace"), col("code"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+            s => s.getField("mean")).as("centroid"))
+        // empty cells keep their previous centroid
+        localize(means.unionByName(cents.join(means, Seq("subspace", "code"), "left_anti")))
+      })
 
     // encode: one batched assign over the FULL corpus
     val encoded = assignAll(subs, codebooks)

@@ -111,6 +111,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad.n_frames == -1L && bad.sample_rate == -1)
   }
 
+  test("decodeVideoStats parses a real Y4M stream (geometry, fps, frames, luma) through the seam") {
+    import spark.implicits._
+    // two 4x2 frames with known luma planes, written by the independent
+    // y4mBytes writer — parseY4m must recover them exactly
+    val f0 = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)
+    val f1 = Array.fill(8)(200.toByte) // unsigned 200 via & 0xff
+    val vid = Multimodal.y4mBytes(4, 2, 30, 1, Seq(f0, f1))
+    val media = Seq(
+      (1L, vid),
+      (2L, "not a video".getBytes("UTF-8"))).toDF("item_id", "content")
+    val out = Multimodal.decodeVideoStats(media).collect()
+      .map(v => v.item_id -> v).toMap
+    val ok = out(1L)
+    assert(ok.width == 4 && ok.height == 2 && ok.fps_num == 30 && ok.fps_den == 1)
+    assert(ok.n_frames == 2)
+    assert(ok.duration_ms == 67L) // round(2 * 1000 / 30)
+    val expected = (f0.map(_ & 0xff).sum + 8 * 200) / 16.0
+    assert(math.abs(ok.mean_luma - expected) < 1e-12)
+    assert(out(2L).n_frames == -1) // undecodable -> data, not a crash
+  }
+
+  test("parseY4m handles 422/444/mono chroma and rejects truncated frames") {
+    // hand-built containers (NOT via y4mBytes, which only writes C420)
+    def vid(cs: String, chromaLen: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W4 H2 F25:1 $cs\nFRAME\n".getBytes("US-ASCII"))
+      out.write(Array.fill[Byte](8)(100.toByte)) // luma 4x2
+      out.write(Array.fill[Byte](chromaLen)(128.toByte))
+      out.toByteArray
+    }
+    for ((cs, clen) <- Seq(("C422", 8), ("C444", 16), ("Cmono", 0))) {
+      val p = Multimodal.parseY4m(vid(cs, clen))
+      assert(p.exists(_.lumaFrames.length == 1), s"$cs failed")
+      assert(p.get.lumaFrames.head.forall(_ == 100.toByte), cs)
+    }
+    // truncated chroma: one byte short -> None, not a crash or bad frame
+    assert(Multimodal.parseY4m(vid("C444", 15)).isEmpty)
+    // unknown colorspace -> None
+    assert(Multimodal.parseY4m(vid("C410", 4)).isEmpty)
+  }
+
+  test("sampleVideoFrames keeps every Nth frame up to the cap, with real per-frame luma") {
+    import spark.implicits._
+    // 5 frames, frame i solid luma 10*i; everyNth=2, maxFrames=2 -> 0, 2
+    val frames = (0 until 5).map(i => Array.fill(8)((10 * i).toByte))
+    val media = Seq((7L, Multimodal.y4mBytes(4, 2, 25, 1, frames)))
+      .toDF("item_id", "content")
+    val out = Multimodal.sampleVideoFrames(media, everyNth = 2, maxFrames = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(out.map(_.mean_luma).toSeq == Seq(0.0, 20.0))
+    assert(out.forall(f => f.width == 4 && f.height == 2))
+  }
+
   test("extractFeatures yields fixed-width deterministic vectors") {
     import spark.implicits._
     val media = Multimodal.fromText(Seq((1L, "same"), (2L, "same")).toDF("id", "text"), "id", "text")
