@@ -533,8 +533,12 @@ object Similarity {
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("pdot")).as("pd"), sum(col("cnorm2")).as("n2"),
         first(col("__qnorm")).as("qnorm"))
+      // rounded to 6dp BEFORE the overfetch cut (the lm_score precedent):
+      // the 8-term float sum's accumulation order is engine-dependent, and
+      // at near-tied ADC scores an ulp decides who makes the candidate
+      // set — rounding pins the cut to a value both engines agree on
       .select(col("query_id"), col("neighbor_id"),
-        (col("pd") / (sqrt(col("n2")) * col("qnorm"))).as("adc_sim"))
+        round(col("pd") / (sqrt(col("n2")) * col("qnorm")), 6).as("adc_sim"))
 
     // overfetch by ADC, then exact-cosine rerank of the survivors only
     val aw = Window.partitionBy(col("query_id"))
