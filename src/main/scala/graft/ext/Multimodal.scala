@@ -319,12 +319,18 @@ object Multimodal {
       }
     }
     if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
-    val ySize = w * h
-    val chromaSize =
-      if (cs.startsWith("420")) 2 * ((w / 2) * (h / 2))
-      else if (cs.startsWith("422")) 2 * ((w / 2) * h)
-      else if (cs.startsWith("444")) 2 * ySize
-      else if (cs.startsWith("mono")) 0
+    // plane sizes in Long: a crafted W46341 H46341 (or W65536 H65536 C420)
+    // header overflows Int to a zero/negative size and turns copyOfRange
+    // into a crashed partition — exactly what this parser promises not to
+    // do. Any frame bigger than the payload itself is malformed by
+    // construction, so bounding by bytes.length also keeps the Int casts
+    // below exact.
+    val ySizeL = w.toLong * h
+    val chromaSizeL =
+      if (cs.startsWith("420")) 2L * ((w / 2).toLong * (h / 2))
+      else if (cs.startsWith("422")) 2L * ((w / 2).toLong * h)
+      else if (cs.startsWith("444")) 2L * ySizeL
+      else if (cs.startsWith("mono")) 0L
       else return None
     val frames = Vector.newBuilder[Array[Byte]]
     var pos = hEnd + 1
@@ -333,9 +339,11 @@ object Multimodal {
       val marker = new String(bytes, pos, math.min(5, fEnd - pos), "US-ASCII")
       if (marker != "FRAME" || fEnd >= bytes.length) return None
       val dataStart = fEnd + 1
-      if (dataStart + ySize + chromaSize > bytes.length) return None
-      frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + ySize)
-      pos = dataStart + ySize + chromaSize
+      // Long-domain bound: once it passes, dataStart + ySizeL fits in Int
+      // (bytes.length is an Int), so the copyOfRange casts are exact
+      if (dataStart + ySizeL + chromaSizeL > bytes.length) return None
+      frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + ySizeL.toInt)
+      pos = dataStart + ySizeL.toInt + chromaSizeL.toInt
     }
     Some(Y4m(w, h, fn, fd, frames.result()))
   }

@@ -22,18 +22,26 @@ object Packing {
   /**
    * Deterministic shard id in [0, nShards). Two families:
    *  - "xxhash64" (production default): well-mixed 64-bit hash;
-   *  - "mult": Knuth multiplicative hashing on the raw id —
-   *    ((id mod 2³¹) · 2654435761) mod 2³¹ — exact BIGINT arithmetic
-   *    both Spark and DuckDB reproduce, so queries under this family
-   *    have a value-level oracle (same parameterization pattern as the
-   *    md5 twins of the minhash/simhash/hyperplane families).
+   *  - "mult": Knuth multiplicative hashing on the raw id, mapped to a
+   *    shard by the HIGH bits: (((id mod 2³¹) · 2654435761) mod 2³²) ·
+   *    nShards ≫ 32. Taking the product mod nShards instead would undo
+   *    the mixing whenever nShards divides the modulus (2654435761 ≡ 1
+   *    mod 16, so for power-of-two shard counts it degenerates to
+   *    id mod n — clustered ids all land in one shard). High-bits
+   *    mapping is where a multiplicative hash actually mixes. Exact
+   *    BIGINT arithmetic both Spark and DuckDB reproduce, so queries
+   *    under this family have a value-level oracle (same
+   *    parameterization pattern as the md5 twins of the
+   *    minhash/simhash/hyperplane families). Intermediates stay in
+   *    signed-64 range for nShards up to 2²⁰.
    */
   def shardId(id: Column, nShards: Int, family: String = "xxhash64"): Column =
     family match {
       case "xxhash64" => pmod(xxhash64(id), lit(nShards.toLong))
       case "mult" =>
-        pmod(pmod(id.cast("long"), lit(2147483648L)) * lit(2654435761L),
-          lit(2147483648L)) % nShards
+        shiftright(
+          pmod(pmod(id.cast("long"), lit(2147483648L)) * lit(2654435761L),
+            lit(4294967296L)) * lit(nShards.toLong), 32)
       case other => throw new IllegalArgumentException(s"unknown family '$other'")
     }
 
@@ -64,7 +72,10 @@ object Packing {
     withShard(df, idCol, nShards, family)
       .withColumn("start_offset",
         sum(col(tokenCol)).over(w) - col(tokenCol))
-      .withColumn("seq_id", floor(col("start_offset") / budget))
+      // integer division on longs: a double-division floor() loses
+      // exactness past 2^53 cumulative tokens and would diverge from the
+      // oracle's BIGINT `//`
+      .withColumn("seq_id", expr(s"start_offset div $budget"))
   }
 
   /** Per-(shard, sequence) packing summary: document count and token

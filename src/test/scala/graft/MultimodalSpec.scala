@@ -150,6 +150,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseY4m(vid("C444", 15)).isEmpty)
     // unknown colorspace -> None
     assert(Multimodal.parseY4m(vid("C410", 4)).isEmpty)
+    // crafted overflow geometry: W*H wraps Int (46341^2 and 65536^2 C420)
+    // -> None, never a copyOfRange/AIOOBE crash
+    for (dims <- Seq("W46341 H46341", "W65536 H65536")) {
+      val b = s"YUV4MPEG2 $dims F25:1 C420\nFRAME\n".getBytes("US-ASCII") ++
+        Array.fill[Byte](64)(1.toByte)
+      assert(Multimodal.parseY4m(b).isEmpty, dims)
+    }
   }
 
   test("sampleVideoFrames keeps every Nth frame up to the cap, with real per-frame luma") {

@@ -24,6 +24,14 @@ class PackingSpec extends AnyFunSuite {
       // 4000/16 = 250 expected; a broken mixer would collapse shards
       assert(counts.values.forall(c => c > 125 && c < 500),
         s"$family skewed: $counts")
+      // clustered ids (multiples of 16): a mod-n mapping with a
+      // multiplier ~= 1 (mod 16) degenerates to id mod 16 and drops
+      // them all in shard 0 — the high-bits mapping must still spread
+      val clustered = (0 until 1024).map(i => (i.toLong * 16, 1))
+        .toDF("id", "toks")
+      val cc = Packing.withShard(clustered, "id", 16, family)
+        .groupBy("shard").count().as[(Long, Long)].collect().toMap
+      assert(cc.size >= 8, s"$family collapsed on clustered ids: $cc")
       // determinism across evaluations
       val again = Packing.withShard(docs(4000), "id", 16, family)
         .groupBy("shard").count().as[(Long, Long)].collect().toMap
@@ -71,7 +79,8 @@ class PackingSpec extends AnyFunSuite {
     val m = Packing.shardManifest(d, "id", "toks", nShards = 8, family = "mult")
       .as[(Long, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> r).toMap
-    val expected = (0 until 100).groupBy(i => ((i.toLong % 2147483648L) * 2654435761L) % 2147483648L % 8)
+    val expected = (0 until 100).groupBy(i =>
+      (((i.toLong % 2147483648L) * 2654435761L) % 4294967296L) * 8 >> 32)
     expected.foreach { case (shard, ids) =>
       val row = m(shard)
       assert(row._2 == ids.size)
