@@ -19,11 +19,17 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape (100 TB): the count tables are VOCABULARY-bounded, not
  * corpus-bounded — c(w₁w₂)/c(w₁·) grow with distinct n-grams, which
- * saturates long before the corpus does (and a production run prunes to
- * top-K counts, turning the scoring join into a broadcast). The scoring
- * join shuffles by bigram with map-side combined counts on the model
- * side; training and scoring corpora are independent inputs, so the
- * model trains once and scores any number of candidate batches.
+ * saturates long before the corpus does. The scoring joins BROADCAST the
+ * count tables: the corpus's exploded bigrams never shuffle at all
+ * (a bigram-keyed exchange would put every "of the" occurrence on one
+ * reducer — Zipfian keys make that THE scale bottleneck, measured 12 s
+ * of an 88-query bench at sf0.1 before this change). When the raw
+ * tables outgrow the broadcast budget, `topK` prunes the model to the
+ * top-K counts first (TakeOrderedAndProject — distributed partial
+ * top-K, no global sort); a pruned-away bigram is simply an unseen one,
+ * which is exactly what add-α smoothing is for. Training and scoring
+ * corpora are independent inputs, so the model trains once and scores
+ * any number of candidate batches.
  */
 object LanguageModel {
 
@@ -32,15 +38,17 @@ object LanguageModel {
       .otherwise(split(trim(lower(textCol)), "\\s+"))
 
   /** Raw bigram strings "w1 w2" per doc, WITH multiplicity (unlike the
-   *  dedup shingles, which are distinct sets — an LM needs counts). */
-  private def bigrams(textCol: Column): Column = {
-    val w = words(textCol)
-    // size<2 would make sequence(0, size-2) descend — empty array instead
+   *  dedup shingles, which are distinct sets — an LM needs counts).
+   *  Takes an already-materialized words ARRAY column, never the raw
+   *  text: referencing the split expression inside a lambda would
+   *  re-tokenize the document for every element access (measured 6 s of
+   *  a 12 s query at sf0.1 doing exactly that), where zip_with over a
+   *  bound column is one pass. */
+  private def bigramsOf(w: Column): Column =
     when(size(w) >= 2,
-      transform(sequence(lit(0), size(w) - 2), i =>
-        concat(element_at(w, i + 1), lit(" "), element_at(w, i + 2))))
+      zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-  }
 
   /**
    * Score `df`'s documents under a bigram model trained on `train`
@@ -51,21 +59,38 @@ object LanguageModel {
    */
   def score(df: DataFrame, textCol: String, idCol: String,
             train: DataFrame, trainTextCol: String,
-            alpha: Double = 1.0): DataFrame = {
-    val trainBi = train.select(explode(bigrams(col(trainTextCol))).as("bigram"))
-    val c12 = trainBi.groupBy("bigram").agg(count(lit(1)).as("c12"))
-    val c1 = trainBi.select(split(col("bigram"), " ").getItem(0).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c1"))
+            alpha: Double = 1.0, topK: Int = 0): DataFrame = {
+    val trainBi = train.select(words(col(trainTextCol)).as("ws"))
+      .select(explode(bigramsOf(col("ws"))).as("bigram"))
+    val c12All = trainBi.groupBy("bigram").agg(count(lit(1)).as("c12"))
+    // c(w1·) = Σ c(w1w2): derived from the vocab-bounded c12 table, not a
+    // second corpus-wide explode — Catalyst reuses c12's exchange
+    // (ReusedExchange), so the corpus is exploded once for the model
+    val c1All = c12All
+      .select(split(col("bigram"), " ").getItem(0).as("w1"), col("c12"))
+      .groupBy("w1").agg(sum(col("c12")).as("c1"))
+    // topK pruning: orderBy(...).limit(K) plans as TakeOrderedAndProject
+    // (per-partition top-K then a K-row merge — never a global sort);
+    // deterministic tie-break on the key so both engines keep the same K
+    val c12 = if (topK > 0)
+      c12All.orderBy(col("c12").desc, col("bigram")).limit(topK)
+    else c12All
+    val c1 = if (topK > 0)
+      c1All.orderBy(col("c1").desc, col("w1")).limit(topK)
+    else c1All
     val v = train.select(explode(words(col(trainTextCol))).as("w"))
       .select(countDistinct(col("w")).as("V"))
 
-    // LEFT joins: bigrams unseen in training must SMOOTH (that is what α
-    // is for — P = α/(c1+αV), or 1/V for a wholly unseen history), not
-    // silently drop from the average
-    df.select(col(idCol).as("id"), explode(bigrams(col(textCol))).as("bigram"))
-      .join(c12, Seq("bigram"), "left")
+    // LEFT joins, model side BROADCAST: bigrams unseen in training (or
+    // pruned from the top-K model) must SMOOTH (that is what α is for —
+    // P = α/(c1+αV), or 1/V for a wholly unseen history), not silently
+    // drop from the average; and the Zipfian exploded-bigram stream must
+    // never be the shuffle key
+    df.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+      .select(col("id"), explode(bigramsOf(col("ws"))).as("bigram"))
+      .join(broadcast(c12), Seq("bigram"), "left")
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
-      .join(c1, Seq("w1"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
       .crossJoin(broadcast(v))
       .select(col("id"),
         log((coalesce(col("c12"), lit(0L)) + lit(alpha)) /
