@@ -69,6 +69,25 @@ object Readers {
         col("value"), col("record.*"))
   }
 
+  /** S6 strict mode — the reference's abort semantics: `json.loads` at
+   *  validator.py:265 is unguarded inside `validate_queue`, so ONE
+   *  malformed line kills the WHOLE file (the Lambda invocation throws
+   *  and the file yields nothing). Spark-native restatement: drop every
+   *  record of any file containing a corrupt row — a per-file ALL gate
+   *  via one window on the file key (the same partitioning the pipeline
+   *  exchanges on anyway; no extra scan). The PERMISSIVE default
+   *  ([[ndjson]]) keeps corrupt rows as data instead — the documented
+   *  divergence, pinned by fixture F's `json_abort` ref-golden. */
+  def ndjsonStrict(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val parsed = ndjson(spark, path, schema)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("file"))
+    parsed
+      .withColumn("__file_corrupt",
+        max(col("_corrupt_record").isNotNull.cast(IntegerType)).over(w))
+      .filter(col("__file_corrupt") === 0)
+      .drop("__file_corrupt")
+  }
+
   /** S7: positional CSV — columns mapped to rule paths BY DECLARATION ORDER
    *  (validator.py:419-432); all values strings, casts happen per rule.
    *

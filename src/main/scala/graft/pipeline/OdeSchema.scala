@@ -80,6 +80,30 @@ object OdeSchema {
     StructField("payload", StringType)))
 
   /**
+   * [[record]] with `request.ode.version` typed LongType, for the
+   * reference's SHIPPED rule corpus (config_2.ini:150): its TMC condition
+   * is `matchAgainst: [3]` — Python INT equality (validator.py:166) — so
+   * the column must compare numerically; a string-typed version would
+   * never equal the JSON number 3. Fixture E writes `version` as a JSON
+   * int accordingly.
+   */
+  val config2Record: StructType = {
+    def patch(st: StructType, path: List[String], dt: DataType): StructType =
+      path match {
+        case leaf :: Nil =>
+          StructType(st.fields.map(f =>
+            if (f.name == leaf) f.copy(dataType = dt) else f))
+        case head :: rest =>
+          StructType(st.fields.map(f =>
+            if (f.name == head) f.copy(dataType =
+              patch(f.dataType.asInstanceOf[StructType], rest, dt))
+            else f))
+        case Nil => st
+      }
+    patch(record, List("metadata", "request", "ode", "version"), LongType)
+  }
+
+  /**
    * Extend a base schema with every (static) dotted rule path a suite
    * addresses, as nullable StringType leaves. The reference parses the
    * whole JSON dynamically, so its effective schema IS the rule config —

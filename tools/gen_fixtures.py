@@ -427,6 +427,192 @@ FILE_A5 = [  # null bundleIds: Python None == None -> ONE bundle
 ]
 
 
+# ---------------------------------------------------------------------------
+# Fixture E: the reference's SHIPPED BSM/TIM rule corpus (config_2.ini),
+# end-to-end. The config is read in place from /root/reference — the INI IS
+# the reference's own query corpus. Records are authored to reach every
+# rule's pass AND fail branches that stay deterministic under
+# `LatestTime = NOW` (validator.py:69-70 captures the wall clock, so a
+# future timestamp would embed it in the failure text; the grid therefore
+# uses only past-aware / naive / unparseable values).
+# ---------------------------------------------------------------------------
+
+CONFIG2 = "/root/reference/odevalidator/config_2.ini"
+
+BSM = "us.dot.its.jpo.ode.model.OdeBsmPayload"
+TIM = "us.dot.its.jpo.ode.model.OdeTimPayload"
+ALERT = "us.dot.its.jpo.ode.model.OdeDriverAlertPayload"
+
+
+def rec2(serial, **kw):
+    rtype = kw.get("rtype", "bsmLogDuringEvent")
+    m = {
+        "recordGeneratedAt": kw.get("gen", "2019-05-14T19:05:47.123Z"),
+        "recordGeneratedBy": kw.get("gen_by", "OBU"),
+        "recordType": rtype,
+        "sanitized": kw.get("sanitized", "False"),
+        "schemaVersion": kw.get("schema_version", 6),
+        "securityResultCode": kw.get("src", "success"),
+        "bsmSource": kw.get("bsm_source", "RV"),
+        "payloadType": kw.get("payload_type", BSM),
+        "logFileName": kw.get("log_file", rtype + "_file.log"),
+        "odeReceivedAt": kw.get("recv", "2019-05-14T19:05:48.123Z"),
+        "serialId": {"streamId": kw.get("stream_id", "s-1"),
+                     "bundleSize": kw.get("bundle_size", 5),
+                     "bundleId": kw.get("bundle_id", 1),
+                     "recordId": kw.get("record_id", 0),
+                     "serialNumber": serial},
+        "receivedMessageDetails": {"locationData": {
+            "latitude": kw.get("lat", "40.5"),
+            "longitude": kw.get("lon", "-105.1"),
+            "elevation": kw.get("elev", "1600.0"),
+            "speed": kw.get("speed", "25.5"),
+            "heading": kw.get("heading", "180.0")}},
+        "request": {"ode": {"verb": kw.get("verb", "POST"),
+                            # JSON int: the TMC condition is matchAgainst [3]
+                            # — Python INT equality (validator.py:166)
+                            "version": kw.get("version", 2)}},
+    }
+    if kw.get("rx_source") is not None:
+        m["receivedMessageDetails"]["rxSource"] = kw["rx_source"]
+    if kw.get("no_rmd"):
+        del m["receivedMessageDetails"]
+    if kw.get("sdw") is not None:
+        m["request"]["sdw"] = kw["sdw"]
+    if kw.get("snmp") is not None:
+        m["request"]["snmp"] = kw["snmp"]
+    if kw.get("rsus") is not None:
+        m["request"]["rsus"] = {"rsus": kw["rsus"]}
+    for path in kw.get("drop", []):
+        node = m
+        parts = path.split(".")
+        for p in parts[:-1]:
+            node = node.get(p, {})
+        node.pop(parts[-1], None)
+    return {"metadata": m, "payload": "p"}
+
+
+FILE_E1 = [
+    # 1: clean OBU bsmLogDuringEvent baseline — every rule passes
+    rec2(1),
+    # 2: bsmTx may only carry bsmSource EV (matchAgainst, not the enum)
+    rec2(2, rtype="bsmTx", bsm_source="RV"),
+    # 3: 'unknown' IS in the bsmSource enum but NOT in the bsmLogDuringEvent
+    # matchAgainst ['RV','EV']; schemaVersion 999 passes (EqualsValue=6 is a
+    # non-Iterable -> reference skips ALL checks, validator.py:99)
+    rec2(3, bsm_source="unknown", schema_version=999),
+    # 4: rxSource RV forces payloadType OdeBsm (cond 4) — Tim fails
+    rec2(4, rtype="rxMsg", rx_source="RV", payload_type=TIM),
+    # 5: missing securityResultCode on rxMsg -> 'Required Field is missing.'
+    rec2(5, rtype="rxMsg", rx_source="SAT", payload_type=TIM,
+         drop=["securityResultCode"]),
+    # 6: RSU bsmTx: startsWithField fail + unparseable recordGeneratedAt +
+    # space/offset-separated aware odeReceivedAt (passes)
+    rec2(6, gen_by="RSU", rtype="bsmTx", bsm_source="EV",
+         log_file="wrongprefix.log", gen="not-a-date",
+         recv="2019-05-14 19:05:47+00:00"),
+    # 7: naive timestamps vs the aware NOW bound -> Python TypeError text
+    rec2(7, gen="2019-05-14T19:05:47", recv="May 14 2019"),
+    # 8: recordType 'unsupported' falls through securityResultCode conds ->
+    # unconditional enum (case-INsensitive, unlike matchAgainst); bsmSource
+    # cond 3 (payloadType==OdeBsm -> must be RV) fails on EV
+    rec2(8, rtype="unsupported", src="SPDUCERTIFICATEEXPIRED", bsm_source="EV"),
+    # 9: invalid recordGeneratedBy -> every generatedBy-conditioned rule
+    # falls back to its unconditional check: logFileName free-form passes,
+    # verb PATCH fails the enum, version 7 fails the 0..3 limits; dropped
+    # schemaVersion still passes (opaque EqualsValue skips presence too)
+    rec2(9, gen_by="HOVERCRAFT", log_file="zzz.log", verb="PATCH", version=7,
+         drop=["schemaVersion"]),
+    # 10: TMC dnMsg: matchAgainst is case-SENSITIVE ('SUCCESS' fails where
+    # the enum would pass); TMC does NOT dodge recordGeneratedAt (naive ->
+    # TypeError text); TMC skips the locationData + rxSource checks
+    rec2(10, gen_by="TMC", rtype="dnMsg", src="SUCCESS", payload_type=TIM,
+         gen="2019-05-14 12:00:00", lat="95.5", rx_source="SNMP",
+         log_file="dn.log", verb="POST", version=3),
+    # 11: TMC driverAlert: securityResultCode cond 2 passes garbage; verb GET
+    # fails matchAgainst ['POST','PUT']; version 2 fails matchAgainst [3];
+    # payloadType must be OdeDriverAlertPayload
+    rec2(11, gen_by="TMC", rtype="driverAlert", src="garbage",
+         payload_type=BSM, log_file="da.log", verb="GET", version=2),
+    # 12: TMC hits the sdw/snmp unconditional fallbacks (the OBU-family
+    # condition does not cover TMC): out-of-range corners, bad ttl, decimal
+    # parse failures, limit-less snmp.status passes even unparseable
+    rec2(12, gen_by="TMC", rtype="unsupported", no_rmd=True,
+         drop=["securityResultCode"], log_file="u.log", verb="PUT", version=3,
+         sdw={"recordId": "rec-1",
+              "serviceRegion": {"nwCorner": {"latitude": "95.0",
+                                             "longitude": "-200.5"},
+                                "seCorner": {"latitude": "abc",
+                                             "longitude": "150.0"}},
+              "ttl": "fortnight"},
+         snmp={"mode": "abc", "deliverystart": "2019-05-14T19:05:47Z",
+               "deliverystop": "garbage", "rsuid": "-5", "enable": "2",
+               "channel": "0", "msgid": "3.5", "interval": "-0.5",
+               "status": "xyz"}),
+    # 13: TMC_VIA_SAT: the OBU-family condition passes out-of-range corners,
+    # a bogus ttl, unparseable snmp.mode and version 99 untouched — the
+    # asymmetric twin of record 12; list-shaped rsus resolve to None under
+    # config_2's non-.list paths (validator.py:172-194) and pass via the
+    # self-referencing condition
+    rec2(13, gen_by="TMC_VIA_SAT", rtype="dnMsg", src="unknown",
+         payload_type=TIM, verb="DELETE", version=99,
+         sdw={"recordId": "r-99",
+              "serviceRegion": {"nwCorner": {"latitude": "95.0",
+                                             "longitude": "10.0"},
+                                "seCorner": {"latitude": "-95.0",
+                                             "longitude": "10.0"}},
+              "ttl": "badttl"},
+         snmp={"mode": "abc"},
+         rsus=[{"rsuTarget": "10.0.0.1", "rsuRetries": 2,
+                "rsuTimeout": 3000, "rsuIndex": 1}]),
+    # 14: whole serialId missing: the struct-typed [metadata.serialId] rule
+    # AND all five leaf rules report 'Field missing'
+    rec2(14, drop=["serialId"]),
+    # 15: empty strings: streamId/latitude fail 'Field empty', elevation
+    # passes (AllowEmpty), logFileName '' fails startsWithField
+    rec2(15, stream_id="", lat="", elev="", log_file=""),
+    # 16: enum case-insensitivity (sanitized TRUE) + the %d-truncated limit
+    # texts: 359.99 > 359.9875 renders "'359' ... '359'"
+    rec2(16, sanitized="TRUE", heading="359.99", speed="163.83",
+         elev="6143.95"),
+    # 17: serialId limit failures; serialNumber is Type=serial -> NO range
+    # checks despite configured limits (validator.py:206-243 has no branch)
+    rec2(-3, bundle_size=0, bundle_id=-1, record_id=2147483648),
+]
+
+FILE_E2 = [
+    rec2(19, record_id=1),
+    # rxSource NA -> payloadType must be Tim (cond 5)
+    rec2(20, rtype="rxMsg", rx_source="NA", payload_type=TIM, src="unknown",
+         record_id=2),
+    # clean TMC: conditions pass everything
+    rec2(21, gen_by="TMC", rtype="rxMsg", verb="PUT", version=3,
+         log_file="tmc.log", record_id=3),
+]
+
+
+# ---------------------------------------------------------------------------
+# Fixture F: JSON-parse-failure file-abort semantics. The reference's
+# json.loads at validator.py:265 (inside validate_queue) is unguarded — ONE
+# malformed line aborts the WHOLE file (the Lambda invocation throws and
+# the file yields nothing). The golden records which files abort, via
+# try/except around the live reference; the engine's strict mode drops
+# every record of a corrupt-containing file to match.
+# ---------------------------------------------------------------------------
+
+FILE_F1 = [  # clean file: survives strict mode intact
+    rec(600 + i, 20, i, 3, T.format(10 + i), T.format(11 + i))
+    for i in range(3)
+]
+FILE_F2_LINES = [  # one malformed line among valid records -> file aborts
+    json.dumps(rec(610, 21, 0, 2, T.format(20), T.format(21)),
+               separators=(",", ":")),
+    '{"metadata": {"serialId": {',  # truncated JSON — json.loads raises
+    json.dumps(rec(611, 21, 1, 2, T.format(22), T.format(23)),
+               separators=(",", ":")),
+]
+
+
 LENIENT_CONFIG = """[_settings]
 DataType = json
 Sequential = False
@@ -599,6 +785,51 @@ def main():
                                        v.field_path, v.valid, v.details))
     goldens["route_field_validations"] = route_rows
 
+    # --- fixture E: the shipped config_2.ini corpus, end-to-end
+    for name, records in [("e1", FILE_E1), ("e2", FILE_E2)]:
+        write(f"{ROOT}/config2/data/{name}.json",
+              "\n".join(json.dumps(r, separators=(",", ":"))
+                        for r in records) + "\n")
+    c2_field_rows = []
+    c2_totals_rows = []
+    for fname, records in [("e1.json", FILE_E1), ("e2.json", FILE_E2)]:
+        lines = [json.dumps(r, separators=(",", ":")) for r in records]
+        tc, results = run_reference(CONFIG2, lines)
+        for rec_obj, res in zip(records, results):
+            serial = (rec_obj.get("metadata", {}).get("serialId") or
+                      {}).get("serialNumber")
+            for v in res.field_validations:
+                c2_field_rows.append((fname, serial, v.field_path, v.valid,
+                                      v.details))
+        # non-sequential totals: the cvp loop (cvp...py:123-138)
+        n_msgs = n_vals = n_errs = n_err_msgs = 0
+        for res in results:
+            n_msgs += 1
+            n_vals += len(res.field_validations)
+            bad = sum(1 for v in res.field_validations if v.valid is False)
+            n_errs += bad
+            n_err_msgs += 1 if bad else 0
+        c2_totals_rows.append((fname, n_msgs, n_vals, n_errs, n_err_msgs,
+                               n_msgs - n_err_msgs))
+    goldens["config2_field_validations"] = c2_field_rows
+    goldens["config2_file_totals"] = c2_totals_rows
+
+    # --- fixture F: whole-file abort on a malformed JSON line
+    f1_lines = [json.dumps(r, separators=(",", ":")) for r in FILE_F1]
+    write(f"{ROOT}/abort/data/f1.json", "\n".join(f1_lines) + "\n")
+    write(f"{ROOT}/abort/data/f2.json", "\n".join(FILE_F2_LINES) + "\n")
+    abort_rows = []
+    for fname, lines in [("f1.json", f1_lines), ("f2.json", FILE_F2_LINES)]:
+        n_records = len([ln for ln in lines if ln.strip()])
+        try:
+            run_reference(f"{ROOT}/odejson/suite.ini", lines)
+            abort_rows.append((fname, False, n_records))
+        except Exception:
+            # validate_queue raised -> the reference file yields NOTHING
+            abort_rows.append((fname, True, n_records))
+    assert [r[1] for r in abort_rows] == [False, True], abort_rows
+    goldens["json_abort"] = abort_rows
+
     # --- fixture D: dateutil parse-leniency grid (validator.py:219)
     write(f"{ROOT}/lenient/suite.ini", LENIENT_CONFIG)
     lenient_records = [{"id": i, "ts": v} for i, v in enumerate(LENIENT_TS_VALUES)]
@@ -663,6 +894,20 @@ def main():
         "q_rule_timestamp_lenient": values_sql(
             lenient_rows, ["id", "field_path", "valid", "details"],
             ["BIGINT", "VARCHAR", "BOOLEAN", "VARCHAR"]),
+        "q_ode_config2_full": values_sql(
+            c2_field_rows,
+            ["file", "serial_number", "field_path", "valid", "details"],
+            ["VARCHAR", "BIGINT", "VARCHAR", "BOOLEAN", "VARCHAR"]),
+        "q_ode_config2_totals": values_sql(
+            c2_totals_rows,
+            ["file", "num_messages_total", "num_validations", "num_errors",
+             "num_error_messages", "num_valid"],
+            ["VARCHAR"] + ["BIGINT"] * 5),
+        # strict mode: only files the reference does NOT abort appear,
+        # with their full record counts
+        "q_json_abort_strict": values_sql(
+            [(f, n) for (f, aborted, n) in abort_rows if not aborted],
+            ["file", "n_records"], ["VARCHAR", "BIGINT"]),
     }
     # --- size-dependent oracles (file metadata, S2/S5) --------------------
     # metadata docs over the depth-5 route files (cv + waze)
