@@ -29,7 +29,8 @@ object CloudWatchSink {
   /** POST the datum rows of `df` (schema of `metricDatums`: namespace,
     * metric_name, dim1_name, dim1_value, dim2_name, dim2_value, value,
     * file_count) to `endpoint` as PutMetricData-shaped JSON. */
-  def putMetricData(df: DataFrame, endpoint: String, chunkSize: Int = 20): Unit = {
+  def putMetricData(df: DataFrame, endpoint: String, chunkSize: Int = 20,
+                    sign: Http.HeaderProvider = Http.noHeaders): Unit = {
     require(chunkSize >= 1 && chunkSize <= 20,
       s"chunkSize must be in [1, 20] (PutMetricData batch limit), got $chunkSize")
     // datum JSON built on the codegen path; only (namespace, datum)
@@ -50,7 +51,7 @@ object CloudWatchSink {
         datums.grouped(chunkSize).foreach { chunk =>
           val body = s"""{"Namespace":${jsonStr(ns)},"MetricData":[""" +
             chunk.map(_.getString(1)).mkString(",") + "]}"
-          Http.post(url, body)
+          Http.post(url, body, sign = sign)
         }
       }
     }

@@ -45,25 +45,28 @@ object ElasticsearchSink {
         "\n" + doc
     }.mkString("", "\n", "\n")
 
-  private def post(url: String, body: String): Unit =
-    Http.post(url, body, contentType = "application/x-ndjson")
-
   /**
    * Index every row of `df` into `endpoint/_bulk` under `index`/`docType`
    * with `_id` = the row's `idCol` value. All non-id columns form the doc
    * body (the id column is also kept in the body — the reference's docs
    * carry their key field too).
+   *
+   * `sign` is the request-signing seam (K1: the reference's client is
+   * SigV4-authed, common/elasticsearch_client.py:10-32) — install
+   * [[SigV4Signer]] for AWS-fronted endpoints.
    */
   def writeBulk(df: DataFrame, endpoint: String, index: String, docType: String,
-                idCol: String, chunkSize: Int = 500): Unit = {
+                idCol: String, chunkSize: Int = 500,
+                sign: Http.HeaderProvider = Http.noHeaders): Unit = {
     val rows = df.select(
       col(idCol).cast("string").as("__id"),
       to_json(struct(df.columns.map(col).toSeq: _*)).as("__doc"))
     val url = s"${endpoint.stripSuffix("/")}/_bulk"
     rows.foreachPartition { it: Iterator[Row] =>
       it.grouped(chunkSize).foreach { chunk =>
-        post(url, bulkBody(index, docType,
-          chunk.map(r => (r.getString(0), r.getString(1)))))
+        Http.post(url, bulkBody(index, docType,
+          chunk.map(r => (r.getString(0), r.getString(1)))),
+          contentType = "application/x-ndjson", sign = sign)
       }
     }
   }
@@ -71,7 +74,8 @@ object ElasticsearchSink {
   /** `foreachBatch` adapter: attach the sink to a streaming metadata
     * pipeline — `writeStream.foreachBatch(ElasticsearchSink.foreachBatch(…))`. */
   def foreachBatch(endpoint: String, index: String, docType: String,
-                   idCol: String, chunkSize: Int = 500): (DataFrame, Long) => Unit =
+                   idCol: String, chunkSize: Int = 500,
+                   sign: Http.HeaderProvider = Http.noHeaders): (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) =>
-      writeBulk(batch, endpoint, index, docType, idCol, chunkSize)
+      writeBulk(batch, endpoint, index, docType, idCol, chunkSize, sign)
 }

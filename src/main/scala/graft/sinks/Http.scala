@@ -6,14 +6,29 @@ import java.nio.charset.StandardCharsets
   * non-2xx so the Spark task fails and retries — safe because every sink
   * built on this uses idempotent keys / deterministic bodies. */
 private[sinks] object Http {
+
+  /** Request-signing seam (K1 parity: the reference's ES client is
+    * AWS-SigV4-authed via aws_requests_auth —
+    * common/elasticsearch_client.py:10-32). The provider sees
+    * (method, url, body) and returns extra request headers; production
+    * installs [[SigV4Signer]], tests a stub asserting header shape.
+    * Must be serializable — it ships inside foreachPartition closures. */
+  type HeaderProvider = (String, String, String) => Map[String, String]
+
+  val noHeaders: HeaderProvider = (_, _, _) => Map.empty
+
   def post(url: String, body: String,
-           contentType: String = "application/json"): Unit = {
+           contentType: String = "application/json",
+           sign: HeaderProvider = noHeaders): Unit = {
     val conn = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     try {
       conn.setRequestMethod("POST")
       conn.setDoOutput(true)
       conn.setRequestProperty("Content-Type", contentType)
+      sign("POST", url, body).foreach { case (k, v) =>
+        conn.setRequestProperty(k, v)
+      }
       conn.setConnectTimeout(10000)
       conn.setReadTimeout(30000)
       val bytes = body.getBytes(StandardCharsets.UTF_8)

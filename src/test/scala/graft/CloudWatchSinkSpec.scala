@@ -15,10 +15,13 @@ class CloudWatchSinkSpec extends AnyFunSuite {
 
   private final class Stub {
     val bodies = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val authHeaders = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
     private val server =
       com.sun.net.httpserver.HttpServer.create(new java.net.InetSocketAddress(0), 0)
     server.createContext("/", (exchange: com.sun.net.httpserver.HttpExchange) => {
       bodies.add(new String(exchange.getRequestBody.readAllBytes(), "UTF-8"))
+      Option(exchange.getRequestHeaders.getFirst("Authorization"))
+        .foreach(authHeaders.add)
       val resp = "{}".getBytes("UTF-8")
       exchange.sendResponseHeaders(200, resp.length.toLong)
       exchange.getResponseBody.write(resp)
@@ -60,6 +63,23 @@ class CloudWatchSinkSpec extends AnyFunSuite {
       assert(all.contains(""""Name":"TrafficType","Value":"alerts""""))
       // the cv family carries the reference's hardcoded Value=10 quirk
       assert(all.contains(""""Value":10,"Unit":"Count""""))
+    } finally stub.stop()
+  }
+
+  test("SigV4 signer installs on PutMetricData posts: signed headers on every request") {
+    val stub = new Stub
+    try {
+      val sign = graft.sinks.SigV4Signer(
+        "AKIDEXAMPLE", "secret", "us-east-1", "monitoring",
+        clock = () => java.time.Instant.parse("2019-05-14T19:05:47Z"))
+      CloudWatchSink.putMetricData(datums, stub.endpoint, sign = sign)
+      import scala.jdk.CollectionConverters._
+      val auths = stub.authHeaders.asScala.toSeq
+      assert(auths.nonEmpty && auths.size == stub.bodies.size,
+        s"${auths.size} Authorization headers for ${stub.bodies.size} requests")
+      val re = ("^AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/20190514/us-east-1/monitoring/aws4_request, " +
+        "SignedHeaders=content-type;host;x-amz-date, Signature=[0-9a-f]{64}$").r
+      auths.foreach(a => assert(re.findFirstIn(a).isDefined, s"unexpected Authorization: $a"))
     } finally stub.stop()
   }
 

@@ -23,11 +23,14 @@ class EsSinkSpec extends AnyFunSuite {
   private final class Stub {
     val docs = new java.util.concurrent.ConcurrentHashMap[String, java.util.List[String]]()
     @volatile var requests = 0
+    val authHeaders = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
     private val server =
       com.sun.net.httpserver.HttpServer.create(new java.net.InetSocketAddress(0), 0)
     server.createContext("/_bulk", (exchange: com.sun.net.httpserver.HttpExchange) => {
       val body = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
       requests += 1
+      Option(exchange.getRequestHeaders.getFirst("Authorization"))
+        .foreach(authHeaders.add)
       body.split("\n").filter(_.nonEmpty).grouped(2).foreach { pair =>
         val Array(action, doc) = pair
         val id = "\"_id\":\"([^\"]*)\"".r.findFirstMatchIn(action)
@@ -64,6 +67,26 @@ class EsSinkSpec extends AnyFunSuite {
       for (field <- Seq("key", "ContentLength", "SizeMiB", "LastModified",
           "ETag", "Environment", "MessageCount"))
         assert(aDoc.contains(s""""$field":"""), s"doc missing $field: $aDoc")
+    } finally stub.stop()
+  }
+
+  test("SigV4 signer installs on the bulk hop: every request carries the signed headers (K1)") {
+    val stub = new Stub
+    try {
+      val records = Readers.lines(spark, "/root/repo/fixtures/route/*/*/*/*/*.json")
+      val meta = Metadata.fileMetadata(records, "/root/repo/fixtures/route", "test-env")
+      val sign = graft.sinks.SigV4Signer(
+        "AKIDEXAMPLE", "secret", "us-east-1", "es",
+        clock = () => java.time.Instant.parse("2019-05-14T19:05:47Z"))
+      ElasticsearchSink.writeBulk(meta, stub.endpoint, "metadata", "graft-bucket",
+        "key", sign = sign)
+      import scala.jdk.CollectionConverters._
+      val auths = stub.authHeaders.asScala.toSeq
+      assert(auths.nonEmpty && auths.size == stub.requests,
+        s"${auths.size} Authorization headers for ${stub.requests} requests")
+      val re = ("^AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/20190514/us-east-1/es/aws4_request, " +
+        "SignedHeaders=content-type;host;x-amz-date, Signature=[0-9a-f]{64}$").r
+      auths.foreach(a => assert(re.findFirstIn(a).isDefined, s"unexpected Authorization: $a"))
     } finally stub.stop()
   }
 
