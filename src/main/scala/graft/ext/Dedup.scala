@@ -88,6 +88,55 @@ object Dedup {
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /**
+   * Bloom-filter decontamination — the 100 TB scale path for
+   * [[decontaminate]]: instead of broadcasting the eval set's distinct
+   * shingles (which grows with the eval set), the eval side is compressed
+   * into a FIXED 64 Kbit Bloom bitset (kHashes md5-derived positions per
+   * shingle), and the corpus side becomes a pure narrow projection — no
+   * join at all, not even a broadcast one. A corpus document's shingle
+   * "hits" when all `kHashes` bit positions are set; `n_flagged` counts
+   * hitting shingles, so `n_flagged >= exact n_overlap` always (Bloom
+   * filters have no false negatives — BloomSpec pins this against
+   * [[decontaminate]]) and false positives are bounded by the fill
+   * factor^kHashes.
+   *
+   * Fully deterministic (bit position i of shingle s = first 16 bits of
+   * md5("i:s")), so the DuckDB oracle reproduces the exact same bitset
+   * and the correctness check is value-level despite the approximation.
+   *
+   * The bounded `.collect()` is the point: at most 65,536 distinct bit
+   * positions come back to the driver no matter how large the eval set is.
+   */
+  def bloomDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                         textCol: String, idCol: String,
+                         n: Int = 3, minOverlap: Int = 5,
+                         kHashes: Int = 4): DataFrame = {
+    val mBits = 1 << 16 // 4 hex chars of md5 address exactly 0..65535
+    def pos(i: Int, s: Column): Column =
+      conv(substring(md5(concat(lit(i + ":"), s)), 1, 4), 16, 10).cast("int")
+
+    val positions = evalSet
+      .select(explode(wordShingles(col(textCol), n)).as("s"))
+      .distinct()
+      .select(explode(array((0 until kHashes).map(i => pos(i, col("s"))): _*)).as("p"))
+      .distinct()
+      .collect().map(_.getInt(0))
+    val bits = Array.fill(mBits)('0')
+    positions.foreach(p => bits(p) = '1')
+    val bitStr = new String(bits)
+
+    def hit(s: Column): Column =
+      (0 until kHashes)
+        .map(i => lit(bitStr).substr(pos(i, s) + 1, lit(1)) === "1")
+        .reduce(_ && _)
+    corpus
+      .select(col(idCol).as("id"),
+        size(filter(wordShingles(col(textCol), n), hit _)).cast("long").as("n_flagged"))
+      .select(col("id"), col("n_flagged"),
+        (col("n_flagged") >= minOverlap).as("contaminated"))
+  }
+
   // ------------------------------------------------------------------
   // n-gram Jaccard near-dup (exact, join-based)
   // ------------------------------------------------------------------

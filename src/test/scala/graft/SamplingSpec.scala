@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Sampling
+
+/** Deterministic weighted sampling ([[graft.ext.Sampling]]): selection
+  * bias, determinism, and the mixture-rate arithmetic. */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("priority sample is deterministic and weight-biased") {
+    // 200 light rows (w=1) vs 200 heavy rows (w=1000): the top-50 by
+    // priority = w/u must be dominated by heavy rows, and two runs agree.
+    val df = ((1L to 200L).map(i => (i, 1L)) ++ (201L to 400L).map(i => (i, 1000L)))
+      .toDF("id", "w")
+    val a = Sampling.prioritySample(df, "id", col("w"), k = 50).collect()
+    val b = Sampling.prioritySample(df, "id", col("w"), k = 50).collect()
+    assert(a.toSeq == b.toSeq)
+    val heavy = a.count(_.getLong(0) > 200L)
+    assert(heavy >= 45, s"expected heavy-weight dominance, got $heavy/50")
+    // priority = w/u with u in (0,1] can never fall below the weight
+    assert(a.forall(r => r.getDouble(2) >= r.getDouble(1)))
+  }
+
+  test("mixture sample hits rates in (0,1] and respects group totals") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Sampling.mixtureSample(docs, "lang", "n_chars", "doc_id",
+      Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15),
+      budgetFrac = 0.6).collect()
+    val totals = docs.groupBy("lang").agg(sum("n_chars").as("t"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty && got.length <= totals.size)
+    got.foreach { r =>
+      val (lang, rate, n, chars) =
+        (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))
+      assert(rate > 0.0 && rate <= 1.0, s"$lang rate=$rate")
+      assert(n <= totals(lang)._2 && chars <= totals(lang)._1, s"$lang over total")
+      // kept fraction should be in the neighborhood of the rate
+      val frac = n.toDouble / totals(lang)._2
+      assert(math.abs(frac - rate) < 0.35, s"$lang frac=$frac rate=$rate")
+    }
+  }
+
+  test("a group smaller than its allocation is kept whole (rate capped at 1)") {
+    val df = ((1L to 5L).map(i => (i, "tiny", 10L)) ++
+      (6L to 500L).map(i => (i, "big", 1000L))).toDF("id", "g", "sz")
+    val got = Sampling.mixtureSample(df, "g", "sz", "id",
+      Map("tiny" -> 0.5, "big" -> 0.5), budgetFrac = 0.5)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got("tiny")._1 == 1.0, "tiny group's allocation exceeds its size → rate 1")
+    assert(got("tiny")._2 == 5L, "rate 1 keeps every row")
+    assert(got("big")._1 < 1.0)
+  }
+}
