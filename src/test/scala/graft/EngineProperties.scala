@@ -211,4 +211,47 @@ object EngineProperties extends Properties("graft") {
       }.toSet
       got == want
     }
+
+  // ---- BM25 vs in-memory reference --------------------------------------
+
+  private val bmVocab = Vector("cat", "dog", "bird", "fish", "worm", "ant", "bee", "fly")
+
+  private val genBm25: Gen[(List[(Long, String)], List[String])] = for {
+    nDocs <- Gen.choose(3, 8)
+    texts <- Gen.listOfN(nDocs,
+      Gen.choose(1, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(bmVocab)).map(_.mkString(" "))))
+    nTerms <- Gen.choose(1, 2)
+    terms <- Gen.pick(nTerms, bmVocab)
+  } yield (texts.zipWithIndex.map { case (t, i) => (i + 1L, t) }, terms.toList)
+
+  /** Same formula, same association order, same rounding as
+    * [[graft.ext.Retrieval.bm25TopK]] — scores must agree bit-for-bit
+    * after the 6-dp round. */
+  private def refBm25(docs: Seq[(Long, String)], terms: Seq[String],
+                      k: Int, k1: Double = 1.2, b: Double = 0.75): Seq[(Long, Double)] = {
+    val toks = docs.map { case (id, t) => id -> t.trim.toLowerCase.split("\\s+").toSeq }
+    val n = toks.size.toDouble
+    val avgdl = toks.map(_._2.size.toDouble).sum / n
+    val dfs = terms.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+    toks.map { case (id, ws) =>
+      val dl = ws.size.toDouble
+      val score = terms.map { t =>
+        val tf = ws.count(_ == t).toDouble
+        val df = dfs(t)
+        val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + (b * dl) / avgdl))
+      }.reduce(_ + _)
+      id -> BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.filter(_._2 > 0.0).sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
+  property("bm25 top-k equals the in-memory reference") =
+    Prop.forAll(genBm25) { case (docs, terms) =>
+      import spark.implicits._
+      val got = graft.ext.Retrieval
+        .bm25TopK(docs.toDF("doc_id", "text"), "text", "doc_id", terms, k = 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+      got == refBm25(docs, terms, k = 5)
+    }
 }
