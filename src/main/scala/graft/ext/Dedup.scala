@@ -122,14 +122,24 @@ object Dedup {
       .select(explode(array((0 until kHashes).map(i => pos(i, col("s"))): _*)).as("p"))
       .distinct()
       .collect().map(_.getInt(0))
-    val bits = Array.fill(mBits)('0')
-    positions.foreach(p => bits(p) = '1')
-    val bitStr = new String(bits)
+    // Bitset as 1024 packed longs, probed with element_at + shift: O(1)
+    // per probe. (A 64 Ki-char '0'/'1' string probed with substr is O(m)
+    // per probe — UTF8String.substring walks the bytes — which turned the
+    // scan into ~100 GB of memory traffic at sf0.1.)
+    val words = new Array[Long](mBits >>> 6)
+    positions.foreach(p => words(p >>> 6) |= (1L << (p & 63)))
+    val wordsLit = lit(words)
 
+    // forall binds each position to a lambda variable, so every md5 is
+    // computed exactly once per (hash, shingle) — naming the subtree
+    // inline would evaluate it once per reference in the interpreted
+    // higher-order-function path.
     def hit(s: Column): Column =
-      (0 until kHashes)
-        .map(i => lit(bitStr).substr(pos(i, s) + 1, lit(1)) === "1")
-        .reduce(_ && _)
+      forall(array((0 until kHashes).map(i => pos(i, s)): _*), p =>
+        call_function("shiftrightunsigned",
+            element_at(wordsLit, shiftrightunsigned(p, 6) + 1),
+            p.bitwiseAND(lit(63)))
+          .bitwiseAND(lit(1L)) === lit(1L))
     corpus
       .select(col(idCol).as("id"),
         size(filter(wordShingles(col(textCol), n), hit _)).cast("long").as("n_flagged"))
