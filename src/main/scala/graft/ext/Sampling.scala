@@ -72,4 +72,46 @@ object Sampling {
       .groupBy(col(groupCol), round(col("rate"), 6).as("keep_rate"))
       .agg(count(lit(1)).as("n_kept"), sum(col(sizeCol)).as("size_kept"))
   }
+
+  import org.apache.spark.sql.expressions.Window
+
+  /**
+   * Quality-ordered budget fill — per-group "take the best documents
+   * until the token budget is spent" selection, at QUALITY-BUCKET
+   * granularity: a (group, quality) bucket is kept iff the total size of
+   * all strictly-better buckets in its group is under the group's budget
+   * (budgetFrac × the group's total size). Overshoot is bounded by one
+   * bucket; quality is expected 6-dp-rounded (the engine-wide near-tie
+   * discipline), so buckets are exact equality classes in both engines.
+   *
+   * Deliberately NOT a per-row rank: `row_number` over
+   * `partitionBy(group).orderBy(quality)` sorts each group's entire
+   * corpus slice — for a language that is most of a 100 TB corpus, a
+   * single-reducer sort. Here the heavy data only does two map-side-
+   * combinable aggregates and a broadcast semi-join; the only window
+   * runs over the tiny (group × distinct-quality) bucket frame.
+   *
+   * Returns one row per group:
+   * (group, q_threshold = min kept quality, n_kept, size_kept).
+   */
+  def budgetFill(df: DataFrame, groupCol: String, sizeCol: String,
+                 quality: Column, budgetFrac: Double): DataFrame = {
+    val scored = df.select(col(groupCol).as("__g"),
+      col(sizeCol).cast("long").as("__sz"), quality.as("__q"))
+    val buckets = scored.groupBy(col("__g"), col("__q"))
+      .agg(sum(col("__sz")).as("__bucket_sz"))
+    val totals = scored.groupBy(col("__g")).agg(sum(col("__sz")).as("__total_sz"))
+    val wPrev = Window.partitionBy(col("__g")).orderBy(col("__q").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keep = buckets
+      .withColumn("__cum_before", coalesce(sum(col("__bucket_sz")).over(wPrev), lit(0L)))
+      .join(totals, "__g")
+      .filter(col("__cum_before").cast("double") <
+        lit(budgetFrac) * col("__total_sz").cast("double"))
+      .select(col("__g"), col("__q"))
+    scored.join(broadcast(keep), Seq("__g", "__q"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(min(col("__q")).as("q_threshold"), count(lit(1)).as("n_kept"),
+        sum(col("__sz")).as("size_kept"))
+  }
 }

@@ -1,13 +1,16 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
  * Text-analysis operators for training-data pipelines (SURVEY §7.1 step 9):
  * token counting, quality scoring, language-ID heuristic, document
  * fingerprinting. Pure Column algebra — every operator is a scalar
- * projection that stays inside whole-stage codegen; no shuffles, no UDFs.
+ * projection that stays inside whole-stage codegen; no shuffles, no UDFs —
+ * except [[topNgramDominance]], whose argmax-per-doc is a doc-keyed
+ * aggregate.
  */
 object TextAnalysis {
 
@@ -143,4 +146,39 @@ object TextAnalysis {
     piiPatterns.map { case (name, pat, _) =>
       (s"n_$name", regexp_count(text, lit(pat)).cast("long"))
     }
+
+  /**
+   * Top n-gram dominance (Gopher-family repetition filter, Rae et al.
+   * 2021: "fraction of characters in the most frequent n-gram" — here
+   * the occurrence-share variant): for each document, the most frequent
+   * word n-gram and its share of all n-gram occurrences. Boilerplate and
+   * template spam concentrate mass on one n-gram; natural text does not.
+   *
+   * The one DataFrame-level operator in this module — argmax-per-doc
+   * needs a keyed aggregate, not a scalar projection. Scale shape: both
+   * shuffles are keyed by doc_id (+ gram), so bucket sizes are bounded
+   * by DOCUMENT length, never corpus size; the argmax window partitions
+   * by doc_id over the already-aggregated (doc, gram) counts. Docs with
+   * fewer than n words have no n-grams and are absent from the output.
+   * Ties break lexicographically on the gram (ASCII-only after
+   * lowercasing, so Spark's binary order and the oracle's collation
+   * agree).
+   */
+  def topNgramDominance(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 2): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), n)).as("gram"))
+    val counts = grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("occurrences"))
+    val totals = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("total_grams"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("occurrences").desc, col("gram"))
+    counts.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+      .join(totals, "doc_id")
+      .select(col("doc_id"), col("gram").as("top_gram"), col("occurrences"),
+        col("total_grams"),
+        round(col("occurrences").cast("double") / col("total_grams").cast("double"), 6)
+          .as("dominance"))
+  }
 }

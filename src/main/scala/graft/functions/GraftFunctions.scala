@@ -44,6 +44,10 @@ object GraftFunctions {
   def graftCharShingles(text: Column, n: Int): Column =
     GraftBridge.column(CharShingles(GraftBridge.expression(text), n))
 
+  /** All word n-grams of lower(text) in order, duplicates kept. */
+  def graftWordNgrams(text: Column, n: Int): Column =
+    GraftBridge.column(WordNgrams(GraftBridge.expression(text), n))
+
   /** Magic-byte-sniffing gzip decode of a binary column to string. */
   def graftGunzipText(bytes: Column): Column =
     GraftBridge.column(GunzipText(GraftBridge.expression(bytes)))
@@ -93,6 +97,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_char_shingles"),
       info("graft_char_shingles", "graft_char_shingles(text, n) - distinct char n-gram shingles of lower(text)", classOf[CharShingles]),
       (children: Seq[Expression]) => CharShingles(children(0), asLong(children(1)).toInt)),
+    (FunctionIdentifier("graft_word_ngrams"),
+      info("graft_word_ngrams", "graft_word_ngrams(text, n) - all word n-grams of lower(text), duplicates kept", classOf[WordNgrams]),
+      (children: Seq[Expression]) => WordNgrams(children(0), asLong(children(1)).toInt)),
     (FunctionIdentifier("graft_gunzip_text"),
       info("graft_gunzip_text", "graft_gunzip_text(bytes) - magic-byte-sniffing gzip decode to string", classOf[GunzipText]),
       (children: Seq[Expression]) => GunzipText(children(0))))

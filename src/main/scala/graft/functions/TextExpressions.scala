@@ -75,6 +75,46 @@ object ShingleOps {
     new GenericArrayData(out)
   }
 
+  /** ALL word n-grams of lower(text) in document order, duplicates kept —
+   *  the occurrence-counting companion of [[wordShingles]] (repetition
+   *  metrics need multiplicities; set semantics would hide exactly the
+   *  repeats being measured). Same normalization: lower → trim → split
+   *  on `\s+` with Java limit -1; full n-windows only. */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toLowerCase.trim.toString
+    val len = s.length
+    val words = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    var start = 0
+    while (i < len) {
+      if (isWs(s.charAt(i))) {
+        words += s.substring(start, i)
+        i += 1
+        while (i < len && isWs(s.charAt(i))) i += 1
+        start = i
+      } else i += 1
+    }
+    words += s.substring(start, len)
+
+    val count = words.length - (n - 1)
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count)
+    val sb = new java.lang.StringBuilder(64)
+    var w = 0
+    while (w < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(w + j))
+        j += 1
+      }
+      out(w) = UTF8String.fromString(sb.toString)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Character n-gram shingles of lower(text), distinct, first-occurrence
    *  order — full windows only (empty array below n chars). */
   def charShingles(text: UTF8String, n: Int): ArrayData = {
@@ -111,6 +151,17 @@ case class WordShingles(child: Expression, n: Int) extends ShingleExpression {
   override protected def helper: String = "graft.functions.ShingleOps.wordShingles"
   override def nullSafeEval(v: Any): Any =
     ShingleOps.wordShingles(v.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All word n-grams of lower(text) in order, duplicates kept. */
+case class WordNgrams(child: Expression, n: Int) extends ShingleExpression {
+  require(n > 0, "n-gram width must be positive")
+  override def prettyName: String = "graft_word_ngrams"
+  override protected def helper: String = "graft.functions.ShingleOps.wordNgrams"
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.wordNgrams(v.asInstanceOf[UTF8String], n)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -54,4 +54,45 @@ class SamplingSpec extends AnyFunSuite {
     assert(got("tiny")._2 == 5L, "rate 1 keeps every row")
     assert(got("big")._1 < 1.0)
   }
+
+  test("budget fill: kept mass reaches the budget, minus the threshold bucket it doesn't") {
+    // group A: quality buckets 0.9/0.7/0.5 of 100 chars each, budget
+    // 0.5*300=150 → keeps 0.9 (cum_before 0) and 0.7 (cum_before 100),
+    // stops at 0.5 (cum_before 200 ≥ 150)
+    val df = (
+      (1L to 10L).map(i => (i, "A", 10L, 0.9)) ++
+      (11L to 20L).map(i => (i, "A", 10L, 0.7)) ++
+      (21L to 30L).map(i => (i, "A", 10L, 0.5)) ++
+      // group B: one bucket bigger than the budget — still kept whole
+      // (first bucket always has cum_before 0 < budget)
+      (31L to 40L).map(i => (i, "B", 10L, 0.3))
+    ).toDF("id", "g", "sz", "q")
+    val got = Sampling.budgetFill(df, "g", "sz", col("q"), budgetFrac = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("A") == ((0.7, 20L, 200L)), s"got ${got("A")}")
+    assert(got("B") == ((0.3, 10L, 100L)), "an over-budget first bucket is kept whole")
+  }
+
+  test("budget fill on real docs: per-group invariants hold") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val frac = 0.5
+    val got = Sampling.budgetFill(docs, "lang", "n_chars",
+      graft.ext.TextAnalysis.qualityScore(col("text")), frac).collect()
+    val totals = docs.groupBy("lang").agg(sum("n_chars").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (lang, thr, n, kept) =
+        (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))
+      val budget = frac * totals(lang)
+      assert(n > 0 && kept <= totals(lang), s"$lang kept=$kept over total")
+      // bucket-granular fill: either everything was kept, or the kept
+      // mass reached the budget (the bucket that crosses is kept)
+      assert(kept == totals(lang) || kept.toDouble >= budget,
+        s"$lang kept=$kept budget=$budget")
+      // the threshold is an attained quality value
+      assert(thr >= 0.0 && thr <= 1.0, s"$lang threshold=$thr")
+    }
+  }
 }

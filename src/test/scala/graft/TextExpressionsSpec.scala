@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.GraftFunctions.{graftCharShingles, graftWordShingles}
+import graft.functions.GraftFunctions.{graftCharShingles, graftWordNgrams, graftWordShingles}
 
 /** Native shingle expressions vs the interpreted Column-algebra chain they
   * replaced — element-for-element equality on real document text, plus the
@@ -61,6 +61,42 @@ class TextExpressionsSpec extends AnyFunSuite {
     val c = df.select(graftCharShingles(col("text"), 5)).collect().map(_.getSeq[String](0))
     assert(c(0).isEmpty && c(1).isEmpty)
     assert(c(2) == Seq("one t", "ne tw", "e two"))
+  }
+
+  test("word n-grams keep duplicates in document order; shingles are their distinct") {
+    // the non-distinct companion: HOF formulation without array_distinct
+    def hofWordNgrams(text: org.apache.spark.sql.Column, n: Int) = {
+      val words = split(trim(lower(text)), "\\s+")
+      val count = greatest(size(words) - (n - 1), lit(0))
+      transform(sequence(lit(1), count), i => array_join(slice(words, i, lit(n)), " "))
+    }
+    for (n <- Seq(2, 3)) {
+      val mismatches = docs
+        .select(graftWordNgrams(col("text"), n).as("native"),
+          hofWordNgrams(col("text"), n).as("hof"),
+          graftWordShingles(col("text"), n).as("shingles"))
+        .filter(not(col("native") === col("hof")) ||
+          not(array_distinct(col("native")) === col("shingles")))
+        .count()
+      assert(mismatches == 0, s"n=$n")
+    }
+    val r = Seq("A b a b a").toDF("text")
+      .select(graftWordNgrams(col("text"), 2)).head().getSeq[String](0)
+    assert(r == Seq("a b", "b a", "a b", "b a"), "duplicates kept, in order")
+  }
+
+  test("top n-gram dominance: argmax with lexicographic tie-break") {
+    val df = Seq(
+      (1L, "x y x y x y z"),       // "x y" ×3 of 6 grams → 0.5
+      (2L, "a b c"),               // all grams unique → first lexicographic
+      (3L, "solo")                 // < 2 words → absent
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.topNgramDominance(df, "text", "doc_id", 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(1L) == (("x y", 3L, 6L, 0.5)))
+    assert(got(2L) == (("a b", 1L, 2L, 0.5)), "tie → lexicographically first gram")
+    assert(!got.contains(3L))
   }
 
   test("new expressions survive SQL registration") {
