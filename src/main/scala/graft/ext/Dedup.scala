@@ -329,15 +329,29 @@ object Dedup {
    * is (band index, band hash) — bounded buckets, no O(n²).
    */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
-                            n: Int = 3, k: Int = 128, bands: Int = 32): DataFrame = {
+                            n: Int = 3, k: Int = 128, bands: Int = 32,
+                            maxBucketSize: Long = Long.MaxValue): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     val sig = minhashSignatures(df, textCol, idCol, n, k)
 
-    val banded = sig.select(col("id"),
+    val allBanded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
           x => x.cast("string")), ",")))).as(Seq("band", "band_hash")))
+    // hot-bucket cap (same valve as the simhash path): a bucket of b docs
+    // contributes b²/2 candidate pairs, so one giant near-exact-dup
+    // cluster dominates the verify stage; buckets past the cap are
+    // DROPPED — a deliberate, documented truncation (such clusters are
+    // exact-dedup's job, which runs first in the curation composite).
+    // Default ∞ keeps the registered queries' semantics bit-identical.
+    val banded =
+      if (maxBucketSize == Long.MaxValue) allBanded
+      else allBanded
+        .withColumn("__bs", count(lit(1))
+          .over(Window.partitionBy(col("band"), col("band_hash"))))
+        .filter(col("__bs") <= maxBucketSize)
+        .drop("__bs")
 
     val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
@@ -347,12 +361,24 @@ object Dedup {
   }
 
   /** Exact-Jaccard verification of (id_a, id_b) candidate pairs against
-   *  the docs' shingle sets — the shared tail of every LSH family. */
+   *  the docs' shingle sets — the shared tail of every LSH family.
+   *
+   *  `hashed = true` intersects xxhash64-hashed shingle arrays instead of
+   *  the strings: identical |A∩B|/|A∪B| up to a 64-bit collision inside
+   *  one pair's union (~10⁻¹⁵ across a corpus), and the per-pair arrays
+   *  the candidate join shuffles shrink from ~20 B/shingle strings to
+   *  8 B longs. At clone-cluster duplicate density the verify shuffle is
+   *  THE minhash cost (measured: 5000 docs × 16 near-identical copies →
+   *  600k true pairs × two ~6 KB arrays), so the production path hashes;
+   *  the md5 oracle twin keeps strings, which its DuckDB replica replays
+   *  byte-for-byte. */
   private def verifyJaccard(df: DataFrame, textCol: String, idCol: String,
                             n: Int, candidates: DataFrame,
-                            threshold: Double): DataFrame = {
+                            threshold: Double,
+                            hashed: Boolean = false): DataFrame = {
+    val sets = wordShingles(col(textCol), n)
     val shingled = df.select(col(idCol).as("id"),
-      wordShingles(col(textCol), n).as("shingles"))
+      (if (hashed) transform(sets, s => xxhash64(s)) else sets).as("shingles"))
     val withA = candidates.join(shingled.withColumnRenamed("id", "id_a")
       .withColumnRenamed("shingles", "sh_a"), Seq("id_a"))
     val withB = withA.join(shingled.withColumnRenamed("id", "id_b")
@@ -365,12 +391,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Full MinHash near-dup: LSH candidates verified with exact Jaccard. */
+  /** Full MinHash near-dup: LSH candidates verified with exact Jaccard
+   *  (hashed-shingle verify — the production scale path). */
   def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
                             n: Int = 3, k: Int = 128, bands: Int = 32,
-                            threshold: Double = 0.7): DataFrame =
+                            threshold: Double = 0.7,
+                            maxBucketSize: Long = Long.MaxValue): DataFrame =
     verifyJaccard(df, textCol, idCol, n,
-      minhashCandidatePairs(df, textCol, idCol, n, k, bands), threshold)
+      minhashCandidatePairs(df, textCol, idCol, n, k, bands, maxBucketSize),
+      threshold, hashed = true)
 
   /**
    * MinHash near-dup under the md5 hash family — the ORACLE-CHECKABLE

@@ -296,6 +296,44 @@ object Similarity {
       .distinct()
   }
 
+  /**
+   * Semantic deduplication (after SemDeDup, Abbas et al. 2023,
+   * arXiv:2303.09540): cluster the embedding space with k-means, then
+   * drop near-duplicates WITHIN each cluster — the cluster assignment
+   * turns the quadratic all-pairs cosine into per-cell pair generation,
+   * which is the paper's entire scaling argument. Keep rule here is
+   * greedy min-id: a vector is dropped iff some LOWER-id vector in its
+   * cell is within `threshold` cosine (deterministic, one anti-join;
+   * contrast [[graft.ext.Dedup.nearDupSurvivors]]'s connected-components
+   * semantics when chain-merging matters).
+   *
+   * Scale shape: centroids are broadcast (assignment never shuffles the
+   * corpus); the pair join keys on centroid_id, so its cost is
+   * Σ_cells |cell|² — k must grow with the corpus to keep cells bounded
+   * (the paper runs k ≈ n/10⁴; training stays sample-bounded via
+   * [[trainCentroids]]' `trainSampleSize`).
+   *
+   * Returns one row per vector: (id, centroid_id, is_kept).
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, centroidId: String, centroidVec: String,
+                    threshold: Double): DataFrame = {
+    val assigned = assignToCentroids(df, idCol, vecCol,
+      centroids, centroidId, centroidVec)
+    val a = assigned.select(col("centroid_id"),
+      col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = assigned.select(col("centroid_id"),
+      col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b") &&
+        cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("__dropped", lit(true))
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("centroid_id"),
+        col("__dropped").isNull.as("is_kept"))
+  }
+
   /** Similarity under the named metric, shaped so that LARGER is always
    *  closer: cosine directly, L2 as the negated squared distance expanded
    *  to dot products (‖a−c‖² = ‖a‖² − 2a·c + ‖c‖²). */

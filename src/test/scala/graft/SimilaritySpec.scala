@@ -133,6 +133,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall $recall")
   }
 
+  test("semantic dedup: kept set is threshold-independent within cells; drops are justified") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val thr = 0.3
+    val res = Similarity.semanticDedup(e, "vec_id", "embedding",
+      centroids, "centroid_id", "centroid", thr).cache()
+    val byId = res.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(byId.size == e.count() && byId.values.exists(!_._2), "some drops expected at 0.3")
+    // all within-cell near-dup pairs, from the exact quadratic baseline
+    val cells = byId.groupBy(_._2._1)
+    val vecs = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    cells.foreach { case (_, members) =>
+      val ids = members.keys.toSeq.sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.size) {
+        val (a, b) = (ids(i), ids(j))
+        if (cos(vecs(a), vecs(b)) >= thr)
+          // greedy min-id rule: the LARGER id of a near-dup pair is dropped,
+          // so two kept docs are never near-dups of each other
+          assert(!byId(b)._2, s"pair ($a, $b) similar but $b kept")
+      }
+    }
+    // and every dropped doc is justified by SOME smaller-id cell-mate
+    byId.filter(!_._2._2).foreach { case (b, (cell, _)) =>
+      val justified = byId.exists { case (a, (c2, _)) =>
+        a < b && c2 == cell && cos(vecs(a), vecs(b)) >= thr
+      }
+      assert(justified, s"doc $b dropped without a qualifying neighbor")
+    }
+  }
+
   test("PQ with SAMPLED codebook training (256 of 500) still holds >=85% recall@5") {
     // codebooks are estimates — training on a bounded sample and encoding
     // the full corpus (the 100 TB posture) must not cost meaningful recall
