@@ -227,8 +227,11 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
 
+    // LAZY checkpoint: the count() just below materializes it — an eager
+    // localCheckpoint would run a separate materialization job first, so
+    // every round (and this init) would pay two passes instead of one
     var edges = orient(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // vertices from the CHECKPOINTED edges, not from `pairs`: orientation
     // keeps both endpoints of every (distinct-id) pair, and reading pairs
     // again here would re-execute the caller's candidate join — for the
@@ -255,7 +258,7 @@ object Dedup {
       val ss = orient(
         withMin.select(col("v").as("u"), col("m").as("v"))
           .unionByName(withMin.select(col("u"), col("m").as("v"))))
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by the count — one job, not two
       // cheap count gate first — rounds that still contract differ in
       // size, so the exact set compare only runs on the final candidate
       // round(s). Both sides are distinct sets, so equal counts + one

@@ -108,6 +108,28 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "hashpartitioning\\(shingle") <= 1)
   }
 
+  test("q_budget_fill: the corpus never sorts — no range exchange, broadcast semi-join back") {
+    val p = plan("q_budget_fill")
+    // the whole point of bucket-granular fill: no per-row rank over a
+    // (group)-partitioned window of the corpus, so no corpus sort beyond
+    // the tiny bucket frame's window; rows re-enter via broadcast
+    assert(count(p, "Exchange rangepartitioning") == 0, "corpus must not globally sort")
+    assert(p.contains("BroadcastHashJoin"), "kept buckets re-join by broadcast")
+    assert(count(p, "SortMergeJoin") == 0)
+  }
+
+  test("q_semantic_dedup: centroids broadcast, no cartesian; pairs key on the cell") {
+    val p = plan("q_semantic_dedup")
+    // assignment = corpus × broadcast k-row centroid table (the explicit
+    // crossJoin(broadcast(...)) plans as BroadcastNestedLoopJoin — k rows,
+    // bounded); the within-cell pair join must be an EQUI join on
+    // centroid_id, never an unkeyed pair blowup
+    assert(p.contains("BroadcastNestedLoopJoin"), "centroid assign is broadcast")
+    assert(count(p, "CartesianProduct") == 0, "no unkeyed corpus pair join")
+    assert(p.contains("hashpartitioning(centroid_id") ||
+      p.contains("BroadcastHashJoin"), "pairs key on the cell id")
+  }
+
   test("training sample: (md5, id)-ordered limit plans as TakeOrdered, not a global sort") {
     // the 100 TB posture of sampled codebook training rests on the
     // sample selection being a per-partition top-N heap — a global sort
