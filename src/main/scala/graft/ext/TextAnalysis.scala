@@ -164,6 +164,37 @@ object TextAnalysis {
    * lowercasing, so Spark's binary order and the oracle's collation
    * agree).
    */
+  /**
+   * Frequency-based vocabulary build + per-document OOV scoring — the
+   * tokenizer-construction step of a pretraining pipeline: the corpus'
+   * `vocabSize` most frequent words (count desc, word asc tie-break)
+   * become the vocabulary, and each document is scored by how much of it
+   * falls outside (high OOV rate ⇒ noise, code, or a language the vocab
+   * does not cover).
+   *
+   * Scale shape: the word count is a map-side-combinable aggregate (the
+   * Zipfian hot keys are absorbed by partial aggregation before the
+   * shuffle), the top-K plans as TakeOrderedAndProject (per-partition
+   * heaps, no global sort), and the vocabulary joins back BROADCAST —
+   * the corpus' exploded tokens never shuffle by word a second time.
+   *
+   * Returns one row per doc: (doc_id, n_tokens, n_oov, oov_rate).
+   */
+  def vocabOov(df: DataFrame, textCol: String, idCol: String,
+               vocabSize: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), 1)).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(true).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+
   def topNgramDominance(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 2): DataFrame = {
     val grams = df.select(col(idCol).as("doc_id"),

@@ -130,6 +130,14 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), "pairs key on the cell id")
   }
 
+  test("q_vocab_oov: top-K vocab is TakeOrdered; it re-joins the tokens broadcast") {
+    val p = plan("q_vocab_oov")
+    assert(p.contains("TakeOrderedAndProject"), "vocab cut must be per-partition heaps")
+    assert(count(p, "Exchange rangepartitioning") == 0, "no global sort")
+    assert(p.contains("BroadcastHashJoin"), "vocab joins back broadcast")
+    assert(count(p, "SortMergeJoin") == 0)
+  }
+
   test("training sample: (md5, id)-ordered limit plans as TakeOrdered, not a global sort") {
     // the 100 TB posture of sampled codebook training rests on the
     // sample selection being a per-partition top-N heap — a global sort
