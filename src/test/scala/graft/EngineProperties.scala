@@ -106,6 +106,30 @@ object EngineProperties extends Properties("graft") {
       sigs(0) == sigs(1)
     }
 
+  property("word n-grams: count, window content, and distinct-equals-shingles") =
+    Prop.forAll(Gen.listOf(Gen.oneOf("aa", "b", "ccc", " ", "\t", "Dd"))) { pieces =>
+      import spark.implicits._
+      val text = pieces.mkString(" ")
+      val n = 2
+      val grams = Seq(Tuple1(text)).toDF("text")
+        .select(graft.functions.GraftFunctions.graftWordNgrams(col("text"), n))
+        .head().getSeq[String](0)
+      // independent reference: Java-regex tokenization of the same text.
+      // NB space-ONLY trim: the engine-wide convention (native expression,
+      // Spark's trim(), DuckDB's trim() all strip 0x20 only — Java's
+      // String#trim would also strip a leading/trailing tab and diverge
+      // from all three)
+      val spaceTrimmed = text.toLowerCase
+        .replaceAll("^ +", "").replaceAll(" +$", "")
+      val words = spaceTrimmed.split("\\s+", -1).toSeq
+      val expected = words.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      val shingles = Seq(Tuple1(text)).toDF("text")
+        .select(graft.functions.GraftFunctions.graftWordShingles(col("text"), n))
+        .head().getSeq[String](0)
+      (grams == (if (words.size < n) Seq.empty else expected)) &&
+        grams.distinct == shingles
+    }
+
   private val genEdges: Gen[List[(Long, Long)]] = for {
     n <- Gen.choose(1, 18)
     edges <- Gen.listOfN(n, for {
