@@ -221,11 +221,19 @@ object Dedup {
    * Returns (id, component) with component = min id in the cluster.
    */
   def duplicateComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    // canonical direction: u > v (toward the smaller id), self-loops out
-    def orient(df: DataFrame): DataFrame = df
-      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+    // canonical direction: u > v (toward the smaller id), self-loops out.
+    // `dedup = false` skips the distinct for INTERMEDIATE edge lists
+    // (the large-star output feeds a min-aggregate and a join whose
+    // output is distinct'd anyway, so duplicates are harmless there —
+    // and the skipped distinct is one of the round's four shuffles);
+    // round-final and initial edge lists stay distinct, which the
+    // count-equality convergence gate relies on.
+    def orient(df: DataFrame, dedup: Boolean = true): DataFrame = {
+      val oriented = df
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      if (dedup) oriented.distinct() else oriented
+    }
 
     // LAZY checkpoint: the count() just below materializes it — an eager
     // localCheckpoint would run a separate materialization job first, so
@@ -251,7 +259,7 @@ object Dedup {
       val lsMin = und.groupBy("u")
         .agg(least(min(col("v")), col("u")).as("m"))
       val ls = orient(und.join(lsMin, "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")))
+        .select(col("v").as("u"), col("m").as("v")), dedup = false)
       // small-star: u and all its (smaller) neighbors link to their min
       val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
       val withMin = ls.join(ssMin, "u")
