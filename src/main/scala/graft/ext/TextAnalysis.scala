@@ -103,6 +103,12 @@ object TextAnalysis {
   /** Rolling polynomial hash of the text (order-sensitive fingerprint). */
   def rollingHash(text: Column): Column = xxhash64(text)
 
+  /** Deflate compression ratio — the cheap redundancy signal (templated /
+   *  repetitive text compresses far below natural prose). Native
+   *  codegen'd expression; see [[graft.functions.DeflateRatio]]. */
+  def compressionRatio(text: Column): Column =
+    graft.functions.GraftFunctions.graftDeflateRatio(text)
+
   // ---------------------------------------------------------------------
   // Normalization + PII scrubbing (corpus-curation pre-processing)
   // ---------------------------------------------------------------------

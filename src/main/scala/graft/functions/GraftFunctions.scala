@@ -48,6 +48,10 @@ object GraftFunctions {
   def graftWordNgrams(text: Column, n: Int): Column =
     GraftBridge.column(WordNgrams(GraftBridge.expression(text), n))
 
+  /** Raw-deflate compression ratio (level-6, headerless), in double. */
+  def graftDeflateRatio(text: Column): Column =
+    GraftBridge.column(DeflateRatio(GraftBridge.expression(text)))
+
   /** Magic-byte-sniffing gzip decode of a binary column to string. */
   def graftGunzipText(bytes: Column): Column =
     GraftBridge.column(GunzipText(GraftBridge.expression(bytes)))
@@ -100,6 +104,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_word_ngrams"),
       info("graft_word_ngrams", "graft_word_ngrams(text, n) - all word n-grams of lower(text), duplicates kept", classOf[WordNgrams]),
       (children: Seq[Expression]) => WordNgrams(children(0), asLong(children(1)).toInt)),
+    (FunctionIdentifier("graft_deflate_ratio"),
+      info("graft_deflate_ratio", "graft_deflate_ratio(text) - raw-deflate compression ratio in double", classOf[DeflateRatio]),
+      (children: Seq[Expression]) => DeflateRatio(children(0))),
     (FunctionIdentifier("graft_gunzip_text"),
       info("graft_gunzip_text", "graft_gunzip_text(bytes) - magic-byte-sniffing gzip decode to string", classOf[GunzipText]),
       (children: Seq[Expression]) => GunzipText(children(0))))

@@ -132,6 +132,36 @@ object ShingleOps {
   }
 }
 
+/** Raw-deflate compression ratio — the classic cheap redundancy signal
+ *  (highly repetitive/templated text compresses far below natural prose;
+ *  curation pipelines cut on it alongside the n-gram repetition
+ *  metrics). Level-6 raw DEFLATE (no gzip header — an 18-byte header
+ *  would dominate short documents), ratio = deflated/original UTF-8
+ *  bytes; empty input → 1.0. Deterministic for a fixed JVM zlib, but not
+ *  expressible in DuckDB SQL — the registered query is rows-only and the
+ *  VALUES are pinned by TextExpressionsSpec against java.util.zip
+ *  directly. The Deflater is thread-local (reset per row): per-row
+ *  allocation of native zlib state would dominate the scan. */
+object DeflateOps {
+  private val deflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+  }
+
+  def ratio(text: UTF8String): Double = {
+    val in = text.getBytes
+    if (in.length == 0) return 1.0
+    val d = deflater.get()
+    d.reset()
+    d.setInput(in)
+    d.finish()
+    val buf = new Array[Byte](1024)
+    var out = 0L
+    while (!d.finished()) out += d.deflate(buf)
+    out.toDouble / in.length
+  }
+}
+
 /** Shared shape: string → array<string> via a static one-pass helper. */
 abstract class ShingleExpression extends UnaryExpression with ExpectsInputTypes {
   def n: Int
@@ -151,6 +181,21 @@ case class WordShingles(child: Expression, n: Int) extends ShingleExpression {
   override protected def helper: String = "graft.functions.ShingleOps.wordShingles"
   override def nullSafeEval(v: Any): Any =
     ShingleOps.wordShingles(v.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Raw-deflate compression ratio of a string column, in double. */
+case class DeflateRatio(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "graft_deflate_ratio"
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    DeflateOps.ratio(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = graft.functions.DeflateOps.ratio($v);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -99,6 +99,36 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(!got.contains(3L))
   }
 
+  test("deflate ratio equals java.util.zip on real documents; repetition compresses") {
+    import graft.functions.GraftFunctions.graftDeflateRatio
+    def reference(s: String): Double = {
+      val in = s.getBytes("UTF-8")
+      if (in.isEmpty) 1.0 else {
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        d.setInput(in); d.finish()
+        val buf = new Array[Byte](1024)
+        var out = 0L
+        while (!d.finished()) out += d.deflate(buf)
+        d.end()
+        out.toDouble / in.length
+      }
+    }
+    val got = docs.limit(50)
+      .select(col("text"), graftDeflateRatio(col("text")).as("r"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    got.foreach { case (text, r) => assert(r == reference(text), s"doc: ${text.take(40)}") }
+    // the signal: a highly repetitive doc compresses far below varied text
+    val rep = Seq(Tuple1("spam spam spam spam spam spam spam spam spam spam"))
+      .toDF("t").select(graftDeflateRatio(col("t"))).head().getDouble(0)
+    val varied = Seq(Tuple1("the quick brown fox jumps over a lazy dog tonight"))
+      .toDF("t").select(graftDeflateRatio(col("t"))).head().getDouble(0)
+    assert(rep < varied * 0.7, s"rep=$rep varied=$varied")
+    // empty input: defined as 1.0, not a crash or division by zero
+    assert(Seq(Tuple1("")).toDF("t")
+      .select(graftDeflateRatio(col("t"))).head().getDouble(0) == 1.0)
+  }
+
   test("new expressions survive SQL registration") {
     graft.functions.GraftFunctions.register(spark)
     Seq(("a b c d", Seq(10, 20, 30))).toDF("t", "arr")
