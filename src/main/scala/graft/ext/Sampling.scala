@@ -76,6 +76,31 @@ object Sampling {
   import org.apache.spark.sql.expressions.Window
 
   /**
+   * Exact-k-per-group uniform sample without replacement — the
+   * deterministic counterpart of per-stratum reservoir sampling: within
+   * each group the k rows with the lowest (md5(salt ∥ id), id) win. A
+   * fixed hash order IS a uniform draw (any exchangeable total order on
+   * a uniform hash family selects each k-subset equiprobably), with the
+   * reproducibility the md5-threshold Bernoulli variant
+   * (q_stratified_sample) already has — but an exact count, not an
+   * expected one.
+   *
+   * Scale: one rank window per group — group slices sort, bounded by the
+   * LARGEST group (same contract as the percent_rank calibration
+   * window); for corpus-sized groups prefer the Bernoulli variant or
+   * priority sampling's global TakeOrdered.
+   */
+  def groupSample(df: DataFrame, groupCol: String, idCol: String, k: Int,
+                  salt: String = "gs:"): DataFrame = {
+    val key = md5(concat(lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(key, col(idCol))
+    df.select(col(groupCol), col(idCol), key.as("sample_key"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /**
    * Quality-ordered budget fill — per-group "take the best documents
    * until the token budget is spent" selection, at QUALITY-BUCKET
    * granularity: a (group, quality) bucket is kept iff the total size of

@@ -55,6 +55,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(got("big")._1 < 1.0)
   }
 
+  test("group sample: exact min(k, |group|) per group, deterministic, salt-sensitive") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sizes = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = 15
+    val a = Sampling.groupSample(docs, "lang", "doc_id", k).collect()
+    val b = Sampling.groupSample(docs, "lang", "doc_id", k).collect()
+    assert(a.map(r => (r.getString(0), r.getLong(1))).toSet ==
+      b.map(r => (r.getString(0), r.getLong(1))).toSet, "two runs agree")
+    val perGroup = a.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(perGroup.getOrElse(lang, 0) == math.min(k.toLong, n).toInt, s"$lang")
+    }
+    val other = Sampling.groupSample(docs, "lang", "doc_id", k, salt = "gs2:")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(other != a.map(r => (r.getString(0), r.getLong(1))).toSet,
+      "a different salt draws a different sample")
+  }
+
   test("budget fill: kept mass reaches the budget, minus the threshold bucket it doesn't") {
     // group A: quality buckets 0.9/0.7/0.5 of 100 chars each, budget
     // 0.5*300=150 → keeps 0.9 (cum_before 0) and 0.7 (cum_before 100),
