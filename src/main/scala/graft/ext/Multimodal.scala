@@ -195,6 +195,109 @@ object Multimodal {
       }
   }
 
+  /** Deterministic 8-bit grayscale PNG via the real encoder — the
+   *  independent writer for image fixtures (same role as [[y4mBytes]]
+   *  for video): PNG is lossless, so decoded samples equal `gray(x, y)`
+   *  exactly. */
+  def grayPng(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, gray(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** One image's perceptual hash: 64-char '0'/'1' aHash string, null for
+   *  undecodable bytes. */
+  final case class ImageHash(item_id: Long, ahash: String)
+
+  /**
+   * Perceptual-hash (average-hash) image deduplication — the multimodal
+   * counterpart of text near-dup: REAL `javax.imageio` decode, luminance
+   * average-pooled onto an 8×8 grid, bit i (row-major) set iff its cell
+   * mean is strictly above the grid mean. Identical-looking images share
+   * the hash; grouping is then plain Column algebra on the hash key.
+   * Block pooling uses exact integer sums divided by the block pixel
+   * count (and the grid mean divides by 64), so for block-aligned inputs
+   * the hash is exactly predictable — the registered query's oracle
+   * recomputes it in pure SQL from the synthetic pixel formula.
+   *
+   * The hash travels as a 64-char bit string rather than a packed long:
+   * it is a GROUPING key, not a probed structure (contrast the Bloom
+   * bitset lesson in PLANS.md), and a signed-64 pack would overflow both
+   * engines' SUM on bit 63. Undecodable bytes hash to null — data, not a
+   * crashed partition. Narrow decode; one hash-keyed exchange to group.
+   */
+  def perceptualHash(media: DataFrame): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.select(col("item_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(Option(bytes).getOrElse(Array.emptyByteArray)))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null || img.getWidth < 8 || img.getHeight < 8)
+            ImageHash(id, null)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val (bw, bh) = (w / 8, h / 8)
+            val cells = new Array[Double](64)
+            val raster = img.getRaster
+            var cy = 0
+            while (cy < 8) {
+              var cx = 0
+              while (cx < 8) {
+                var sum = 0L
+                var y = cy * bh
+                while (y < (cy + 1) * bh) {
+                  var x = cx * bw
+                  while (x < (cx + 1) * bw) {
+                    // luminance: gray sample for 1-band rasters, integer
+                    // (r+g+b)/3 otherwise — integer math, exactly
+                    // replayable
+                    sum += (if (raster.getNumBands == 1) raster.getSample(x, y, 0)
+                    else (raster.getSample(x, y, 0) + raster.getSample(x, y, 1) +
+                      raster.getSample(x, y, 2)) / 3)
+                    x += 1
+                  }
+                  y += 1
+                }
+                cells(cy * 8 + cx) = sum.toDouble / (bw * bh)
+                cx += 1
+              }
+              cy += 1
+            }
+            val mean = cells.sum / 64.0
+            val sb = new java.lang.StringBuilder(64)
+            var i = 0
+            while (i < 64) { sb.append(if (cells(i) > mean) '1' else '0'); i += 1 }
+            ImageHash(id, sb.toString)
+          }
+        }
+      }
+  }
+
+  /** Perceptual-hash dedup groups: (item_id, ahash, canonical_id) with
+   *  canonical = min item id sharing the hash; undecodable items are
+   *  their own singleton groups (null hashes must NOT cluster). */
+  def perceptualHashGroups(media: DataFrame): DataFrame = {
+    val hashed = perceptualHash(media).toDF()
+    val key = coalesce(col("ahash"),
+      concat(lit("undecodable:"), col("item_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+    hashed.select(col("item_id"), col("ahash"),
+      min(col("item_id")).over(w).as("canonical_id"))
+  }
+
   /** Decoded per-item audio stats (REAL decode path). */
   final case class AudioStats(item_id: Long, n_frames: Long, sample_rate: Int,
                               channels: Int, duration_ms: Long, rms: Double)

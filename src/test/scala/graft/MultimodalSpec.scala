@@ -172,6 +172,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.forall(f => f.width == 4 && f.height == 2))
   }
 
+  test("perceptual hash: pooling invariance, duplicate grouping, undecodable singletons") {
+    import spark.implicits._
+    def gray(p: Int)(x: Int, y: Int): Int = (p * 17 + x * 3 + y * 5) % 256
+    // the same visual pattern at 8x8 and block-doubled 16x16 must hash
+    // identically (each 2x2 block is constant -> pooling is exact)
+    val small = Multimodal.grayPng(8, 8, gray(3))
+    val big = Multimodal.grayPng(16, 16, (x, y) => gray(3)(x / 2, y / 2))
+    // a DESCENDING gradient — structurally different. (gray(7) would hash
+    // the same as gray(3): it is a pure brightness shift, and aHash's
+    // threshold-against-the-mean is deliberately shift-invariant.)
+    val other = Multimodal.grayPng(8, 8, (x, y) => (250 - x * 3 - y * 5) % 256)
+    val media = Seq(
+      (1L, small), (2L, big), (3L, other), (4L, small),
+      (5L, Array[Byte](1, 2, 3)), (6L, Array[Byte](9, 9))  // undecodable
+    ).toDF("item_id", "content")
+    val got = Multimodal.perceptualHashGroups(media).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getLong(2))).toMap
+    assert(got(1L)._1.isDefined && got(1L)._1.get.length == 64)
+    assert(got(1L)._1 == got(2L)._1, "block-doubled image hashes identically")
+    assert(got(1L)._1 == got(4L)._1 && got(4L)._2 == 1L, "duplicates share the canonical id")
+    assert(got(3L)._1 != got(1L)._1 && got(3L)._2 == 3L, "different structure, own group")
+    // and the invariance itself: a +68 brightness shift of the same
+    // gradient (no mod wrap inside the grid) hashes identically
+    val shifted = Multimodal.grayPng(8, 8, gray(7))
+    val inv = Multimodal.perceptualHashGroups(
+      Seq((1L, small), (2L, shifted)).toDF("item_id", "content")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(inv(1L) == inv(2L), "aHash is brightness-shift invariant")
+    assert(got(5L)._1.isEmpty && got(5L)._2 == 5L, "undecodable is its own singleton")
+    assert(got(6L)._1.isEmpty && got(6L)._2 == 6L, "null hashes must not cluster")
+  }
+
   test("extractFeatures yields fixed-width deterministic vectors") {
     import spark.implicits._
     val media = Multimodal.fromText(Seq((1L, "same"), (2L, "same")).toDF("id", "text"), "id", "text")
