@@ -298,6 +298,95 @@ object Multimodal {
       min(col("item_id")).over(w).as("canonical_id"))
   }
 
+  /** Deterministic mono 16-bit PCM WAV via the JRE's own encoder — the
+   *  independent writer for audio fixtures (PCM-in-WAV is lossless, so
+   *  decoded samples equal `samples` exactly). */
+  def pcmWav(rate: Float, samples: Array[Short]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** One audio fingerprint: sign-flip count + integer-rounded RMS
+   *  amplitude of the raw 16-bit samples; (-1, -1) for undecodable. */
+  final case class AudioFingerprint(item_id: Long, n_sign_flips: Long, amp: Long)
+
+  /**
+   * Audio fingerprint dedup — the audio leg of the dedup trio (text
+   * shingles, image aHash, and here): REAL `javax.sound.sampled` decode,
+   * fingerprint = (zero-crossing count, integer-rounded RMS of the raw
+   * 16-bit samples). Zero crossings track dominant frequency and RMS
+   * tracks loudness — both EXACT integer/closed-form arithmetic, so the
+   * registered query's oracle predicts them from the synthesis formula
+   * (contrast a spectral fingerprint, whose FFT float sums would put
+   * argmax ties at the mercy of accumulation order). Re-encoded or
+   * container-shuffled copies of the same PCM fingerprint identically.
+   * Undecodable bytes → (-1, -1), a singleton group. Narrow decode; one
+   * fingerprint-keyed exchange to group.
+   */
+  def audioFingerprint(media: DataFrame): Dataset[AudioFingerprint] = {
+    import media.sparkSession.implicits._
+    media.select(col("item_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(Option(bytes).getOrElse(Array.emptyByteArray)))
+            try {
+              val fmt = in.getFormat
+              require(fmt.getSampleSizeInBits == 16, "16-bit PCM only")
+              val data = in.readAllBytes()
+              val big = fmt.isBigEndian
+              var flips = 0L
+              var sumSq = 0.0
+              var prev = 0
+              var first = true
+              var i = 0
+              while (i + 1 < data.length) {
+                val s =
+                  if (big) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+                  else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+                if (!first && ((s < 0) != (prev < 0)) && s != 0 && prev != 0) flips += 1
+                sumSq += s.toDouble * s
+                prev = s
+                first = false
+                i += 2
+              }
+              val n = math.max(1, data.length / 2)
+              AudioFingerprint(id, flips, math.round(math.sqrt(sumSq / n)))
+            } finally in.close()
+          } catch {
+            case scala.util.control.NonFatal(_) => AudioFingerprint(id, -1L, -1L)
+          }
+        }
+      }
+  }
+
+  /** Audio dedup groups: (item_id, n_sign_flips, amp, canonical_id) with
+   *  canonical = min item id sharing the fingerprint; undecodable items
+   *  ((-1, -1)) group by item id — singletons, never with each other. */
+  def audioDedupGroups(media: DataFrame): DataFrame = {
+    val fp = audioFingerprint(media).toDF()
+    val key = when(col("n_sign_flips") === -1L, -col("item_id") - 1L)
+      .otherwise(lit(0L)) // 0 for decodable: group purely by fingerprint
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_sign_flips"), col("amp"), key)
+    fp.select(col("item_id"), col("n_sign_flips"), col("amp"),
+      min(col("item_id")).over(w).as("canonical_id"))
+  }
+
   /** Decoded per-item audio stats (REAL decode path). */
   final case class AudioStats(item_id: Long, n_frames: Long, sample_rate: Int,
                               channels: Int, duration_ms: Long, rms: Double)

@@ -204,6 +204,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(6L)._1.isEmpty && got(6L)._2 == 6L, "null hashes must not cluster")
   }
 
+  test("audio fingerprint: closed-form flips/amp, duplicate grouping, undecodable singletons") {
+    import spark.implicits._
+    def square(half: Int, amp: Short): Array[Byte] =
+      Multimodal.pcmWav(8000f, Array.tabulate(2000)(i =>
+        if ((i / half) % 2 == 0) amp else (-amp).toShort))
+    val media = Seq(
+      (1L, square(5, 8192)), (2L, square(5, 8192)),   // duplicates
+      (3L, square(7, 8192)),                          // different frequency
+      (4L, square(5, 12288)),                         // different loudness
+      (5L, Array[Byte](1, 2, 3)), (6L, Array[Byte](7))  // undecodable
+    ).toDF("item_id", "content")
+    val got = Multimodal.audioDedupGroups(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((1999L / 5, 8192L, 1L)), s"closed form: ${got(1L)}")
+    assert(got(2L) == ((1999L / 5, 8192L, 1L)), "identical PCM joins the canonical group")
+    assert(got(3L)._1 == 1999L / 7 && got(3L)._3 == 3L, "different period, own group")
+    assert(got(4L) == ((1999L / 5, 12288L, 4L)), "same period, different loudness, own group")
+    assert(got(5L) == ((-1L, -1L, 5L)) && got(6L) == ((-1L, -1L, 6L)),
+      "undecodables are singletons, never clustered together")
+  }
+
   test("extractFeatures yields fixed-width deterministic vectors") {
     import spark.implicits._
     val media = Multimodal.fromText(Seq((1L, "same"), (2L, "same")).toDF("id", "text"), "id", "text")
