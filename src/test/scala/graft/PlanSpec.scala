@@ -138,6 +138,28 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "SortMergeJoin") == 0)
   }
 
+  test("q_jaccard_pairs: the shingle self-join REUSES one exchange, not two scans") {
+    // both sides of the exact-Jaccard self-join are the same
+    // scan→shingle→explode subtree shuffled on the shingle key; Catalyst
+    // must plan ONE exchange plus a ReusedExchange, or the corpus pays
+    // the shingle explode twice
+    val df = Queries.all("q_jaccard_pairs")(spark, dir)
+    df.collect() // AQE: reuse is visible in the FINAL plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(count(p, "ReusedExchange") >= 1, "shingle exchange must be reused")
+  }
+
+  test("q_image_dedup / q_audio_dedup: narrow decode, one grouping exchange, no joins") {
+    for (name <- Seq("q_image_dedup", "q_audio_dedup")) {
+      val p = plan(name)
+      // fingerprint dedup = mapPartitions decode + ONE window exchange on
+      // the fingerprint key; any join or extra exchange means bytes moved
+      // twice
+      assert(count(p, "Exchange hashpartitioning") == 1, s"$name: one exchange")
+      assert(count(p, "Join") == 0, s"$name: no joins")
+    }
+  }
+
   test("training sample: (md5, id)-ordered limit plans as TakeOrdered, not a global sort") {
     // the 100 TB posture of sampled codebook training rests on the
     // sample selection being a per-partition top-N heap — a global sort
