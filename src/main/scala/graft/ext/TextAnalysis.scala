@@ -201,6 +201,35 @@ object TextAnalysis {
         round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
   }
 
+  /**
+   * Feature-hashing text embedder (the hashing trick — Weinberger et
+   * al., "Feature Hashing for Large Scale Multitask Learning", ICML
+   * 2009): term frequencies hashed into `dims` buckets, L2-normalized —
+   * the deterministic, vocabulary-free text→vector step that feeds the
+   * ANN/clustering family when no learned embedder is available. Bucket
+   * = first 32 md5 bits of the word mod dims (the engine's cross-engine
+   * hash convention), so the DuckDB oracle is value-level exact.
+   *
+   * Returned EXPLODED — (doc_id, bucket, tf, weight) for each non-zero
+   * component — the natural sparse form (a dims-dense array per doc
+   * wastes space at dims ≫ nnz and defeats value-level oracle checks).
+   * Scale: one (doc, bucket) count aggregate (map-side combined) and a
+   * doc-keyed norm window on its output; the corpus tokenizes once.
+   */
+  def hashEmbed(df: DataFrame, textCol: String, idCol: String,
+                dims: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), 1)).as("w"))
+    val bucket = pmod(
+      conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"), lit(dims.toLong))
+    val tf = toks.groupBy(col("doc_id"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("doc_id"))
+    tf.select(col("doc_id"), col("bucket"), col("tf"),
+      round(col("tf").cast("double") /
+        sqrt(sum(col("tf") * col("tf")).over(w).cast("double")), 6).as("weight"))
+  }
+
   def topNgramDominance(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 2): DataFrame = {
     val grams = df.select(col(idCol).as("doc_id"),

@@ -129,6 +129,20 @@ class TextExpressionsSpec extends AnyFunSuite {
       .select(graftDeflateRatio(col("t"))).head().getDouble(0) == 1.0)
   }
 
+  test("hash embed: unit L2 norm per doc, buckets in range, deterministic") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = graft.ext.TextAnalysis.hashEmbed(df, "text", "doc_id", dims = 64)
+    val rows = a.collect()
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64), "buckets in [0, 64)")
+    val norms = rows.groupBy(_.getLong(0)).map { case (_, rs) =>
+      rs.map(r => r.getDouble(3) * r.getDouble(3)).sum
+    }
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-4, s"norm² = $n"))
+    val b = graft.ext.TextAnalysis.hashEmbed(df, "text", "doc_id", dims = 64).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet ==
+      b.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet)
+  }
+
   test("new expressions survive SQL registration") {
     graft.functions.GraftFunctions.register(spark)
     Seq(("a b c d", Seq(10, 20, 30))).toDF("t", "arr")
