@@ -34,11 +34,12 @@ object ShingleOps {
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
 
-  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+  /** lower → space-trim → manual "\s+" split with limit -1 (empty token
+   *  before a leading run and after a trailing run, exactly like
+   *  java.util.regex split). Shared by the shingle and n-gram paths. */
+  private def splitWords(text: UTF8String): mutable.ArrayBuffer[String] = {
     val s = text.toLowerCase.trim.toString
     val len = s.length
-    // manual "\\s+" split, limit -1: empty token before a leading run and
-    // after a trailing run, exactly like java.util.regex split
     val words = mutable.ArrayBuffer.empty[String]
     var i = 0
     var start = 0
@@ -51,7 +52,11 @@ object ShingleOps {
       } else i += 1
     }
     words += s.substring(start, len)
+    words
+  }
 
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val words = splitWords(text)
     val count = words.length - (n - 1)
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](count * 2)
@@ -81,21 +86,7 @@ object ShingleOps {
    *  repeats being measured). Same normalization: lower → trim → split
    *  on `\s+` with Java limit -1; full n-windows only. */
   def wordNgrams(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toLowerCase.trim.toString
-    val len = s.length
-    val words = mutable.ArrayBuffer.empty[String]
-    var i = 0
-    var start = 0
-    while (i < len) {
-      if (isWs(s.charAt(i))) {
-        words += s.substring(start, i)
-        i += 1
-        while (i < len && isWs(s.charAt(i))) i += 1
-        start = i
-      } else i += 1
-    }
-    words += s.substring(start, len)
-
+    val words = splitWords(text)
     val count = words.length - (n - 1)
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](count)
