@@ -227,7 +227,11 @@ object Multimodal {
    * Block pooling uses exact integer sums divided by the block pixel
    * count (and the grid mean divides by 64), so for block-aligned inputs
    * the hash is exactly predictable — the registered query's oracle
-   * recomputes it in pure SQL from the synthetic pixel formula.
+   * recomputes it in pure SQL from the synthetic pixel formula. For
+   * dimensions not divisible by 8 the right/bottom remainder pixels are
+   * cropped (⌊w/8⌋×⌊h/8⌋ blocks) — a deliberate exactness-over-resample
+   * choice: a bilinear resize would tie the hash to interpolation
+   * rounding no oracle can replay. Images smaller than 8×8 hash to null.
    *
    * The hash travels as a 64-char bit string rather than a packed long:
    * it is a GROUPING key, not a probed structure (contrast the Bloom
@@ -241,47 +245,53 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val img =
-            try javax.imageio.ImageIO.read(
+          // the whole decode+hash is guarded: exotic rasters (e.g. a
+          // 2-band gray+alpha PNG whose band-2 read would throw) must be
+          // a null-hash ROW, not a crashed partition — same contract as
+          // ImageIO.read itself failing
+          try {
+            val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(Option(bytes).getOrElse(Array.emptyByteArray)))
-            catch { case scala.util.control.NonFatal(_) => null }
-          if (img == null || img.getWidth < 8 || img.getHeight < 8)
-            ImageHash(id, null)
-          else {
-            val (w, h) = (img.getWidth, img.getHeight)
-            val (bw, bh) = (w / 8, h / 8)
-            val cells = new Array[Double](64)
-            val raster = img.getRaster
-            var cy = 0
-            while (cy < 8) {
-              var cx = 0
-              while (cx < 8) {
-                var sum = 0L
-                var y = cy * bh
-                while (y < (cy + 1) * bh) {
-                  var x = cx * bw
-                  while (x < (cx + 1) * bw) {
-                    // luminance: gray sample for 1-band rasters, integer
-                    // (r+g+b)/3 otherwise — integer math, exactly
-                    // replayable
-                    sum += (if (raster.getNumBands == 1) raster.getSample(x, y, 0)
-                    else (raster.getSample(x, y, 0) + raster.getSample(x, y, 1) +
-                      raster.getSample(x, y, 2)) / 3)
-                    x += 1
+            if (img == null || img.getWidth < 8 || img.getHeight < 8)
+              ImageHash(id, null)
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val (bw, bh) = (w / 8, h / 8)
+              val cells = new Array[Double](64)
+              val raster = img.getRaster
+              // luminance bands: 1 (gray) or the first 3 (RGB); a 2-band
+              // gray+alpha raster uses band 0 only
+              val rgb = raster.getNumBands >= 3
+              var cy = 0
+              while (cy < 8) {
+                var cx = 0
+                while (cx < 8) {
+                  var sum = 0L
+                  var y = cy * bh
+                  while (y < (cy + 1) * bh) {
+                    var x = cx * bw
+                    while (x < (cx + 1) * bw) {
+                      // integer luminance — exactly replayable
+                      sum += (if (rgb)
+                        (raster.getSample(x, y, 0) + raster.getSample(x, y, 1) +
+                          raster.getSample(x, y, 2)) / 3
+                      else raster.getSample(x, y, 0))
+                      x += 1
+                    }
+                    y += 1
                   }
-                  y += 1
+                  cells(cy * 8 + cx) = sum.toDouble / (bw * bh)
+                  cx += 1
                 }
-                cells(cy * 8 + cx) = sum.toDouble / (bw * bh)
-                cx += 1
+                cy += 1
               }
-              cy += 1
+              val mean = cells.sum / 64.0
+              val sb = new java.lang.StringBuilder(64)
+              var i = 0
+              while (i < 64) { sb.append(if (cells(i) > mean) '1' else '0'); i += 1 }
+              ImageHash(id, sb.toString)
             }
-            val mean = cells.sum / 64.0
-            val sb = new java.lang.StringBuilder(64)
-            var i = 0
-            while (i < 64) { sb.append(if (cells(i) > mean) '1' else '0'); i += 1 }
-            ImageHash(id, sb.toString)
-          }
+          } catch { case scala.util.control.NonFatal(_) => ImageHash(id, null) }
         }
       }
   }
@@ -295,6 +305,26 @@ object Multimodal {
       concat(lit("undecodable:"), col("item_id").cast("string")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
     hashed.select(col("item_id"), col("ahash"),
+      min(col("item_id")).over(w).as("canonical_id"))
+  }
+
+  /** Video-signature dedup groups: md5 of the per-frame mean-luma
+   *  sequence (int-cast — exact for constant-fill synthetic frames),
+   *  grouped with canonical = min item id. Undecodable items surface
+   *  from [[sampleVideoFrames]] as a sentinel frame (frame_idx −1) and
+   *  hash to null — SINGLETON groups, never clustered with each other
+   *  or with a genuinely black one-frame video. */
+  def videoSignatureGroups(media: DataFrame, maxFrames: Int = 8): DataFrame = {
+    val frames = sampleVideoFrames(media, everyNth = 1, maxFrames = maxFrames).toDF()
+    val sig = frames.groupBy(col("item_id"))
+      .agg(when(min(col("frame_idx")) < 0, lit(null).cast("string"))
+        .otherwise(md5(array_join(transform(
+          array_sort(collect_list(struct(col("frame_idx"), col("mean_luma")))),
+          s => s.getField("mean_luma").cast("int").cast("string")), "|"))).as("vsig"))
+    val key = coalesce(col("vsig"),
+      concat(lit("undecodable:"), col("item_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+    sig.select(col("item_id"), col("vsig"),
       min(col("item_id")).over(w).as("canonical_id"))
   }
 

@@ -125,7 +125,10 @@ object Sampling {
       col(sizeCol).cast("long").as("__sz"), quality.as("__q"))
     val buckets = scored.groupBy(col("__g"), col("__q"))
       .agg(sum(col("__sz")).as("__bucket_sz"))
-    val totals = scored.groupBy(col("__g")).agg(sum(col("__sz")).as("__total_sz"))
+    // group totals from the tiny bucket frame, NOT a second corpus
+    // aggregate (which would re-evaluate the quality expression over
+    // every row); long sums are associative so the value is identical
+    val totals = buckets.groupBy(col("__g")).agg(sum(col("__bucket_sz")).as("__total_sz"))
     val wPrev = Window.partitionBy(col("__g")).orderBy(col("__q").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val keep = buckets

@@ -154,23 +154,6 @@ object TextAnalysis {
     }
 
   /**
-   * Top n-gram dominance (Gopher-family repetition filter, Rae et al.
-   * 2021: "fraction of characters in the most frequent n-gram" — here
-   * the occurrence-share variant): for each document, the most frequent
-   * word n-gram and its share of all n-gram occurrences. Boilerplate and
-   * template spam concentrate mass on one n-gram; natural text does not.
-   *
-   * The one DataFrame-level operator in this module — argmax-per-doc
-   * needs a keyed aggregate, not a scalar projection. Scale shape: both
-   * shuffles are keyed by doc_id (+ gram), so bucket sizes are bounded
-   * by DOCUMENT length, never corpus size; the argmax window partitions
-   * by doc_id over the already-aggregated (doc, gram) counts. Docs with
-   * fewer than n words have no n-grams and are absent from the output.
-   * Ties break lexicographically on the gram (ASCII-only after
-   * lowercasing, so Spark's binary order and the oracle's collation
-   * agree).
-   */
-  /**
    * Frequency-based vocabulary build + per-document OOV scoring — the
    * tokenizer-construction step of a pretraining pipeline: the corpus'
    * `vocabSize` most frequent words (count desc, word asc tie-break)
@@ -230,18 +213,40 @@ object TextAnalysis {
         sqrt(sum(col("tf") * col("tf")).over(w).cast("double")), 6).as("weight"))
   }
 
+  /**
+   * Top n-gram dominance (Gopher-family repetition filter, Rae et al.
+   * 2021: "fraction of characters in the most frequent n-gram" — here
+   * the occurrence-share variant): for each document, the most frequent
+   * word n-gram and its share of all n-gram occurrences. Boilerplate and
+   * template spam concentrate mass on one n-gram; natural text does not.
+   *
+   * The one DataFrame-level operator in this module — argmax-per-doc
+   * needs a keyed aggregate, not a scalar projection. Scale shape: the
+   * (doc, gram) count is map-side combined and both windows (total,
+   * argmax) share one doc_id exchange over its output, so bucket sizes
+   * are bounded by DOCUMENT length, never corpus size, and the corpus
+   * tokenizes exactly once. Docs with
+   * fewer than n words have no n-grams and are absent from the output.
+   * Ties break lexicographically on the gram (ASCII-only after
+   * lowercasing, so Spark's binary order and the oracle's collation
+   * agree).
+   */
   def topNgramDominance(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 2): DataFrame = {
     val grams = df.select(col(idCol).as("doc_id"),
       explode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), n)).as("gram"))
     val counts = grams.groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("occurrences"))
-    val totals = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("total_grams"))
-    val w = Window.partitionBy(col("doc_id"))
+    // totals derive from the (doc, gram) counts already in hand — a
+    // separate grams.groupBy(doc_id) would re-scan and re-tokenize the
+    // whole corpus. Both windows share the doc_id partitioning, so one
+    // exchange serves the total and the argmax.
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val wRank = Window.partitionBy(col("doc_id"))
       .orderBy(col("occurrences").desc, col("gram"))
-    counts.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .drop("__rn")
-      .join(totals, "doc_id")
+    counts
+      .withColumn("total_grams", sum(col("occurrences")).over(wDoc))
+      .withColumn("__rn", row_number().over(wRank)).filter(col("__rn") === 1)
       .select(col("doc_id"), col("gram").as("top_gram"), col("occurrences"),
         col("total_grams"),
         round(col("occurrences").cast("double") / col("total_grams").cast("double"), 6)

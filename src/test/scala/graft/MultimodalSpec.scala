@@ -225,6 +225,26 @@ class MultimodalSpec extends AnyFunSuite {
       "undecodables are singletons, never clustered together")
   }
 
+  test("video signature: duplicates group, undecodables and black frames stay apart") {
+    import spark.implicits._
+    def y4m(lumas: Seq[Int]): Array[Byte] =
+      Multimodal.y4mBytes(16, 8, 25, 1, lumas.map(l => Array.fill(16 * 8)(l.toByte)))
+    val media = Seq(
+      (1L, y4m(Seq(10, 20))), (2L, y4m(Seq(10, 20))),  // duplicates
+      (3L, y4m(Seq(0))),                               // genuinely black 1-frame
+      (4L, Array[Byte](1, 2, 3)), (5L, Array[Byte](9)) // undecodable
+    ).toDF("item_id", "content")
+    val got = Multimodal.videoSignatureGroups(media).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getLong(2))).toMap
+    assert(got(1L)._1.isDefined && got(1L)._1 == got(2L)._1, "identical frames, same signature")
+    assert(got(1L)._2 == 1L && got(2L)._2 == 1L, "identical frames share the canonical id")
+    assert(got(3L)._1.isDefined && got(3L)._2 == 3L, "black video is its own real group")
+    assert(got(4L)._1.isEmpty && got(4L)._2 == 4L, "undecodable singleton")
+    assert(got(5L)._1.isEmpty && got(5L)._2 == 5L, "undecodables never cluster together")
+    assert(got(3L)._1 != got(4L)._1 || got(3L)._2 != got(4L)._2,
+      "black video must not merge with the sentinel")
+  }
+
   test("extractFeatures yields fixed-width deterministic vectors") {
     import spark.implicits._
     val media = Multimodal.fromText(Seq((1L, "same"), (2L, "same")).toDF("id", "text"), "id", "text")
