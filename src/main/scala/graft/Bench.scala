@@ -18,7 +18,12 @@ object Bench {
     // JVM/codegen/scan warmup so the first timed query doesn't absorb
     // one-time session costs
     run("warmup", SparkEntry.queries("q1_agg"))
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // optional arg: comma-separated query filter (local iteration only —
+    // the driver runs the full registry)
+    val only = args.lift(0).map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = run(name, fn)
       (name, (System.nanoTime() - t0) / 1e9, ok)

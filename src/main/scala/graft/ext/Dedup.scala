@@ -298,6 +298,83 @@ object Dedup {
       .drop("__cid", "component")
   }
 
+  /**
+   * Edit-distance verification over near-duplicate CANDIDATE pairs — the
+   * generate-cheap / verify-expensive discipline of production dedup: any
+   * candidate generator (exact Jaccard join, MinHash LSH, SimHash) emits
+   * (id_a, id_b, ...) pairs, and this stage confirms each one with a
+   * character-level Levenshtein similarity
+   * `1 − dist / max(len_a, len_b)`, keeping pairs at or above
+   * `minEditSim`. Shingle similarity is insensitive to word order and
+   * local edits; edit similarity is the stricter, order-sensitive check
+   * that kills false positives before documents are dropped.
+   *
+   * Scale shape: the corpus never shuffles — the pair list (bounded by
+   * the candidate generator, orders of magnitude smaller than the corpus)
+   * is BROADCAST against the text table twice, and the O(len²) dynamic
+   * program runs only on confirmed candidates, never all pairs. The
+   * similarity is rounded to 6 dp before the threshold cut (the engine's
+   * near-tie discipline), and `levenshtein` is the classic unit-cost edit
+   * distance in both Spark and DuckDB, so the oracle is value-level
+   * exact. Passes through every column of `pairs` and appends
+   * (edit_distance, edit_sim).
+   */
+  def verifyPairsByEditDistance(df: DataFrame, textCol: String, idCol: String,
+                                pairs: DataFrame, minEditSim: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(textCol).as("__text_a"))
+    val b = df.select(col(idCol).as("id_b"), col(textCol).as("__text_b"))
+    val withTexts = broadcast(broadcast(pairs).join(a, "id_a")).join(b, "id_b")
+    val passthrough = pairs.columns.map(col).toSeq
+    withTexts
+      .withColumn("edit_distance",
+        levenshtein(col("__text_a"), col("__text_b")).cast("long"))
+      .withColumn("edit_sim",
+        round(lit(1.0) - col("edit_distance").cast("double") /
+          greatest(length(col("__text_a")), length(col("__text_b")), lit(1))
+            .cast("double"), 6))
+      .filter(col("edit_sim") >= minEditSim)
+      .select(passthrough :+ col("edit_distance") :+ col("edit_sim"): _*)
+  }
+
+  /**
+   * Incremental (cross-batch) deduplication — the daily-ingest shape of a
+   * training-data pipeline: a new batch arrives and must be deduplicated
+   * BOTH against the historical corpus and within itself, without ever
+   * re-shuffling the historical texts. The digest is the normalization
+   * fingerprint ([[TextAnalysis.fingerprint]]: case/punct/order-
+   * insensitive word-set md5), so trivially rewritten copies are caught,
+   * not just byte-identical ones.
+   *
+   * Verdict per new document:
+   *  - `dup_of_base`  — its fingerprint exists in the base corpus;
+   *  - `dup_in_batch` — new fingerprint, but a smaller-id document in the
+   *    same batch already claimed it;
+   *  - `unique`       — first sight of the fingerprint anywhere.
+   *
+   * Scale shape: both sides reduce to (fingerprint) / (id, fingerprint)
+   * digests before anything shuffles — the join and the in-batch window
+   * move fixed-width hashes only, never text; the base side collapses to
+   * distinct digests via a map-side-combined aggregate. At 100 TB the
+   * base fingerprint set is the only state carried between runs — the
+   * classic dedup-ledger pattern.
+   */
+  def incrementalDedup(newBatch: DataFrame, base: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    val nb = newBatch.select(col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+    val seen = base
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .distinct()
+      .withColumn("__in_base", lit(true))
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+    nb.join(seen, Seq("fingerprint"), "left")
+      .withColumn("__rn", row_number().over(w))
+      .select(col("doc_id"), col("fingerprint"),
+        when(col("__in_base"), "dup_of_base")
+          .when(col("__rn") > 1, "dup_in_batch")
+          .otherwise("unique").as("status"))
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH banding
   // ------------------------------------------------------------------
