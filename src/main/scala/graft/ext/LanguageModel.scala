@@ -98,4 +98,54 @@ object LanguageModel {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("logp")), 6).as("avg_logp"))
   }
+
+  /**
+   * PMI collocation mining (Church & Hanks 1990, "Word Association Norms,
+   * Mutual Information, and Lexicography"): score word pairs by
+   * pointwise mutual information
+   *
+   *   pmi(w₁,w₂) = ln( (c₁₂/N_b) / ((c(w₁)/N_w) · (c(w₂)/N_w)) )
+   *
+   * with c₁₂ the bigram count, N_b total bigrams, c(w) unigram counts,
+   * N_w total words. High-PMI pairs are collocations ("new york");
+   * frequent-but-independent pairs score near 0 — the standard phrase
+   * and multi-word-expression detector over a pretraining corpus.
+   *
+   * Scale shape: the corpus tokenizes once into two map-side-combined
+   * count aggregates; everything after operates on VOCABULARY-bounded
+   * tables — the unigram table joins back BROADCAST, the totals are
+   * 1-row broadcasts derived from the count tables (never a second
+   * corpus pass), and the top-k plans as TakeOrderedAndProject. PMI is
+   * rounded to 6 dp BEFORE the cut with a bigram tie-break (the engine's
+   * near-tie discipline), and the ln argument is parenthesized
+   * identically in the DuckDB oracle so the double arithmetic is
+   * bit-reproducible.
+   *
+   * Returns the `k` highest-PMI bigrams with count ≥ `minCount`:
+   * (bigram, c12, pmi).
+   */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val ws = df.select(words(col(textCol)).as("ws"))
+    val c12 = ws.select(explode(bigramsOf(col("ws"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c12"))
+    val c1 = ws.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    // totals from the count tables (vocab-bounded), not the corpus
+    val nb = c12.agg(sum(col("c12")).cast("double").as("Nb"))
+    val nw = c1.agg(sum(col("c")).cast("double").as("Nw"))
+    c12.filter(col("c12") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(broadcast(c1.select(col("w").as("w1"), col("c").as("cw1"))), Seq("w1"))
+      .join(broadcast(c1.select(col("w").as("w2"), col("c").as("cw2"))), Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .crossJoin(broadcast(nw))
+      .select(col("bigram"), col("c12"),
+        round(log((col("c12").cast("double") / col("Nb")) /
+          ((col("cw1").cast("double") / col("Nw")) *
+            (col("cw2").cast("double") / col("Nw")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(k)
+  }
 }

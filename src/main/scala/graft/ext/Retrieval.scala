@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -73,5 +74,75 @@ object Retrieval {
       .filter(col("bm25") > 0.0)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /**
+   * TF-IDF document vectors in EXPLODED sparse form — (doc_id, term, tf,
+   * weight) per non-zero component, L2-normalized per document, with the
+   * smooth idf `ln((N+1)/(df+1)) + 1` (never zero, so present terms are
+   * never silently dropped). The sparse form is the honest one at scale
+   * (a vocab-dense array per doc wastes space and defeats value-level
+   * oracle checks) and feeds both the cosine join below and any external
+   * consumer.
+   *
+   * Scale shape: one tokenize pass into a map-side-combined (doc, term)
+   * count; document frequencies and the 1-row corpus count derive from
+   * the count table (vocabulary-bounded) and join back BROADCAST; the
+   * L2 norm is a doc-keyed window on the count table's output — the
+   * corpus never shuffles by term. Weight rounded to 6 dp (cross-engine
+   * float-sum discipline).
+   */
+  def tfidfVectors(documents: DataFrame, textCol: String, idCol: String): DataFrame =
+    tfidfWeighted(documents, textCol, idCol)
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("__wn"), 6).as("weight"))
+
+  /** Shared core: per-(doc, term) tf + UNROUNDED normalized weight
+   *  `__wn` + document frequency `df`. */
+  private def tfidfWeighted(documents: DataFrame, textCol: String,
+                            idCol: String): DataFrame = {
+    val tf = documents
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), 1)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).cast("double").as("N"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("__w",
+        col("tf").cast("double") * (log((col("N") + 1.0) / (col("df") + 1.0)) + 1.0))
+      .withColumn("__wn",
+        col("__w") / sqrt(sum(col("__w") * col("__w")).over(wDoc)))
+  }
+
+  /**
+   * Sparse all-pairs cosine similarity over the TF-IDF vectors — the
+   * lexical near-duplicate / related-document join: cosine(a, b) =
+   * Σ_t wa·wb over shared terms of the L2-normalized vectors, keeping
+   * pairs at or above `threshold`.
+   *
+   * `maxDocFreq` is the df-cut of all-pairs similarity search (Bayardo
+   * et al. 2007, "Scaling Up All Pairs Similarity Search"): terms in
+   * more than that many documents are dropped AFTER normalization —
+   * they carry the least weight (idf ≈ ln 1) but dominate the join's
+   * bucket sizes; cutting them bounds every term bucket, turning the
+   * self-join into bounded-bucket candidate generation (the same shape
+   * as the shingle/LSH family — never O(n²) on the corpus). Cosine is
+   * rounded to 6 dp before the threshold (float-sum order discipline).
+   */
+  def tfidfCosinePairs(documents: DataFrame, textCol: String, idCol: String,
+                       threshold: Double = 0.9,
+                       maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val unit = tfidfWeighted(documents, textCol, idCol)
+      .filter(col("df") <= maxDocFreq)
+      .select(col("doc_id"), col("term"), col("__wn"))
+    val a = unit.select(col("doc_id").as("id_a"), col("term"), col("__wn").as("__wa"))
+    val b = unit.select(col("doc_id").as("id_b"), col("term"), col("__wn").as("__wb"))
+    a.join(b, Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(sum(col("__wa") * col("__wb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 }

@@ -43,4 +43,30 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(got(1L)._1 == 3L) // "a b","b a","a b" — with multiplicity
     assert(got(1L)._2 > got(2L)._2, "common-bigram doc must outscore the rare one")
   }
+
+  test("PMI: an exclusive pair outranks an independent one; minCount filters") {
+    // 'x y' always co-occur (5×); 'a' and 'b' occur often but never
+    // attached to each other more than chance: pmi(x y) must rank first.
+    val docs = Seq.tabulate(5)(i => (i.toLong, "x y a b a b a c b c"))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.pmiCollocations(docs, "text", minCount = 5L, k = 10)
+      .as[(String, Long, Double)].collect()
+    assert(got.head._1 == "x y")
+    assert(got.map(_._2).forall(_ >= 5L), "minCount gate")
+    val pmis = got.map(_._3).toSeq
+    assert(pmis == pmis.sorted.reverse, "ordered by pmi desc")
+    // independence baseline: 'a b' occurs but near/below pmi 0 relative
+    // to 'x y' (which is maximally associated)
+    val byGram = got.map(g => g._1 -> g._3).toMap
+    assert(byGram("x y") > byGram("a b"))
+  }
+
+  test("PMI plan: unigram joins and totals broadcast, top-k is TakeOrderedAndProject") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = LanguageModel.pmiCollocations(df, "text", 5L, 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
 }

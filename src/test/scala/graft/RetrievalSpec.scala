@@ -69,4 +69,64 @@ class RetrievalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  // ---------------------------------------------------------------
+  // TF-IDF
+  // ---------------------------------------------------------------
+
+  test("tfidf: vectors are unit-length and corpus-wide terms weigh least") {
+    val df = corpus(
+      1L -> "the cat sat",
+      2L -> "the dog ran",
+      3L -> "the cat ran")
+    val vecs = Retrieval.tfidfVectors(df, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // L2 norm per doc ≈ 1 (each weight rounded to 6dp)
+    for (d <- 1L to 3L) {
+      val norm = math.sqrt(vecs.collect { case ((id, _), w) if id == d => w * w }.sum)
+      assert(math.abs(norm - 1.0) < 1e-4, s"doc $d norm $norm")
+    }
+    // 'the' is in every doc → lowest idf → smallest weight within a doc
+    val doc1 = vecs.collect { case ((1L, t), w) => t -> w }.toMap
+    assert(doc1("the") < doc1("cat") && doc1("the") < doc1("sat"))
+  }
+
+  test("tfidf cosine: identical docs hit 1.0, disjoint docs are absent") {
+    val df = corpus(
+      1L -> "alpha beta gamma",
+      2L -> "alpha beta gamma",
+      3L -> "delta epsilon zeta")
+    val pairs = Retrieval.tfidfCosinePairs(df, "text", "doc_id", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "no shared term → no candidate pair at all (the join IS the filter)")
+  }
+
+  test("tfidf cosine: maxDocFreq cuts hot terms from the join, not the norms") {
+    // 'hot' is in all 4 docs; with maxDocFreq=3 it leaves the join, so
+    // docs sharing ONLY 'hot' produce no pair, while the 1-2 pair
+    // (sharing 'rare') survives with the full-vector norm intact.
+    val df = corpus(
+      1L -> "hot rare one",
+      2L -> "hot rare two",
+      3L -> "hot only three",
+      4L -> "hot solo four")
+    val all = Retrieval.tfidfCosinePairs(df, "text", "doc_id", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cut = Retrieval.tfidfCosinePairs(df, "text", "doc_id", threshold = 0.0,
+      maxDocFreq = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.size == 6, "all pairs share 'hot'")
+    assert(cut == Set((1L, 2L)), "df-cut leaves only the 'rare' pair")
+  }
+
+  test("tfidf plan: dfreq and corpus-count join back broadcast, no term re-shuffle of the corpus") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Retrieval.tfidfVectors(df, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("BroadcastNestedLoopJoin")) // 1-row corpus count
+    assert(!plan.contains("SortMergeJoin"))
+  }
 }
