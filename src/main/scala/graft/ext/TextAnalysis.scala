@@ -109,6 +109,14 @@ object TextAnalysis {
   def compressionRatio(text: Column): Column =
     graft.functions.GraftFunctions.graftDeflateRatio(text)
 
+  /** Character-distribution Shannon entropy (bits/char) — the other
+   *  cheap redundancy axis: deflate sees REPEATED STRUCTURE, entropy
+   *  sees a SKEWED ALPHABET (single-char spam ≈ 0, prose ≈ 4-5, random
+   *  base64 ≈ 6). Native codegen'd expression
+   *  ([[graft.functions.CharEntropy]]); round before comparing. */
+  def charEntropy(text: Column): Column =
+    graft.functions.GraftFunctions.graftCharEntropy(text)
+
   // ---------------------------------------------------------------------
   // Normalization + PII scrubbing (corpus-curation pre-processing)
   // ---------------------------------------------------------------------

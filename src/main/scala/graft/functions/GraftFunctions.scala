@@ -56,6 +56,10 @@ object GraftFunctions {
   def graftGunzipText(bytes: Column): Column =
     GraftBridge.column(GunzipText(GraftBridge.expression(bytes)))
 
+  /** Shannon entropy (bits per character) of a string's code points. */
+  def graftCharEntropy(text: Column): Column =
+    GraftBridge.column(CharEntropy(GraftBridge.expression(text)))
+
   /** MinHash signature aggregate over a long hash column (k slots). */
   def graftMinhashAgg(hash: Column, k: Int): Column =
     GraftBridge.column(MinHashAgg(GraftBridge.expression(hash), k).toAggregateExpression())
@@ -109,7 +113,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => DeflateRatio(children(0))),
     (FunctionIdentifier("graft_gunzip_text"),
       info("graft_gunzip_text", "graft_gunzip_text(bytes) - magic-byte-sniffing gzip decode to string", classOf[GunzipText]),
-      (children: Seq[Expression]) => GunzipText(children(0))))
+      (children: Seq[Expression]) => GunzipText(children(0))),
+    (FunctionIdentifier("graft_char_entropy"),
+      info("graft_char_entropy", "graft_char_entropy(text) - Shannon entropy of the code-point distribution, bits/char", classOf[CharEntropy]),
+      (children: Seq[Expression]) => CharEntropy(children(0))))
 
   /** Register on a live session (post-build). */
   def register(spark: SparkSession): Unit =

@@ -191,6 +191,57 @@ case class DeflateRatio(child: Expression)
     copy(child = newChild)
 }
 
+/** Character-distribution Shannon entropy: one pass to histogram the
+ *  text's Unicode code points, one pass over the (≤ alphabet-size)
+ *  histogram to sum −p·log₂p. The cheap gibberish/boilerplate signal:
+ *  natural prose sits ~4-5 bits/char, single-char spam near 0, random
+ *  base64 near 6. */
+object EntropyOps {
+  private val Ln2 = math.log(2.0)
+
+  def charEntropy(text: UTF8String): Double = {
+    val s = text.toString
+    if (s.isEmpty) return 0.0
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
+    var i = 0
+    var total = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val slot = counts.computeIfAbsent(cp, _ => new Array[Long](1))
+      slot(0) += 1L
+      total += 1L
+      i += Character.charCount(cp)
+    }
+    // deterministic sum order (ascending code point) so the value is
+    // reproducible run-to-run; the oracle's own order differs by ulps
+    // only, absorbed by the caller's 6-dp rounding
+    val keys = new java.util.ArrayList[Integer](counts.keySet())
+    java.util.Collections.sort(keys)
+    var h = 0.0
+    val it = keys.iterator()
+    while (it.hasNext) {
+      val p = counts.get(it.next())(0).toDouble / total
+      h -= p * (math.log(p) / Ln2)
+    }
+    h
+  }
+}
+
+/** Shannon entropy (bits per character) of a string's code points. */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "graft_char_entropy"
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    EntropyOps.charEntropy(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = graft.functions.EntropyOps.charEntropy($v);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All word n-grams of lower(text) in order, duplicates kept. */
 case class WordNgrams(child: Expression, n: Int) extends ShingleExpression {
   require(n > 0, "n-gram width must be positive")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.GraftFunctions.{graftCharShingles, graftWordNgrams, graftWordShingles}
+import graft.functions.GraftFunctions.{graftCharEntropy, graftCharShingles, graftWordNgrams, graftWordShingles}
 
 /** Native shingle expressions vs the interpreted Column-algebra chain they
   * replaced — element-for-element equality on real document text, plus the
@@ -180,5 +180,32 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(got(1).isEmpty)
     val ch = df.select(graftCharShingles(col("text"), 2)).collect().map(_.getSeq[String](0))
     assert(ch(1) == Seq("aa")) // distinct keeps first occurrence only
+  }
+
+  test("char entropy: closed-form values, empty text, code-point counting") {
+    // "aabb": p = {0.5, 0.5} → exactly 1 bit/char; "abcd": 2 bits;
+    // "aaaa" and "" → 0; the 2-code-point "汉字": 1 bit.
+    val df = Seq("aabb", "abcd", "aaaa", "", "汉字").toDF("text")
+    val got = df.select(graftCharEntropy(col("text"))).collect().map(_.getDouble(0))
+    assert(got(0) == 1.0)
+    assert(math.abs(got(1) - 2.0) < 1e-12)
+    assert(got(2) == 0.0 && got(3) == 0.0)
+    assert(got(4) == 1.0)
+    // supplementary plane: one emoji = ONE code point (two UTF-16 chars)
+    val emoji = Seq("😀😀").toDF("text")
+      .select(graftCharEntropy(col("text"))).head().getDouble(0)
+    assert(emoji == 0.0, "surrogate pair must count as a single symbol")
+  }
+
+  test("char entropy orders signals: constant < prose < uniform alphabet") {
+    val df = Seq(
+      ("spam", "zzzzzzzzzzzzzzzzzzzz"),
+      ("prose", "the quick brown fox jumps over the lazy dog"),
+      ("uniform", "abcdefghijklmnopqrstuvwxyz0123456789"))
+      .toDF("kind", "text")
+    val got = df.select(col("kind"), graftCharEntropy(col("text")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("spam") == 0.0)
+    assert(got("spam") < got("prose") && got("prose") < got("uniform"))
   }
 }
