@@ -15,6 +15,17 @@ object Bench {
         e.printStackTrace()
         false
       }
+      finally {
+        // Queries are standalone: composites localCheckpoint intermediate
+        // frames (curation gate, CC rounds), and 108 queries' leftover
+        // cached blocks in one JVM turn into GC pressure that inflates
+        // every LATER query's wall time (measured 5-10x on the tail of a
+        // full-board run). Dropping them between queries isolates each
+        // timing.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     // JVM/codegen/scan warmup so the first timed query doesn't absorb
     // one-time session costs
     run("warmup", SparkEntry.queries("q1_agg"))
