@@ -160,7 +160,39 @@ object Dedup {
    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        maxDocFreq: Long = 1000L): DataFrame = {
+                        maxDocFreq: Long = 1000L): DataFrame =
+    shinglePairCounts(df, textCol, idCol, n, maxDocFreq)
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("size_a") + col("size_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /**
+   * Asymmetric shingle CONTAINMENT pairs — |A∩B|/|A| and |A∩B|/|B|.
+   * Symmetric Jaccard misses subset duplication (a short doc quoted
+   * whole inside a long one scores near 0 Jaccard but 1.0 containment
+   * on the short side); this is the Broder containment variant corpus
+   * filters use to catch wrapper/quotation duplicates. Same
+   * bounded-bucket join shape as [[ngramJaccardPairs]]; keeps pairs
+   * where EITHER direction reaches `minContainment`. Values are exact
+   * small-integer ratios in double — identical in any engine, no
+   * rounding needed.
+   */
+  def ngramContainmentPairs(df: DataFrame, textCol: String, idCol: String,
+                            n: Int = 3, minContainment: Double = 0.9,
+                            maxDocFreq: Long = 1000L): DataFrame =
+    shinglePairCounts(df, textCol, idCol, n, maxDocFreq)
+      .withColumn("containment_a", col("common").cast("double") / col("size_a").cast("double"))
+      .withColumn("containment_b", col("common").cast("double") / col("size_b").cast("double"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= minContainment)
+      .select(col("id_a"), col("id_b"), col("containment_a"), col("containment_b"))
+
+  /** Shared candidate core of the exact shingle-overlap family:
+   *  (id_a, id_b, size_a, size_b, common) for every pair sharing ≥1
+   *  surviving shingle, id_a < id_b. */
+  private def shinglePairCounts(df: DataFrame, textCol: String, idCol: String,
+                                n: Int, maxDocFreq: Long): DataFrame = {
     // Set sizes must cover exactly the shingles that reach the join: when
     // the stop-shingle guard filters, sizes are recomputed AFTER the
     // filter (a pre-filter denominator against a post-filter intersection
@@ -186,11 +218,6 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
       .agg(count(lit(1)).as("common"))
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("size_a") + col("size_b") - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   // ------------------------------------------------------------------

@@ -49,6 +49,25 @@ class DedupVerifySpec extends AnyFunSuite {
     assert(r.getLong(3) == 1L) // one substitution
   }
 
+  test("containment catches subset-duplicates that Jaccard misses") {
+    // doc 2 is doc 1's text quoted whole inside unrelated framing:
+    // containment of 1-in-2 is 1.0, symmetric Jaccard is well below.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "intro words here alpha beta gamma delta and then much more trailing content follows"),
+      (3L, "completely unrelated text body"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(docs, "text", "doc_id",
+      n = 3, minContainment = 0.9, maxDocFreq = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(cont.keySet == Set((1L, 2L)))
+    assert(cont((1L, 2L))._1 == 1.0, "every shingle of the short doc is in the long one")
+    assert(cont((1L, 2L))._2 < 0.5)
+    val jac = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.9, maxDocFreq = 100L).count()
+    assert(jac == 0L, "symmetric Jaccard misses the subset-dup at the same bar")
+  }
+
   test("incremental dedup: base dup, in-batch dup, unique — fingerprint-level") {
     val base = Seq(
       (100L, "the quick brown fox"),
