@@ -64,4 +64,33 @@ object Events {
     }
     perUser.agg(aggs.head, aggs.tail: _*)
   }
+
+  /**
+   * Cohort retention: bucket time into `bucketSize`-unit periods (same
+   * unit as `tsCol`; a week of nanos for the events table), assign each
+   * user to the cohort of their FIRST active bucket, and count distinct
+   * users active again `offset` buckets later — the classic retention
+   * triangle (cohort × offset → users).
+   *
+   * Scale shape: events collapse to distinct (user, bucket) FIRST — the
+   * only corpus-wide pass, map-side combined; the cohort min and the
+   * final (cohort, offset) counts operate on that activity table, whose
+   * size is users × active-buckets, orders of magnitude below the event
+   * count. `count(*)` suffices for distinct users because (user, bucket)
+   * rows are already distinct.
+   */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      bucketSize: Long, maxOffset: Int): DataFrame = {
+    val act = events
+      .select(col(userCol).as("__user"),
+        expr(s"CAST($tsCol AS BIGINT) div $bucketSize").as("__b"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__user"))
+    act
+      .withColumn("cohort_bucket", min(col("__b")).over(w))
+      .withColumn("bucket_offset", col("__b") - col("cohort_bucket"))
+      .filter(col("bucket_offset") <= maxOffset)
+      .groupBy(col("cohort_bucket"), col("bucket_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -55,4 +55,27 @@ class EventsSpec extends AnyFunSuite {
       (1L, 5L, "b"), (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c")
     ) == ((1L, 1L, 1L)))
   }
+
+  private def retention(maxOffset: Int, rows: (Long, Long)*): Set[(Long, Long, Long)] = {
+    val df = rows.toSeq.toDF("user_id", "ts")
+    Events.cohortRetention(df, "user_id", "ts", bucketSize = 10L, maxOffset)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("cohort retention: first active bucket anchors the cohort") {
+    // u1 first seen in bucket 0, active again in 1 and 2; u2 first seen
+    // in bucket 1, active again in 2; duplicate events in one bucket
+    // count the user once.
+    assert(retention(8,
+      (1L, 0L), (1L, 5L), (1L, 12L), (1L, 25L),
+      (2L, 10L), (2L, 20L), (2L, 21L)
+    ) == Set((0L, 0L, 1L), (0L, 1L, 1L), (0L, 2L, 1L),
+             (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
+  test("cohort retention: maxOffset truncates the triangle; gaps are absent not zero") {
+    // u1 active in buckets 0 and 5: offset 5 exceeds maxOffset 3, so
+    // only the (0,0) cell remains; the skipped buckets produce no rows.
+    assert(retention(3, (1L, 0L), (1L, 50L)) == Set((0L, 0L, 1L)))
+  }
 }
