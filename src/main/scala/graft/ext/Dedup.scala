@@ -245,9 +245,21 @@ object Dedup {
    * Non-convergence within `maxIter` throws rather than returning a
    * silently-wrong clustering.
    *
+   * Small-graph fast path: the oriented-distinct edge count is already
+   * needed for the convergence gate, so when it is at most
+   * `localThreshold` (default 2²⁰ edges ≈ 16 MB) and ids are integral,
+   * the component labels come from a driver-side union-find over the
+   * collected edge list instead of O(log² n) shuffle rounds — each round
+   * costs 4 shuffles + an action in scheduling overhead alone, which
+   * dwarfs the work for near-dup edge lists (typically ≪ corpus size
+   * even at 100 TB). The collect is bounded by the count CHECK, not by
+   * hope: a trillion-edge graph takes the distributed rounds. Both paths
+   * return identical labels (min id per component).
+   *
    * Returns (id, component) with component = min id in the cluster.
    */
-  def duplicateComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def duplicateComponents(pairs: DataFrame, maxIter: Int = 50,
+                          localThreshold: Long = 1L << 20): DataFrame = {
     // canonical direction: u > v (toward the smaller id), self-loops out.
     // `dedup = false` skips the distinct for INTERMEDIATE edge lists
     // (the large-star output feeds a min-aggregate and a join whose
@@ -277,6 +289,36 @@ object Dedup {
     // carry the edge count across rounds: counting the new round's edges
     // once is enough for the cheap gate (previous count is already known)
     var edgeCount = edges.count()
+    val idType = edges.schema("u").dataType
+    val integralId = idType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (integralId && edgeCount <= localThreshold) {
+      val es = edges.select(col("u").cast("long"), col("v").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        // smaller root becomes the parent -> representative IS the min id
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val labels = es.iterator.flatMap { case (u, v) => Iterator(u, v) }
+        .toArray.distinct.map(id => (id, find(id))).toSeq
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return labels.toDF("id", "component")
+        .select(col("id").cast(idType).as("id"),
+          col("component").cast(idType).as("component"))
+    }
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {

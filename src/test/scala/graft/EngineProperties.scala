@@ -159,9 +159,21 @@ object EngineProperties extends Properties("graft") {
     Prop.forAll(genEdges) { edges =>
       import spark.implicits._
       // chains, cliques, self-reversed duplicates — whatever the
-      // generator produces, the distributed contraction must agree
+      // generator produces, the distributed contraction must agree.
+      // localThreshold = 0 forces the star-contraction rounds (the
+      // default would route these driver-small graphs to the local
+      // union-find path, which is checked separately below)
       val pairs = edges.toDF("id_a", "id_b")
-      val got = Dedup.duplicateComponents(pairs)
+      val got = Dedup.duplicateComponents(pairs, localThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == unionFind(edges)
+    }
+
+  property("local union-find fast path equals the reference union-find") =
+    Prop.forAll(genEdges) { edges =>
+      import spark.implicits._
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = Dedup.duplicateComponents(pairs) // small -> local path
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       got == unionFind(edges)
     }
