@@ -25,6 +25,16 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        // Broadcast-exchange blocks and shuffle state are reaped by the
+        // ContextCleaner only when the JVM GCs their weak references —
+        // with a large heap that can be never, so a 120-query board
+        // accumulates every past query's broadcast hash relations in
+        // storage memory and the tail runs 5-15x slow (measured: a 2.4 s
+        // query timing 36.9 s late in the board). An explicit GC per
+        // query keeps the cleaner current; the GC runs inside the
+        // finishing query's timer, so its cost is charged to the query
+        // that created the garbage — the honest accounting.
+        System.gc()
       }
     // JVM/codegen/scan warmup so the first timed query doesn't absorb
     // one-time session costs
