@@ -188,6 +188,46 @@ object Dedup {
       .filter(greatest(col("containment_a"), col("containment_b")) >= minContainment)
       .select(col("id_a"), col("id_b"), col("containment_a"), col("containment_b"))
 
+  /**
+   * Passage-level duplicate statistics — the distributed face of exact
+   * substring deduplication (Lee et al. 2022, "Deduplicating Training
+   * Data Makes Language Models Better": repeated ≥N-token spans are
+   * memorization fuel). The suffix-array construction there is
+   * single-machine; the scalable restatement is positional n-gram
+   * hashing: every word n-gram occurrence whose gram appears ≥
+   * `minCount` times ACROSS THE CORPUS (same-doc repeats included,
+   * matching the paper's self-repetition handling) marks its span as
+   * duplicated. Per doc: total n-gram positions, duplicated positions,
+   * and their ratio — the filter signal (docs above a dup-ratio cut are
+   * boilerplate/template mass).
+   *
+   * Shape: one tokenize, one (doc, gram) partial aggregate (map-side
+   * combined), then the global occurrence count rides a gram-keyed
+   * window over THAT aggregate — no second corpus scan, no join, no
+   * re-tokenize. The window partition fan-in is docs-per-gram, which at
+   * n ≥ 8 is flat (long n-grams kill the Zipf head — the reason the
+   * paper uses 50-token spans); at small n the maxDocFreq-style guards
+   * of the Jaccard family apply instead. Docs with < n words have no
+   * grams and are absent, as in the DuckDB oracle.
+   */
+  def duplicatePassageStats(df: DataFrame, textCol: String, idCol: String,
+                            n: Int = 8, minCount: Long = 2L): DataFrame = {
+    val perDoc = df
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), n)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("k"))
+    val byGram = Window.partitionBy(col("gram"))
+    perDoc
+      .withColumn("occ", sum(col("k")).over(byGram))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_grams"),
+        sum(when(col("occ") >= minCount, col("k")).otherwise(lit(0L))).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams").cast("double"), 6)
+          .as("dup_ratio"))
+  }
+
   /** Shared candidate core of the exact shingle-overlap family:
    *  (id_a, id_b, size_a, size_b, common) for every pair sharing ≥1
    *  surviving shingle, id_a < id_b. */

@@ -18,6 +18,32 @@ import graft.model.ValidationSuite
  */
 object Readers {
 
+  /**
+   * Normalize a timestamp column to the engine's long-epoch-nanos
+   * contract, whatever the physical parquet layout delivered:
+   *
+   *  - `LongType` — already epoch nanos (a TIMESTAMP(NANOS) file read
+   *    under `spark.sql.legacy.parquet.nanosAsLong=true`): pass through.
+   *  - `TimestampType` / `TimestampNTZType` (a TIMESTAMP(MICROS) file,
+   *    or a nanos file on a runtime that ignores the legacy flag):
+   *    `unix_micros * 1000` — integer-exact, no double rounding. NTZ
+   *    casts through TimestampType first; the session runs in UTC so
+   *    the wall clock is preserved, matching DuckDB's naive-timestamp
+   *    `epoch_ns` view of the same column.
+   *
+   * Idempotent, so library operators and query call sites can both
+   * apply it. Streaming DataFrames work too — it is a plain projection.
+   */
+  def tsToNanos(df: DataFrame, colName: String = "ts"): DataFrame =
+    df.schema(colName).dataType match {
+      case LongType => df
+      case _: TimestampType | _: TimestampNTZType =>
+        df.withColumn(colName,
+          unix_micros(df(colName).cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalArgumentException(
+        s"column '$colName' has unsupported timestamp layout $other")
+    }
+
   /** S5: newline-delimited text (plain or .gz), blank lines dropped
    *  (cvp_bucket_event_lambda_handler.py:45,52), with per-file identity and
    *  file metadata columns. */

@@ -13,10 +13,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * q_sessions), the streaming run is asserted equal in
  * EventAnalyticsSpec.
  *
- * `ts` arrives as LongType nanoseconds (the table is TIMESTAMP(NANOS)
- * parquet read under `spark.sql.legacy.parquet.nanosAsLong=true`);
- * [[eventTime]] converts once at microsecond precision, matching
- * DuckDB's epoch_us view of the same column.
+ * Every operator first routes `ts` through
+ * [[graft.ingest.Readers.tsToNanos]] (long epoch nanos whatever the
+ * physical parquet layout — TIMESTAMP(NANOS)-as-long or
+ * TIMESTAMP(MICROS)); [[eventTime]] then converts once at microsecond
+ * precision, matching DuckDB's epoch_us view of the same column.
  */
 object EventAnalytics {
 
@@ -42,7 +43,8 @@ object EventAnalytics {
    */
   def windowedCounts(events: DataFrame, windowMinutes: Int,
                      watermark: Option[String] = None): DataFrame = {
-    val withTime = events.withColumn("event_time", eventTime(col("ts")))
+    val withTime = graft.ingest.Readers.tsToNanos(events)
+      .withColumn("event_time", eventTime(col("ts")))
     val marked = watermark.fold(withTime)(withTime.withWatermark("event_time", _))
     marked
       .groupBy(window(col("event_time"), s"$windowMinutes minutes"), col("event_type"))
@@ -68,7 +70,8 @@ object EventAnalytics {
    * KEY columns only (q_streaming_dedup counts surviving keys).
    */
   def dedupDaily(events: DataFrame, watermark: Option[String] = None): DataFrame = {
-    val withTime = events.withColumn("event_time", eventTime(col("ts")))
+    val withTime = graft.ingest.Readers.tsToNanos(events)
+      .withColumn("event_time", eventTime(col("ts")))
       .withColumn("day", to_date(col("event_time")))
     watermark match {
       case Some(w) => withTime.withWatermark("event_time", w)
@@ -96,10 +99,12 @@ object EventAnalytics {
    */
   def attributedPurchases(purchases: DataFrame, views: DataFrame,
                           hours: Int, watermark: Option[String] = None): DataFrame = {
-    val p0 = purchases.select(col("user_id").as("p_user"),
-      col("event_id").as("purchase_id"), eventTime(col("ts")).as("p_time"))
-    val v0 = views.select(col("user_id").as("v_user"),
-      col("event_id").as("view_id"), eventTime(col("ts")).as("v_time"))
+    val p0 = graft.ingest.Readers.tsToNanos(purchases)
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), eventTime(col("ts")).as("p_time"))
+    val v0 = graft.ingest.Readers.tsToNanos(views)
+      .select(col("user_id").as("v_user"),
+        col("event_id").as("view_id"), eventTime(col("ts")).as("v_time"))
     val (p, v) = watermark match {
       case Some(w) => (p0.withWatermark("p_time", w), v0.withWatermark("v_time", w))
       case None => (p0, v0)
@@ -129,7 +134,8 @@ object EventAnalytics {
   def sessionsBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("event_time"))
-    events.withColumn("event_time", eventTime(col("ts")))
+    graft.ingest.Readers.tsToNanos(events)
+      .withColumn("event_time", eventTime(col("ts")))
       .withColumn("prev", lag(col("event_time"), 1).over(w))
       // double cast keeps the fractional seconds (exact for µs epochs
       // within double's 53 bits) — a long cast would truncate and
@@ -166,7 +172,8 @@ object EventAnalytics {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
-    events.withColumn("event_time", eventTime(col("ts")))
+    graft.ingest.Readers.tsToNanos(events)
+      .withColumn("event_time", eventTime(col("ts")))
       .withWatermark("event_time", watermark)
       .select(col("user_id").as[Long], col("event_time").as[java.sql.Timestamp])
       .groupByKey(_._1)

@@ -101,7 +101,8 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 
   test("events as-of join matches an independent SQL window formulation") {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.ingest.Readers.tsToNanos(
+      spark.read.parquet(s"$dir/events.parquet"))
     ev.createOrReplaceTempView("ev_asof")
     // Independent formulation: max_by over the pair join (quadratic but
     // exact at this SF) — purchases joined to all earlier-or-equal views.

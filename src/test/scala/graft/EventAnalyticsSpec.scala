@@ -16,6 +16,11 @@ class EventAnalyticsSpec extends AnyFunSuite {
 
   private val eventsFile = "/root/testdata/sf0.001/events.parquet"
 
+  /** RAW file schema for stream sources — the operators normalize `ts`
+    * themselves (Readers.tsToNanos); handing them the normalized LONG
+    * schema would make the parquet reader deliver raw micros as nanos. */
+  private lazy val rawSchema = spark.read.parquet(eventsFile).schema
+
   /** File stream sources need a DIRECTORY: expose the single parquet file
     * through a temp dir symlink (testdata stays untouched). */
   private lazy val eventsPath: String = {
@@ -26,11 +31,11 @@ class EventAnalyticsSpec extends AnyFunSuite {
   }
 
   test("streaming windowed counts equal batch over the same files") {
-    val batchDf = spark.read.parquet(eventsFile)
+    val batchDf = graft.ingest.Readers.tsToNanos(spark.read.parquet(eventsFile))
     val expected = EventAnalytics.windowedCounts(batchDf, 60)
       .collect().map(_.toString).sorted.toSeq
 
-    val stream = spark.readStream.schema(batchDf.schema).parquet(eventsPath)
+    val stream = spark.readStream.schema(rawSchema).parquet(eventsPath)
     val q = EventAnalytics.windowedCounts(stream, 60, watermark = Some("10 minutes"))
       .writeStream.format("memory").queryName("win_counts")
       .outputMode(OutputMode.Complete) // all windows, late-state bound by the watermark
@@ -43,13 +48,13 @@ class EventAnalyticsSpec extends AnyFunSuite {
   }
 
   test("dropDuplicatesWithinWatermark dedup equals batch distinct on the key") {
-    val batchDf = spark.read.parquet(eventsFile)
+    val batchDf = graft.ingest.Readers.tsToNanos(spark.read.parquet(eventsFile))
     val expected = EventAnalytics.dedupDaily(batchDf)
       .select("user_id", "event_type", "day")
       .collect().map(_.toString).sorted.toSeq
 
     val ckpt = Files.createTempDirectory("graft-dedup").toString
-    val stream = spark.readStream.schema(batchDf.schema).parquet(eventsPath)
+    val stream = spark.readStream.schema(rawSchema).parquet(eventsPath)
     // watermark (2 days) covers any same-day duplicate spread, so the
     // bounded-state dedup emits exactly the batch-distinct key set
     val q = EventAnalytics.dedupDaily(stream, watermark = Some("2 days"))
@@ -66,7 +71,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
   }
 
   test("stream-stream interval join equals the batch range join") {
-    val batchDf = spark.read.parquet(eventsFile)
+    val batchDf = graft.ingest.Readers.tsToNanos(spark.read.parquet(eventsFile))
     def purchases(df: org.apache.spark.sql.DataFrame) = df.filter($"event_type" === "purchase")
     def views(df: org.apache.spark.sql.DataFrame) = df.filter($"event_type" === "view")
     val expected = EventAnalytics.attributedPurchases(
@@ -74,8 +79,8 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
 
     val ckpt = Files.createTempDirectory("graft-ssjoin").toString
-    val s1 = spark.readStream.schema(batchDf.schema).parquet(eventsPath)
-    val s2 = spark.readStream.schema(batchDf.schema).parquet(eventsPath)
+    val s1 = spark.readStream.schema(rawSchema).parquet(eventsPath)
+    val s2 = spark.readStream.schema(rawSchema).parquet(eventsPath)
     val q = EventAnalytics.attributedPurchases(
         purchases(s1), views(s2), hours = 6, watermark = Some("1 hour"))
       .writeStream.format("memory").queryName("ssjoin_out")
@@ -90,8 +95,8 @@ class EventAnalyticsSpec extends AnyFunSuite {
   }
 
   test("streaming session_window emits exactly the watermark-closed batch sessions") {
-    val batchDf = spark.read.parquet(eventsFile)
-    def agg(df: org.apache.spark.sql.DataFrame) = df
+    val batchDf = graft.ingest.Readers.tsToNanos(spark.read.parquet(eventsFile))
+    def agg(df: org.apache.spark.sql.DataFrame) = graft.ingest.Readers.tsToNanos(df)
       .withColumn("event_time", EventAnalytics.eventTime(col("ts")))
       .withWatermark("event_time", "10 minutes")
       .groupBy($"user_id", session_window($"event_time", "30 minutes"))
@@ -107,7 +112,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val expectedClosed = batchAll.filter(_._3.getTime < maxMs - 10L * 60 * 1000)
 
     val ckpt = Files.createTempDirectory("graft-sesswin").toString
-    val stream = spark.readStream.schema(batchDf.schema).parquet(eventsPath)
+    val stream = spark.readStream.schema(rawSchema).parquet(eventsPath)
     val q = agg(stream)
       .writeStream.format("memory").queryName("sesswin_out")
       .outputMode(OutputMode.Append)
@@ -122,7 +127,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
   }
 
   test("flatMapGroupsWithState sessionization: closed sessions equal batch minus open tails") {
-    val batchDf = spark.read.parquet(eventsFile)
+    val batchDf = graft.ingest.Readers.tsToNanos(spark.read.parquet(eventsFile))
     val batchSessions = EventAnalytics.sessionsBatch(batchDf, gapMinutes = 30)
       .select("user_id", "session_start", "session_end", "n_events")
       .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
@@ -140,7 +145,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val expectedClosed = batchSessions -- openTails
 
     val ckpt = Files.createTempDirectory("graft-sessions").toString
-    val stream = spark.readStream.schema(batchDf.schema).parquet(eventsPath)
+    val stream = spark.readStream.schema(rawSchema).parquet(eventsPath)
     val q = EventAnalytics.sessionizeStream(stream, gapMinutes = 30, watermark = "10 minutes")
       .writeStream.format("memory").queryName("sessions_out")
       .outputMode(OutputMode.Append)
