@@ -142,4 +142,57 @@ object Sampling {
       .agg(min(col("__q")).as("q_threshold"), count(lit(1)).as("n_kept"),
         sum(col("__sz")).as("size_kept"))
   }
+
+  /**
+   * DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): score every document
+   * by how much more likely its hashed-unigram bag is under the TARGET
+   * domain's token distribution than under the raw corpus':
+   *
+   *   weight(d) = Σ_tokens [ ln p_t(bucket) − ln p_r(bucket) ]
+   *
+   * with add-α smoothed bucket probabilities, bucket = first 32 md5
+   * bits of the word mod `buckets` (the engine's cross-engine hash
+   * convention, value-level oracle-able). `isTarget` marks the
+   * in-domain rows (both distributions come from the one corpus pass).
+   *
+   * Scale shape: the corpus tokenizes ONCE into a (doc, bucket) partial
+   * aggregate (map-side combined); both count tables and the log-ratio
+   * table derive from that aggregate and are bucket-bounded (≤
+   * `buckets` rows) so the scoring join is a broadcast — no
+   * Zipfian-keyed shuffle anywhere (the hashing trick flattens the
+   * token head into buckets by construction). Selection downstream is a
+   * TakeOrdered on (weight desc, id), never a global sort. Weights are
+   * rounded to 6 dp (engine-wide near-tie discipline).
+   */
+  def dsirWeights(df: DataFrame, textCol: String, idCol: String,
+                  isTarget: Column, buckets: Int = 256,
+                  alpha: Double = 0.5): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), isTarget.as("is_target"),
+      explode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), 1)).as("w"))
+    val bucket = pmod(
+      conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+    // perDoc fans out to four consumers (raw, tgt, totals, scoring);
+    // localCheckpoint pins it so the corpus tokenize runs ONCE (the
+    // corpus-curation precedent), at (docs × ≤buckets) rows
+    val perDoc = toks.groupBy(col("doc_id"), col("is_target"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val raw = perDoc.groupBy(col("bucket")).agg(sum(col("tf")).as("cr"))
+    val tgt = perDoc.filter(col("is_target"))
+      .groupBy(col("bucket")).agg(sum(col("tf")).as("ct"))
+    val totals = raw.join(tgt, Seq("bucket"), "left")
+      .agg(sum(col("cr")).as("nr"), sum(coalesce(col("ct"), lit(0L))).as("nt"))
+    val denom = lit(alpha) * lit(buckets.toDouble)
+    val ratio = raw.join(tgt, Seq("bucket"), "left").crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)).cast("double") + lit(alpha)) /
+             (col("nt").cast("double") + denom)) -
+         log((col("cr").cast("double") + lit(alpha)) /
+             (col("nr").cast("double") + denom))).as("lr"))
+    perDoc.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("tf").cast("double") * col("lr")), 6).as("weight"))
+  }
 }

@@ -114,4 +114,24 @@ class SamplingSpec extends AnyFunSuite {
       assert(thr >= 0.0 && thr <= 1.0, s"$lang threshold=$thr")
     }
   }
+
+  test("dsir weights rank in-domain vocabulary above out-of-domain") {
+    import spark.implicits._
+    // target docs speak vocabulary A, background docs vocabulary B; a
+    // held-out A-doc must outscore a held-out B-doc per token
+    val rows = (0 until 20).map(i => (i.toLong, "alpha beta gamma delta", true)) ++
+      (20 until 40).map(i => (i.toLong, "omega sigma theta kappa", false)) ++
+      Seq((100L, "alpha beta alpha gamma", false), (101L, "omega sigma omega theta", false))
+    val df = rows.toDF("doc_id", "text", "is_t")
+    val w = Sampling.dsirWeights(df, "text", "doc_id", col("is_t"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(100L) > w(101L), s"in-domain ${w(100L)} !> out-of-domain ${w(101L)}")
+    // weights are per-token sums: every target doc scores positive,
+    // every pure-background doc negative
+    assert(w(0L) > 0 && w(20L) < 0)
+    // determinism: a re-run reproduces the identical weights
+    val w2 = Sampling.dsirWeights(df, "text", "doc_id", col("is_t"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w == w2)
+  }
 }
