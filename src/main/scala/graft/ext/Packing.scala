@@ -91,6 +91,38 @@ object Packing {
   /** Per-shard export manifest: row/token totals + id range — the
    *  balance check for the sharded writer (a skewed family would show up
    *  as divergent n_docs here). */
+  /**
+   * Overlapping-window document chunking — the retrieval/embedding prep
+   * step (RAG indexing, long-doc embedding): each document's
+   * whitespace tokens are cut into `window`-token chunks every `stride`
+   * tokens (stride < window ⇒ overlap). Chunk starts are
+   * 0, stride, 2·stride, … while < len, so every token is covered and
+   * the last chunk may be short. Original case/punctuation are
+   * PRESERVED (chunks are payload, unlike the lowercased feature
+   * tokenizations); the chunk content is emitted as md5 to keep the
+   * row narrow — a real pipeline would carry the text column itself.
+   *
+   * Pure higher-order-function projection (`sequence` → `explode` →
+   * `slice`): narrow, whole-stage codegen'd, zero shuffles — chunking
+   * 100 TB is embarrassingly parallel by construction.
+   */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+                     window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, s"window/stride must be positive")
+    df.select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("ws"))
+      .withColumn("start_word",
+        explode(sequence(lit(0L), (size(col("ws")) - 1).cast("long"), lit(stride.toLong))))
+      .select(col("doc_id"),
+        expr(s"start_word div $stride").as("chunk_id"),
+        col("start_word"),
+        least(lit(window.toLong),
+          size(col("ws")).cast("long") - col("start_word")).as("n_words"),
+        md5(array_join(
+          slice(col("ws"), (col("start_word") + 1).cast("int"), lit(window)), " "))
+          .as("chunk_md5"))
+  }
+
   def shardManifest(df: DataFrame, idCol: String, tokenCol: String,
                     nShards: Int, family: String = "xxhash64"): DataFrame =
     withShard(df, idCol, nShards, family)

@@ -87,4 +87,22 @@ class PackingSpec extends AnyFunSuite {
       assert(row._4 == ids.min && row._5 == ids.max)
     }
   }
+
+  test("chunkDocuments: full coverage, ceil(len/stride) chunks, short tail") {
+    import spark.implicits._
+    val text = (1 to 23).map(i => s"w$i").mkString(" ") // 23 words
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val chunks = Packing.chunkDocuments(df, "text", "doc_id", window = 10, stride = 4)
+      .orderBy("chunk_id").collect()
+    // starts 0,4,8,12,16,20 -> 6 = ceil(23/4) chunks
+    assert(chunks.length == 6)
+    assert(chunks.map(_.getLong(2)).toSeq == Seq(0L, 4L, 8L, 12L, 16L, 20L))
+    // interior chunks are full windows; the tail is len - start
+    assert(chunks.map(_.getLong(3)).toSeq == Seq(10L, 10L, 10L, 10L, 7L, 3L))
+    // md5 of the first chunk is md5 of words 1..10 verbatim (case kept)
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest((1 to 10).map(i => s"w$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(chunks.head.getString(4) == exp)
+  }
 }
