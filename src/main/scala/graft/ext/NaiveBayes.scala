@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Multinomial Naive Bayes over hashed unigram features — the trainable
+ * tier of document classification (the heuristic tier is
+ * [[TextAnalysis.languageId]] / [[TextAnalysis.qualityScore]]; fastText-
+ * style linear classifiers are this plus a learned rather than
+ * closed-form weight table). Train and score are one operator because
+ * the count tables ARE the model: no gradient loop, a single corpus
+ * pass, exactly the shape that scales.
+ *
+ * Model: add-α smoothed class-conditional bucket probabilities plus
+ * log-priors, bucket = first 32 md5 bits of the word mod `buckets`
+ * (the engine's cross-engine hash convention — value-level DuckDB
+ * oracle).
+ *
+ * Scale shape: ONE tokenize into a (doc, bucket) partial aggregate;
+ * the model table is (labels × buckets)-bounded and BROADCAST for
+ * scoring, so the Zipfian token head never keys a shuffle (the same
+ * hashing-trick argument as [[Sampling.dsirWeights]]); the per-doc
+ * argmax rides a single doc-keyed window. Scores are rounded to 6 dp
+ * before the argmax with label tie-break (engine-wide near-tie
+ * discipline).
+ */
+object NaiveBayes {
+
+  /**
+   * Train on `df`'s (label, text) and score every row of the same
+   * corpus: per doc the argmax-label and its rounded log-score, plus
+   * the actual label and a correctness flag (in-corpus calibration —
+   * the train/score-separable variant is a trivial recombination, cf.
+   * the q_lm_transfer precedent). Docs with no tokens are absent.
+   */
+  def trainAndScore(df: DataFrame, textCol: String, labelCol: String,
+                    idCol: String, buckets: Int = 128,
+                    alpha: Double = 0.5): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+    val toks = df.select(col(idCol).as("doc_id"), col(labelCol).as("label"),
+        explode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), 1)).as("w"))
+      .select(col("doc_id"), col("label"), bucket.as("bucket"))
+    // one corpus tokenize feeding model AND scoring (the DSIR pattern)
+    val perDoc = toks.groupBy(col("doc_id"), col("label"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+
+    val nDocs = df.select(col(idCol)).count().toDouble
+    val priors = df.groupBy(col(labelCol).as("label"))
+      .agg(log(count(lit(1)).cast("double") / lit(nDocs)).as("log_prior"))
+    val cyb = perDoc.groupBy(col("label"), col("bucket")).agg(sum(col("tf")).as("c"))
+    val ny = perDoc.groupBy(col("label")).agg(sum(col("tf")).as("n"))
+    val allBuckets = perDoc.select(col("bucket")).distinct()
+    val model = priors.select(col("label")).crossJoin(allBuckets)
+      .join(cyb, Seq("label", "bucket"), "left")
+      .join(ny, Seq("label"))
+      .select(col("label"), col("bucket"),
+        log((coalesce(col("c"), lit(0L)).cast("double") + lit(alpha)) /
+            (col("n").cast("double") + lit(alpha) * lit(buckets.toDouble)))
+          .as("log_pb"))
+
+    val scored = perDoc.select(col("doc_id"), col("label").as("actual"),
+        col("bucket"), col("tf"))
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"), col("actual"), col("label"))
+      .agg(sum(col("tf").cast("double") * col("log_pb")).as("ll"))
+      .join(broadcast(priors), Seq("label"))
+      .select(col("doc_id"), col("actual"), col("label"),
+        round(col("log_prior") + col("ll"), 6).as("score"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("label"))
+    scored.withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("predicted"), col("score"),
+        col("actual"), (col("label") === col("actual")).as("correct"))
+  }
+}
