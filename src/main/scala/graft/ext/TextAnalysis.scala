@@ -103,6 +103,34 @@ object TextAnalysis {
   /** Rolling polynomial hash of the text (order-sensitive fingerprint). */
   def rollingHash(text: Column): Column = xxhash64(text)
 
+  /**
+   * Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003
+   * — the MOSS algorithm): hash every word k-gram, slide a window of
+   * `w` consecutive hashes, keep the minimum of each window, dedup.
+   * Guarantee: any match of length ≥ w + k − 1 tokens shares at least
+   * one selected fingerprint, with expected density 2/(w+1) — the
+   * position-robust middle ground between one-hash-per-doc
+   * ([[fingerprint]]) and all-shingles ([[Dedup.wordShingles]]).
+   *
+   * Returns the distinct selected hashes as an array<long>; pure
+   * higher-order-function Column (transform/slice/array_min) — narrow,
+   * no shuffle, the per-doc cost is O(len · w). Hash = first 32 md5
+   * bits (the cross-engine convention), so the selection is
+   * value-level oracle-able. Docs with fewer than w k-grams yield an
+   * empty selection (guarded: Spark's `sequence(1, n)` counts DOWN for
+   * n < 1, unlike SQL generate_series).
+   */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val hashes = transform(graft.functions.GraftFunctions.graftWordNgrams(text, k),
+      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+    val nWin = size(hashes) - (w - 1)
+    val mins = when(nWin >= 1,
+      transform(sequence(lit(1), nWin),
+        i => array_min(slice(hashes, i, lit(w)))))
+      .otherwise(array().cast("array<long>"))
+    array_distinct(mins)
+  }
+
   /** Deflate compression ratio — the cheap redundancy signal (templated /
    *  repetitive text compresses far below natural prose). Native
    *  codegen'd expression; see [[graft.functions.DeflateRatio]]. */
@@ -190,6 +218,36 @@ object TextAnalysis {
         sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate",
         round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+
+  /**
+   * Vocabulary growth curve (Heaps' law): documents are bucketed by
+   * ingestion order (`bucketSize` ids per bucket) and each bucket
+   * reports how many NEVER-SEEN-BEFORE words it introduces, plus the
+   * running vocabulary size. The curve's flattening is the classic
+   * corpus-saturation signal (new data stops adding new vocabulary ⇒
+   * more of the same); a sudden spike flags a domain/contamination
+   * shift at that ingestion point.
+   *
+   * Scale shape: one tokenize → a (gram → min doc) aggregate (map-side
+   * combined, Zipf head absorbed by partial agg) → a bucket-bounded
+   * count and one cumulative window over ≤ (maxId/bucketSize) rows.
+   * `n` sets the n-gram order — unigram vocabularies saturate almost
+   * immediately (Heaps' exponent falls with corpus size), higher
+   * orders keep discriminating.
+   */
+  def vocabGrowth(df: DataFrame, textCol: String, idCol: String,
+                  bucketSize: Long, n: Int = 1): DataFrame = {
+    val firstSeen = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), n)).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+    val perBucket = firstSeen
+      .groupBy(expr(s"first_doc div $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("n_new_words"))
+    perBucket.withColumn("cum_vocab",
+      sum(col("n_new_words")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
   /**

@@ -208,4 +208,23 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(got("spam") == 0.0)
     assert(got("spam") < got("prose") && got("prose") < got("uniform"))
   }
+
+  test("winnowing: shared runs >= w+k-1 tokens share a fingerprint; short docs are empty") {
+    import graft.ext.TextAnalysis
+    val k = 3; val w = 4
+    val shared = "one two three four five six seven" // 7 >= w+k-1 = 6 tokens
+    val df = Seq(
+      ("a", s"xx yy $shared zz"),
+      ("b", s"pp $shared qq rr"),
+      ("tiny", "just five words not enough")) // 5 words -> 3 grams < w windows
+      .toDF("id", "text")
+    val fps = df.select(col("id"),
+        TextAnalysis.winnowFingerprints(col("text"), k, w).as("fps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps("a") intersect fps("b")).nonEmpty,
+      "winnowing guarantee: a shared >= w+k-1 run must share a fingerprint")
+    assert(fps("tiny").isEmpty)
+    // density: selections are a strict subset of all k-gram hashes
+    assert(fps("a").size < 10) // doc has 11 words -> 9 grams, 6 windows
+  }
 }
