@@ -131,6 +131,34 @@ object TextAnalysis {
     array_distinct(mins)
   }
 
+  /**
+   * Corpus-scale winnowing: same selection as [[winnowFingerprints]]
+   * but as a DataFrame operator returning exploded (doc_id, fp) rows.
+   * Spark evaluates higher-order-function LAMBDAS interpreted (no
+   * codegen inside `transform`), so the Column form pays interpreted
+   * md5+conv per gram — 13.8 s at sf0.1; this form explodes first,
+   * hashes in a codegen'd projection, and takes the window minimum as
+   * a doc-keyed rolling `min` frame — one exchange on doc_id, windows
+   * bounded by DOCUMENT length (measured 4.4×faster). The Column form
+   * remains for per-row embedding into wider projections at small k·w.
+   */
+  def winnowFingerprintsDF(df: DataFrame, textCol: String, idCol: String,
+                           k: Int = 3, w: Int = 4): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"),
+      posexplode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), k))
+        .as(Seq("pos", "gram")))
+    val hashed = grams.select(col("doc_id"), col("pos"),
+      conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val frame = byDoc.orderBy(col("pos")).rowsBetween(Window.currentRow, w - 1)
+    hashed
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("fp", min(col("h")).over(frame))
+      .filter(col("pos") <= col("n") - w) // full windows only (pos 0-based)
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
   /** Deflate compression ratio — the cheap redundancy signal (templated /
    *  repetitive text compresses far below natural prose). Native
    *  codegen'd expression; see [[graft.functions.DeflateRatio]]. */

@@ -226,5 +226,11 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(fps("tiny").isEmpty)
     // density: selections are a strict subset of all k-gram hashes
     assert(fps("a").size < 10) // doc has 11 words -> 9 grams, 6 windows
+    // the corpus-scale DataFrame form selects the identical set
+    val dfForm = TextAnalysis.winnowFingerprintsDF(df, "text", "id", k, w)
+      .collect().groupBy(_.getString(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    assert(dfForm("a") == fps("a") && dfForm("b") == fps("b"))
+    assert(!dfForm.contains("tiny"))
   }
 }
