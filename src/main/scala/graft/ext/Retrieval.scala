@@ -131,6 +131,45 @@ object Retrieval {
    * as the shingle/LSH family — never O(n²) on the corpus). Cosine is
    * rounded to 6 dp before the threshold (float-sum order discipline).
    */
+  /**
+   * Class-based TF-IDF keywords (the BERTopic c-TF-IDF formulation,
+   * Grootendorst 2022): each class (source / topic / cluster) is
+   * treated as one meta-document; term t in class c scores
+   *
+   *   tf_{t,c} · ln(1 + A / f_t)
+   *
+   * with A = mean tokens per class and f_t = corpus-wide frequency —
+   * the per-group keyword extractor that labels clusters and monitors
+   * per-source vocabulary drift. Top-k terms per class by
+   * (score desc, term).
+   *
+   * Shape: one tokenize into a (class, term) partial aggregate; the
+   * term totals ride a term-keyed window over that aggregate (fan-in =
+   * classes-per-term ≤ n_classes, flat by construction); the top-k is
+   * a class-keyed window over class-vocabulary-bounded rows.
+   */
+  def classTfidf(documents: DataFrame, textCol: String, classCol: String,
+                 k: Int = 5): DataFrame = {
+    val tfc = documents.select(col(classCol).as("class"),
+        explode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), 1)).as("term"))
+      .groupBy(col("class"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds A, f_t and the scoring pass
+    val a = tfc.agg((sum(col("tf")).cast("double") /
+      countDistinct(col("class")).cast("double")).as("A"))
+    val byTerm = Window.partitionBy(col("term"))
+    val byClass = Window.partitionBy(col("class"))
+      .orderBy(col("score").desc, col("term"))
+    tfc
+      .withColumn("ft", sum(col("tf")).over(byTerm))
+      .crossJoin(broadcast(a))
+      .withColumn("score", round(col("tf").cast("double") *
+        log(lit(1.0) + col("A") / col("ft").cast("double")), 6))
+      .withColumn("rn", row_number().over(byClass))
+      .filter(col("rn") <= k)
+      .select(col("class"), col("term"), col("tf"), col("score"),
+        col("rn").cast("long").as("rank"))
+  }
+
   def tfidfCosinePairs(documents: DataFrame, textCol: String, idCol: String,
                        threshold: Double = 0.9,
                        maxDocFreq: Long = Long.MaxValue): DataFrame = {

@@ -144,6 +144,26 @@ object Sampling {
   }
 
   /**
+   * Deterministic train/val/test split assignment: the md5-uniform of
+   * the salted id lands in cumulative fraction bands (first-wins when
+   * chain, the last split takes the remainder). Hash-based, so the
+   * assignment is stable under re-runs, retries, corpus growth and
+   * reshuffling — the property that makes the split safe to recompute
+   * anywhere (a seeded RNG split is none of those). Pure narrow
+   * Column; cross-engine exact (the same md5 u01 as the samplers).
+   */
+  def splitLabel(id: Column, fracs: Seq[(String, Double)],
+                 salt: String = "split:"): Column = {
+    require(fracs.size >= 2, "need at least two splits")
+    val u = u01(salt, id)
+    val uppers = fracs.map(_._2).scanLeft(0.0)(_ + _).tail
+    fracs.dropRight(1).zip(uppers.dropRight(1)).reverse
+      .foldLeft(lit(fracs.last._1)) { case (acc, ((name, _), upper)) =>
+        when(u < lit(upper), lit(name)).otherwise(acc)
+      }
+  }
+
+  /**
    * DSIR-style importance weights (Xie et al. 2023, "Data Selection for
    * Language Models via Importance Resampling"): score every document
    * by how much more likely its hashed-unigram bag is under the TARGET

@@ -636,4 +636,35 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
+
+  /**
+   * Retrieval-quality evaluation: per-query recall and MRR of an ANN
+   * `result` against a ground-truth `truth` table — the metric harness
+   * every ANN family here reports informally (DedupRecallSpec's ≥85%
+   * gates) promoted to a first-class operator, so a production index
+   * build can gate itself on measured recall. Both inputs use the
+   * family-wide (query_id, neighbor_id, rank) contract.
+   *
+   * recall = |result ∩ truth| / |truth|; MRR = 1 / (result rank of the
+   * first true neighbor), 0 when none hit. Queries with no hits still
+   * report (truth drives the output). Shape: one (query, neighbor)
+   * equi-join plus query-keyed aggregates — both sides are k·queries
+   * rows, trivially broadcastable at any corpus size.
+   */
+  def recallAtK(result: DataFrame, truth: DataFrame): DataFrame = {
+    val truthCounts = truth.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"))
+    val hits = result
+      .join(truth.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("rank")).as("__first_hit"))
+    truthCounts.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_truth"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_truth").cast("double"), 6).as("recall"),
+        round(coalesce(lit(1.0) / col("__first_hit"), lit(0.0)), 6).as("mrr"))
+  }
 }
