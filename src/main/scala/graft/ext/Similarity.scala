@@ -638,6 +638,99 @@ object Similarity {
   }
 
   /**
+   * Int8 scalar quantization of an embedding column — the 4× memory
+   * compression every production vector index applies before (or
+   * instead of) PQ: per-DIMENSION min/max over the corpus define a
+   * linear grid, each component rounds to its 0..255 code, and the
+   * operator reports per-vector reconstruction error (MSE and max
+   * absolute error) — the calibration readout that decides whether
+   * int8 is safe for a given embedding distribution. Constant
+   * dimensions (max = min) code to 0 and reconstruct exactly.
+   *
+   * Shape: one posexplode + a 64-row (dims-bounded) min/max aggregate
+   * broadcast back; everything else is narrow arithmetic — no corpus
+   * shuffle beyond the per-vector stats aggregate. Float components
+   * cast to double BEFORE arithmetic (the engine-wide convention), so
+   * the DuckDB oracle is value-level exact.
+   */
+  def int8QuantizationError(df: DataFrame, idCol: String,
+                            vecCol: String): DataFrame = {
+    val comps = df.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
+    val grid = comps.groupBy(col("dim"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val scaled = comps.join(broadcast(grid), Seq("dim"))
+      .withColumn("code",
+        when(col("hi") > col("lo"),
+          round((col("v") - col("lo")) / (col("hi") - col("lo")) * lit(255.0), 0))
+          .otherwise(lit(0.0)))
+      .withColumn("deq",
+        when(col("hi") > col("lo"),
+          col("lo") + col("code") / lit(255.0) * (col("hi") - col("lo")))
+          .otherwise(col("v")))
+      .withColumn("err", col("v") - col("deq"))
+    scaled.groupBy(col("vec_id"))
+      .agg(round(avg(col("err") * col("err")), 9).as("mse"),
+        round(max(abs(col("err"))), 6).as("max_abs_err"))
+  }
+
+  /**
+   * Leading principal component of an embedding column — distributed
+   * PCA by the only decomposition that scales: the d×d covariance is a
+   * (dims²-bounded) aggregate of per-row outer products (map-side
+   * combined — the corpus streams through once, 100 TB or not), and the
+   * power iteration then runs on that TINY matrix as fixed-count
+   * DataFrame algebra (the q_ivf_trained fixed-iteration pattern, so
+   * the DuckDB oracle unrolls it as chained CTEs). Use: embedding-drift
+   * monitoring (the top component captures the dominant variance axis;
+   * its eigenvalue share collapsing ⇒ the embedder changed), whitening
+   * prep, and anisotropy diagnostics.
+   *
+   * Determinism: covariance entries are rounded to 9 dp in BOTH
+   * engines before iterating, so the iteration arithmetic starts from
+   * identical matrices; the all-positive start vector fixes the sign.
+   * Returns (dim, loading, eigenvalue, var_ratio) with the Rayleigh
+   * quotient as the eigenvalue.
+   */
+  def pcaTopComponent(df: DataFrame, idCol: String, vecCol: String,
+                      iters: Int = 3): DataFrame = {
+    val d = df.select(size(col(vecCol))).head().getInt(0)
+    val n = df.count()
+    val comps = df.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
+    val means = comps.groupBy(col("dim")).agg(avg(col("v")).as("m"))
+    val centered = comps.join(broadcast(means), Seq("dim"))
+      .select(col("vec_id"), col("dim"), (col("v") - col("m")).as("x"))
+    val cov = centered.select(col("vec_id"), col("dim").as("i"), col("x").as("xi"))
+      .join(centered.select(col("vec_id"), col("dim").as("j"), col("x").as("xj")),
+        Seq("vec_id"))
+      .groupBy(col("i"), col("j"))
+      .agg(round(sum(col("xi") * col("xj")) / lit((n - 1).toDouble), 9).as("c"))
+      .localCheckpoint(true) // feeds every iteration + the trace
+    def multiply(v: DataFrame): DataFrame =
+      cov.join(v, cov("j") === v("dim")).groupBy(col("i"))
+        .agg(sum(col("c") * col("vv")).as("w"))
+    var v = means.select(col("dim"),
+      (lit(1.0) / lit(math.sqrt(d.toDouble))).as("vv"))
+    for (_ <- 1 to iters) {
+      val w = multiply(v)
+      val norm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      v = w.crossJoin(broadcast(norm))
+        .select(col("i").as("dim"), (col("w") / col("nrm")).as("vv"))
+    }
+    val w4 = multiply(v)
+    val lam = w4.join(v, w4("i") === v("dim"))
+      .agg(sum(col("w") * col("vv")).as("lambda"))
+    val tr = cov.filter(col("i") === col("j")).agg(sum(col("c")).as("trace"))
+    v.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+      .select(col("dim"), round(col("vv"), 6).as("loading"),
+        round(col("lambda"), 6).as("eigenvalue"),
+        round(col("lambda") / col("trace"), 6).as("var_ratio"))
+  }
+
+  /**
    * Retrieval-quality evaluation: per-query recall and MRR of an ANN
    * `result` against a ground-truth `truth` table — the metric harness
    * every ANN family here reports informally (DedupRecallSpec's ≥85%

@@ -187,4 +187,33 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = bf.intersect(pq).size.toDouble / bf.size
     assert(recall >= 0.85, s"recall $recall")
   }
+
+  test("pcaTopComponent recovers a planted dominant axis") {
+    // variance concentrated on dim 1 (scale 10) with noise on dim 0:
+    // the top component must align with dim 1 and own most variance
+    val rows = (0 until 100).map { i =>
+      val t = (i - 50).toDouble
+      (i.toLong, Array(0.01f * (i % 7), (10.0 * t / 50.0).toFloat, 0.0f, 0.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.pcaTopComponent(df, "vec_id", "embedding", iters = 3)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val loading1 = math.abs(out(1).getDouble(1))
+    assert(loading1 > 0.99, s"dominant-axis loading $loading1")
+    assert(out(1).getDouble(3) > 0.95, "top component should own >95% variance")
+    // unit norm
+    val norm = out.values.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    assert(math.abs(norm - 1.0) < 1e-6)
+  }
+
+  test("int8 quantization error is bounded by half a grid step") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ranges = e.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("dim").agg((max(col("v").cast("double")) - min(col("v").cast("double"))).as("r"))
+      .agg(max(col("r"))).head().getDouble(0)
+    val bound = ranges / 255.0 / 2.0 + 1e-9
+    val bad = Similarity.int8QuantizationError(e, "vec_id", "embedding")
+      .filter(col("max_abs_err") > bound).count()
+    assert(bad == 0, s"some vector exceeds the half-step bound $bound")
+  }
 }
