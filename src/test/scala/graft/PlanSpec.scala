@@ -170,4 +170,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "sample must be TakeOrdered")
     assert(count(p, "Exchange rangepartitioning") == 0, "no global sort exchange")
   }
+
+  test("q_dsir_select: ratio table broadcast — tokens never shuffle by a Zipfian key") {
+    val p = plan("q_dsir_select")
+    // the bucket-keyed scoring join must be broadcast (bucket-bounded
+    // model side), never a sort-merge join on the token/bucket key
+    assert(count(p, "SortMergeJoin") == 0, "scoring join fell to SMJ")
+    assert(count(p, "BroadcastHashJoin") >= 1)
+    assert(p.contains("TakeOrderedAndProject"), "selection must be TakeOrdered")
+  }
+
+  test("q_nb_lang_id: the model joins broadcast; argmax rides one doc window") {
+    val p = plan("q_nb_lang_id")
+    assert(count(p, "SortMergeJoin") == 0, "model join fell to SMJ")
+    assert(count(p, "BroadcastHashJoin") >= 2) // model + priors
+  }
+
+  test("q_winnow_fps: hashing is codegen'd projection, windows ride ONE doc exchange") {
+    val p = plan("q_winnow_fps")
+    // the rolling-min frame and the doc count share the doc_id
+    // partitioning; distinct adds its own hash exchange on (doc, fp)
+    assert(count(p, "Exchange hashpartitioning") <= 2)
+    assert(count(p, "SortMergeJoin") == 0 && count(p, "CartesianProduct") == 0)
+  }
+
+  test("q_pca_top: covariance is an aggregate, iterations stay broadcast-small") {
+    val p = plan("q_pca_top")
+    assert(count(p, "CartesianProduct") == 0, "no cartesian in the iteration")
+    assert(count(p, "Exchange rangepartitioning") == 0, "no global sort anywhere")
+  }
 }
