@@ -144,6 +144,36 @@ object Sampling {
   }
 
   /**
+   * Temperature-scaled source mixing weights (the T5 / Pile / XLM-R
+   * recipe): sampling probability p_g ∝ n_g^α with α ∈ (0, 1] —
+   * α = 1 is proportional (big sources dominate), α → 0 is uniform
+   * (small sources oversampled). Reports, per group: its token count,
+   * natural share, temperature-scaled share, and the effective
+   * up/down-sampling factor (scaled share / natural share) — the
+   * number a training loader multiplies each source's epoch rate by.
+   *
+   * One map-side-combined group aggregate; the normalizer is a 1-row
+   * broadcast. Shares round to 6 dp.
+   */
+  def temperatureMixWeights(df: DataFrame, groupCol: String,
+                            sizeCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1], got $alpha")
+    val sizes = df.groupBy(col(groupCol).as("group"))
+      .agg(sum(col(sizeCol).cast("long")).as("n_tokens"))
+    val totals = sizes.agg(sum(col("n_tokens")).as("total"),
+      sum(pow(col("n_tokens").cast("double"), lit(alpha))).as("z"))
+    sizes.crossJoin(broadcast(totals))
+      .select(col("group"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total").cast("double"), 6)
+          .as("natural_share"),
+        round(pow(col("n_tokens").cast("double"), lit(alpha)) / col("z"), 6)
+          .as("scaled_share"),
+        round((pow(col("n_tokens").cast("double"), lit(alpha)) / col("z")) /
+          (col("n_tokens").cast("double") / col("total").cast("double")), 6)
+          .as("sampling_factor"))
+  }
+
+  /**
    * Deterministic train/val/test split assignment: the md5-uniform of
    * the salted id lands in cumulative fraction bands (first-wins when
    * chain, the last split takes the remainder). Hash-based, so the
