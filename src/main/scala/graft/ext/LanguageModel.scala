@@ -124,6 +124,50 @@ object LanguageModel {
    * Returns the `k` highest-PMI bigrams with count ≥ `minCount`:
    * (bigram, c12, pmi).
    */
+  /**
+   * Pairwise Jensen–Shannon divergence between per-group token
+   * distributions (hashed to `buckets`, add-α smoothed over the
+   * corpus-wide bucket support) — the corpus-composition analytic that
+   * answers "which sources say the same things" (near-zero JS ⇒
+   * redundant sources, candidates for deduplication across sources)
+   * and "did this source drift between snapshots". Symmetric, bounded
+   * by ln 2, defined even for disjoint vocabularies — the reasons JS
+   * beats raw KL here.
+   *
+   * Shape: one tokenize into a (group, bucket) partial aggregate; the
+   * distribution table is (groups × buckets)-bounded, so the pair
+   * join is a broadcast self-join over at most g·B rows — corpus size
+   * never enters the pair computation. Emits (src_a, src_b,
+   * js_divergence) for src_a < src_b, rounded 6 dp.
+   */
+  def jsDivergenceMatrix(df: DataFrame, textCol: String, groupCol: String,
+                         buckets: Int = 256, alpha: Double = 0.5): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+    val counts = df.select(col(groupCol).as("grp"),
+        explode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), 1)).as("w"))
+      .select(col("grp"), bucket.as("bucket"))
+      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val support = counts.select(col("bucket")).distinct()
+    val totals = counts.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+    val denomAdd = lit(alpha) * lit(buckets.toDouble)
+    val dist = totals.select(col("grp"), col("n")).crossJoin(support)
+      .join(counts, Seq("grp", "bucket"), "left")
+      .select(col("grp"), col("bucket"),
+        ((coalesce(col("c"), lit(0L)).cast("double") + lit(alpha)) /
+          (col("n").cast("double") + denomAdd)).as("p"))
+    val a = dist.select(col("grp").as("src_a"), col("bucket"), col("p").as("pa"))
+    val b = dist.select(col("grp").as("src_b"), col("bucket"), col("p").as("pb"))
+    a.join(b, Seq("bucket")).filter(col("src_a") < col("src_b"))
+      .withColumn("m", (col("pa") + col("pb")) / lit(2.0))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(round(
+        lit(0.5) * sum(col("pa") * log(col("pa") / col("m"))) +
+        lit(0.5) * sum(col("pb") * log(col("pb") / col("m"))), 6)
+        .as("js_divergence"))
+  }
+
   def pmiCollocations(df: DataFrame, textCol: String,
                       minCount: Long = 5L, k: Int = 50): DataFrame = {
     val ws = df.select(words(col(textCol)).as("ws"))
