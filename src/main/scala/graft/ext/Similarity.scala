@@ -638,6 +638,48 @@ object Similarity {
   }
 
   /**
+   * Embedding outlier detection: assign every vector to its nearest
+   * centroid, then z-score its cosine similarity against the CELL's
+   * own distribution — vectors far below their cluster's typical
+   * cohesion (z ≤ −2) are mislabeled/corrupted/off-manifold points, the
+   * embedding-space face of quality filtering. Variance is computed as
+   * avg(x²) − avg(x)² IDENTICALLY in both engines (library stddev
+   * implementations differ numerically); zero-variance cells z-score
+   * to 0.
+   *
+   * Shape: centroid assignment is a broadcast crossJoin + per-vector
+   * argmax (the IVF path); the cell statistics ride one centroid-keyed
+   * window over the assignment — no second corpus pass.
+   */
+  def embeddingOutliers(corpus: DataFrame, corpusId: String, corpusVec: String,
+                        centroids: DataFrame, centroidId: String,
+                        centroidVec: String, zCut: Double = -2.0): DataFrame = {
+    // inline assignment (assignToCentroids drops the similarity): one
+    // broadcast crossJoin against the k-row centroid table + argmax
+    val joined = corpus.crossJoin(broadcast(
+        centroids.select(col(centroidId).as("centroid_id"), col(centroidVec).as("__cent"))))
+      .select(col(corpusId).as("vec_id"), col("centroid_id"),
+        cosine(col(corpusVec), col("__cent")).as("cos_sim"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("centroid_id"))
+    val assigned = joined.withColumn("rank", row_number().over(byVec))
+      .filter(col("rank") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("cos_sim"))
+    val byCell = Window.partitionBy(col("centroid_id"))
+    val withStats = assigned
+      .withColumn("mu", avg(col("cos_sim")).over(byCell))
+      .withColumn("var", avg(col("cos_sim") * col("cos_sim")).over(byCell) -
+        col("mu") * col("mu"))
+      .withColumn("z",
+        when(col("var") > 0,
+          (col("cos_sim") - col("mu")) / sqrt(col("var"))).otherwise(lit(0.0)))
+    withStats.select(col("vec_id"), col("centroid_id"),
+      round(col("cos_sim"), 6).as("cos_sim"),
+      round(col("z"), 6).as("z"),
+      (col("z") <= lit(zCut)).as("is_outlier"))
+  }
+
+  /**
    * Int8 scalar quantization of an embedding column — the 4× memory
    * compression every production vector index applies before (or
    * instead of) PQ: per-DIMENSION min/max over the corpus define a
