@@ -290,4 +290,74 @@ object EngineProperties extends Properties("graft") {
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
       got == refBm25(docs, terms, k = 5)
     }
+
+  private val genWords: Gen[Seq[String]] =
+    Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 12).map(i => s"w$i")))
+
+  property("chunking covers every token exactly ceil(len/stride) times total") =
+    // no shrinking: shrunk cases leave the generator's domain (empty
+    // words) and falsify the MODEL, not the operator. Full coverage is
+    // only claimed for stride <= window — stride > window is deliberate
+    // token SUB-SAMPLING (gaps between chunks), asserted separately.
+    Prop.forAllNoShrink(genWords, Gen.choose(2, 8), Gen.choose(1, 6)) { (ws, window, strideRaw) =>
+      import spark.implicits._
+      val stride = math.min(strideRaw, window)
+      val df = Seq((1L, ws.mkString(" "))).toDF("doc_id", "text")
+      val rows = graft.ext.Packing.chunkDocuments(df, "text", "doc_id", window, stride)
+        .collect().sortBy(_.getLong(1))
+      val len = if (ws.isEmpty) 1 else ws.length // split("") yields [""]
+      val expectedStarts = (0L until len.toLong by stride.toLong).toSeq
+      val starts = rows.map(_.getLong(2)).toSeq
+      val lengths = rows.map(_.getLong(3)).toSeq
+      starts == expectedStarts &&
+        lengths.forall(_ >= 1) && lengths.forall(_ <= window) &&
+        // every token covered: union of [start, start+n) is [0, len)
+        starts.zip(lengths).flatMap { case (s, n) => s until s + n }
+          .toSet == (0L until len.toLong).toSet
+    }
+
+  property("chunking with stride > window sub-samples: gaps exactly stride-window") =
+    Prop.forAllNoShrink(Gen.choose(10, 40)) { n =>
+      import spark.implicits._
+      val ws = (0 until n).map(i => s"w$i")
+      val df = Seq((1L, ws.mkString(" "))).toDF("doc_id", "text")
+      val rows = graft.ext.Packing.chunkDocuments(df, "text", "doc_id",
+          window = 3, stride = 5)
+        .collect().sortBy(_.getLong(1))
+      val covered = rows.flatMap(r => r.getLong(2) until r.getLong(2) + r.getLong(3)).toSet
+      val expected = (0L until n.toLong).filter(_ % 5 < 3).toSet
+      covered == expected
+    }
+
+  property("splitLabel respects cumulative band order and is deterministic") =
+    Prop.forAll(Gen.choose(50, 300)) { n =>
+      import spark.implicits._
+      val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val df = (0 until n).map(_.toLong).toDF("id")
+      val a = df.select(col("id"), graft.ext.Sampling.splitLabel(col("id"), fracs).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val b = df.select(col("id"), graft.ext.Sampling.splitLabel(col("id"), fracs).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // deterministic, labels valid, and every label appears given enough ids
+      a == b && a.values.forall(Set("train", "val", "test")) &&
+        (n < 150 || a.values.toSet.size == 3)
+    }
+
+  property("winnowing DF form equals the Column form on random docs") = {
+    val genDocs = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, genWords.map(_.mkString(" "))))
+    Prop.forAll(genDocs) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val colForm = df.select(col("doc_id"),
+          explode(graft.ext.TextAnalysis.winnowFingerprints(col("text"), 3, 4)).as("fp"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dfForm = graft.ext.TextAnalysis
+        .winnowFingerprintsDF(df, "text", "doc_id", 3, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      colForm == dfForm
+    }
+  }
 }
