@@ -228,6 +228,53 @@ object Dedup {
           .as("dup_ratio"))
   }
 
+  /**
+   * Maximal duplicated SPANS — the true interval semantics of exact
+   * substring dedup ([[duplicatePassageStats]] reports position
+   * ratios; this merges the duplicated n-gram windows into maximal
+   * spans, the unit Lee et al. actually delete). Every position whose
+   * n-gram repeats corpus-wide contributes the token interval
+   * [pos, pos+n); overlapping or touching intervals merge
+   * (gaps-and-islands on positions: a new span starts where the gap
+   * from the previous duplicated position exceeds n). Per doc:
+   * span count, duplicated-token total (the union length), and the
+   * duplicated-token fraction.
+   *
+   * Shape: positional explode → gram-keyed occurrence window (positions
+   * must survive, so unlike [[duplicatePassageStats]] there is no
+   * pre-aggregation — the long-n-gram flatness argument carries the
+   * skew load) → one doc-keyed window pass for the island arithmetic.
+   * Two keyed exchanges total, both bounded per key.
+   */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     n: Int = 4, minCount: Long = 2L): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"),
+      posexplode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), n))
+        .as(Seq("pos", "gram")))
+    val byGram = Window.partitionBy(col("gram"))
+    val dupPos = grams
+      .withColumn("occ", count(lit(1)).over(byGram))
+      .filter(col("occ") >= minCount)
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dupPos
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("new_span",
+        when(col("prev").isNull || col("pos") - col("prev") > n, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg((max(col("pos")) - min(col("pos")) + n).as("span_tokens"))
+    val totals = df.select(col(idCol).as("doc_id"),
+      graft.ext.TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("dup_tokens"))
+      .join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("n_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("dup_fraction"))
+  }
+
   /** Shared candidate core of the exact shingle-overlap family:
    *  (id_a, id_b, size_a, size_b, common) for every pair sharing ≥1
    *  surviving shingle, id_a < id_b. */

@@ -87,4 +87,21 @@ class DedupVerifySpec extends AnyFunSuite {
     assert(got == Map(1L -> "dup_of_base", 2L -> "unique",
       3L -> "dup_in_batch", 4L -> "unique"))
   }
+
+  test("duplicate spans: overlapping windows merge, separated runs stay split") {
+    // docs 0 and 1 share the 6-token run "p q r s t u": in doc 0 the
+    // duplicated 4-gram starts are positions 2,3,4, which merge into ONE
+    // span of max(4) - min(2) + 4 = 6 tokens. Doc 2 repeats the run
+    // twice around a unique middle -> two separated 6-token spans.
+    val docs = Seq(
+      (0L, "x0 x1 p q r s t u y0 y1"),
+      (1L, "z0 p q r s t u z1 z2"),
+      (2L, "p q r s t u m0 m1 m2 m3 m4 p q r s t u"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "text", "doc_id", n = 4, minCount = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(0L) == ((1L, 6L)), s"doc0 ${got.get(0L)}") // one 6-token span
+    assert(got(1L) == ((1L, 6L)))
+    assert(got(2L) == ((2L, 12L)), "two separated 6-token spans")
+  }
 }
