@@ -97,6 +97,24 @@ object EventAnalytics {
    * Batch: the identical expression runs as a plain range join (the
    * DuckDB-oracle path, q_stream_interval_join).
    */
+  /**
+   * Stream-static enrichment: the event stream joined to a static
+   * dimension table — the most common production streaming join
+   * (enrich clicks with the user/account dim). The static side is
+   * re-read per micro-batch by Spark; broadcast keeps the stream side
+   * shuffle-free, and no watermark is needed (static state never
+   * grows). Works identically in batch — the DuckDB-oracled face
+   * (q_stream_static_join); stream equality asserted in
+   * EventAnalyticsSpec.
+   */
+  def enrichedEvents(events: DataFrame, dim: DataFrame,
+                     dimKey: String): DataFrame = {
+    val e = graft.ingest.Readers.tsToNanos(events)
+    e.join(broadcast(dim), e("user_id") === dim(dimKey), "left")
+      .select(e("event_id"), e("user_id"), e("event_type"), e("value"),
+        dim("c_acctbal"), dim(dimKey).isNotNull.as("matched"))
+  }
+
   def attributedPurchases(purchases: DataFrame, views: DataFrame,
                           hours: Int, watermark: Option[String] = None): DataFrame = {
     val p0 = graft.ingest.Readers.tsToNanos(purchases)

@@ -70,6 +70,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("stream-static enrichment equals the batch join") {
+    val batchDf = graft.ingest.Readers.tsToNanos(spark.read.parquet(eventsFile))
+    val dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select($"c_custkey", $"c_acctbal")
+    val expected = EventAnalytics.enrichedEvents(batchDf, dim, "c_custkey")
+      .collect().map(_.toString).sorted.toSeq
+
+    val ckpt = Files.createTempDirectory("graft-ssdim").toString
+    val stream = spark.readStream.schema(rawSchema).parquet(eventsPath)
+    val q = EventAnalytics.enrichedEvents(stream, dim, "c_custkey")
+      .writeStream.format("memory").queryName("ssdim_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("ssdim_out").collect().map(_.toString).sorted.toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("stream-stream interval join equals the batch range join") {
     val batchDf = graft.ingest.Readers.tsToNanos(spark.read.parquet(eventsFile))
     def purchases(df: org.apache.spark.sql.DataFrame) = df.filter($"event_type" === "purchase")
