@@ -249,6 +249,45 @@ object TextAnalysis {
   }
 
   /**
+   * Zipf rank–frequency fit: least-squares regression of ln(freq) on
+   * ln(rank) over the top-`k` words — natural corpora slope ≈ −1;
+   * template/boilerplate mass flattens the head (slope → 0) and
+   * synthetic/spam corpora overshoot. Reported with R² as the
+   * goodness-of-fit health metric.
+   *
+   * Shape: one map-side-combined word count, a TakeOrdered top-k cut
+   * (never a global sort), and closed-form regression aggregates over
+   * the k-row result. All arithmetic replays in SQL: slope =
+   * (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), 6-dp rounding.
+   */
+  def zipfFit(df: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    val counts = df.select(
+        explode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), 1)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(k)
+    val ranked = counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("w"))))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    ranked.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").cast("long").as("n_words"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6)
+          .as("intercept"),
+        round(
+          pow(col("n") * col("sxy") - col("sx") * col("sy"), 2.0) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+             (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
+  /**
    * Vocabulary growth curve (Heaps' law): documents are bucketed by
    * ingestion order (`bucketSize` ids per bucket) and each bucket
    * reports how many NEVER-SEEN-BEFORE words it introduces, plus the
