@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.util.{Map => JMap, UUID}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * DataSource V2 WRITE path — the sink-side twin of [[LineFileSource]]
+ * (SURVEY §2.9 K1: the reference indexes one JSON document per file
+ * into Elasticsearch; this sink renders one JSON document per ROW to a
+ * directory, with the commit protocol the Lambda's fire-and-forget
+ * `index()` lacks). `df.write.format("graft.sources.JsonDocSink")
+ * .option("path", dir).save()`.
+ *
+ * Exactly-once via two-phase commit:
+ *  1. every task writes `_staged-<taskId>-<uuid>.jsonl` and reports the
+ *     name in its commit message — speculative/retried attempts stage
+ *     under different uuids and only the COMMITTED attempt's file is
+ *     kept;
+ *  2. the driver's `BatchWrite.commit` renames staged → final
+ *     `part-<i>.jsonl` and drops a `_SUCCESS` marker; `abort` deletes
+ *     every staged file, so a failed job leaves NO partial output
+ *     (asserted by JsonDocSinkSpec with a mid-write poison row).
+ *
+ * Supported field types: the metadata-document surface (string, long,
+ * int, double, boolean, timestamp-as-micros); null → JSON null.
+ */
+class JsonDocSink extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StructType(Nil) // write-only: schema comes from the DataFrame
+  override def supportsExternalMetadata(): Boolean = true
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new JsonDocTable(schema, properties.get("path"))
+}
+
+private class JsonDocTable(schema: StructType, path: String)
+    extends Table with SupportsWrite {
+  override def name(): String = s"graft-jsondoc($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this // overwrite == rewrite dir
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new JsonDocBatchWrite(info.schema(), path)
+      }
+    }
+}
+
+private case class StagedFile(name: String) extends WriterCommitMessage
+
+private class JsonDocBatchWrite(schema: StructType, path: String)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new JsonDocWriterFactory(schema, path)
+
+  private def fs = new Path(path)
+    .getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    messages.zipWithIndex.foreach { case (StagedFile(name), i) =>
+      val ok = fs.rename(new Path(dir, name), new Path(dir, f"part-$i%05d.jsonl"))
+      require(ok, s"commit rename failed for $name")
+    }
+    fs.create(new Path(dir, "_SUCCESS"), true).close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // drop EVERY staged file (messages only cover committed tasks)
+    val dir = new Path(path)
+    Option(fs.globStatus(new Path(dir, "_staged-*")))
+      .foreach(_.foreach(st => fs.delete(st.getPath, false)))
+  }
+}
+
+private class JsonDocWriterFactory(schema: StructType, path: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new JsonDocWriter(schema, path, partitionId, taskId)
+}
+
+private class JsonDocWriter(schema: StructType, path: String,
+                            partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val name = s"_staged-$partitionId-$taskId-${UUID.randomUUID()}.jsonl"
+  private val file = new Path(new Path(path), name)
+  private lazy val fs =
+    file.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private lazy val out = {
+    fs.mkdirs(new Path(path))
+    new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(file, true), java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val doc = schema.fields.zipWithIndex.map { case (f, i) =>
+      val v =
+        if (row.isNullAt(i)) "null"
+        else f.dataType match {
+          case StringType => "\"" + jsonEscape(row.getUTF8String(i).toString) + "\""
+          case LongType | TimestampType => row.getLong(i).toString
+          case IntegerType => row.getInt(i).toString
+          case DoubleType => row.getDouble(i).toString
+          case BooleanType => row.getBoolean(i).toString
+          case other => throw new IllegalArgumentException(
+            s"jsondoc sink: unsupported type $other for field ${f.name}")
+        }
+      "\"" + jsonEscape(f.name) + "\":" + v
+    }.mkString("{", ",", "}")
+    out.write(doc)
+    out.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = { out.close(); StagedFile(name) }
+  override def abort(): Unit = {
+    try out.close() catch { case _: Throwable => () }
+    fs.delete(file, false)
+    ()
+  }
+  override def close(): Unit = ()
+}
