@@ -125,6 +125,42 @@ object LanguageModel {
    * (bigram, c12, pmi).
    */
   /**
+   * Corpus bigram conditional entropy H(w₂|w₁) = −Σ p(w₁,w₂) ln p(w₂|w₁)
+   * (plus the unigram entropy H(w) for reference) — the corpus
+   * predictability scalar: templated/boilerplate corpora approach 0
+   * (every word determines the next), natural prose sits well above.
+   * Maximum-likelihood estimates over observed bigrams, no smoothing
+   * (entropy of the EMPIRICAL distribution — exactly replayable).
+   *
+   * Shape: the bigram and unigram count aggregates (map-side combined)
+   * and two scalar reductions; p(w₂|w₁) = c(w₁,w₂)/c(w₁) rides a
+   * broadcast join of the vocab-bounded unigram table.
+   */
+  def bigramConditionalEntropy(df: DataFrame, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val bi = df.select(explode(bigramsOf(ws)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+    val uni = df.select(explode(
+        graft.functions.GraftFunctions.graftWordNgrams(col(textCol), 1)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val nb = bi.agg(sum(col("c12")).as("nb"))
+    val nw = uni.agg(sum(col("c1")).as("nw"))
+    val w1 = substring_index(col("bigram"), " ", 1)
+    val cond = bi
+      .join(broadcast(uni.select(col("w").as("__w1"), col("c1"))), w1 === col("__w1"))
+      .crossJoin(broadcast(nb))
+      .agg((-sum((col("c12").cast("double") / col("nb").cast("double")) *
+        log(col("c12").cast("double") / col("c1").cast("double")))).as("h_cond"))
+    val hUni = uni.crossJoin(broadcast(nw))
+      .agg((-sum((col("c1").cast("double") / col("nw").cast("double")) *
+        log(col("c1").cast("double") / col("nw").cast("double")))).as("h_uni"))
+    cond.crossJoin(hUni)
+      .select(round(col("h_cond"), 6).as("h_bigram_cond"),
+        round(col("h_uni"), 6).as("h_unigram"),
+        round(col("h_uni") - col("h_cond"), 6).as("mutual_information"))
+  }
+
+  /**
    * Pairwise Jensen–Shannon divergence between per-group token
    * distributions (hashed to `buckets`, add-α smoothed over the
    * corpus-wide bucket support) — the corpus-composition analytic that
