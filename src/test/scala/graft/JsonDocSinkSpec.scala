@@ -55,6 +55,43 @@ class JsonDocSinkSpec extends AnyFunSuite {
       s"staged leftovers: ${leftover.map(_.getName).mkString(",")}")
   }
 
+  test("foreachBatch + per-batch directories: a stream restart never double-writes") {
+    // The streaming face of the sink: each micro-batch commits atomically
+    // into its own batchId-keyed directory, so a replayed batch (restart
+    // after checkpoint, before sink durability) OVERWRITES its own output
+    // instead of appending a duplicate - idempotence from (atomic commit
+    // x deterministic directory naming).
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("graft-jd-src")
+    val out = Files.createTempDirectory("graft-jd-out").toString
+    val ckpt = Files.createTempDirectory("graft-jd-ckpt").toString
+    spark.range(0, 5).select(col("id"), lit("a").as("tag"))
+      .write.parquet(src.resolve("b0").toString)
+    val schema = spark.read.parquet(src.resolve("b0").toString).schema
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(s"$src/*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          batch.write.format(fmt).option("path", s"$out/batch=$batchId")
+            .mode("overwrite").save()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // restart with NEW data: old batch must not be rewritten or duplicated
+    spark.range(100, 103).select(col("id"), lit("b").as("tag"))
+      .write.parquet(src.resolve("b1").toString)
+    runOnce()
+
+    val all = spark.read.json(s"$out/batch=*/part-*.jsonl")
+    assert(all.count() == 8)
+    assert(all.select("id").as[Long].collect().toSet ==
+      (0L until 5L).toSet ++ Set(100L, 101L, 102L))
+  }
+
   test("the metadata-document pipeline writes through the sink end-to-end") {
     val dir = Files.createTempDirectory("graft-jsondoc-meta").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
