@@ -37,23 +37,43 @@ object NaiveBayes {
    */
   def trainAndScore(df: DataFrame, textCol: String, labelCol: String,
                     idCol: String, buckets: Int = 128,
-                    alpha: Double = 0.5): DataFrame = {
+                    alpha: Double = 0.5): DataFrame =
+    trainAndScoreSplit(df, textCol, labelCol, idCol, lit(true),
+      buckets, alpha).drop("is_train")
+
+  /**
+   * Held-out evaluation variant: the model (priors + class-conditional
+   * counts) is built from `isTrain` rows ONLY; every row — train and
+   * held-out — is scored against it. Filtering at the count-table
+   * level keeps the single-tokenize shape; with a hash-based
+   * [[Sampling.splitLabel]] as the filter this is the leakage-free
+   * accuracy readout (generalization, not memorization).
+   */
+  def trainAndScoreSplit(df: DataFrame, textCol: String, labelCol: String,
+                         idCol: String, isTrain: Column,
+                         buckets: Int = 128, alpha: Double = 0.5): DataFrame = {
     val bucket = pmod(
       conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
     val toks = df.select(col(idCol).as("doc_id"), col(labelCol).as("label"),
+        isTrain.as("is_train"),
         explode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), 1)).as("w"))
-      .select(col("doc_id"), col("label"), bucket.as("bucket"))
+      .select(col("doc_id"), col("label"), col("is_train"), bucket.as("bucket"))
     // one corpus tokenize feeding model AND scoring (the DSIR pattern)
-    val perDoc = toks.groupBy(col("doc_id"), col("label"), col("bucket"))
+    val perDoc = toks.groupBy(col("doc_id"), col("label"), col("is_train"),
+        col("bucket"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
 
-    val nDocs = df.select(col(idCol)).count().toDouble
-    val priors = df.groupBy(col(labelCol).as("label"))
+    val train = perDoc.filter(col("is_train"))
+    val nDocs = df.filter(isTrain).select(col(idCol)).count().toDouble
+    val priors = df.filter(isTrain).groupBy(col(labelCol).as("label"))
       .agg(log(count(lit(1)).cast("double") / lit(nDocs)).as("log_prior"))
-    val cyb = perDoc.groupBy(col("label"), col("bucket")).agg(sum(col("tf")).as("c"))
-    val ny = perDoc.groupBy(col("label")).agg(sum(col("tf")).as("n"))
-    val allBuckets = perDoc.select(col("bucket")).distinct()
+    val cyb = train.groupBy(col("label"), col("bucket")).agg(sum(col("tf")).as("c"))
+    val ny = train.groupBy(col("label")).agg(sum(col("tf")).as("n"))
+    // model support = buckets seen in TRAINING; a held-out token whose
+    // bucket never occurred in training simply contributes nothing (the
+    // standard hashing-NB treatment of unseen features)
+    val allBuckets = train.select(col("bucket")).distinct()
     val model = priors.select(col("label")).crossJoin(allBuckets)
       .join(cyb, Seq("label", "bucket"), "left")
       .join(ny, Seq("label"))
@@ -63,18 +83,19 @@ object NaiveBayes {
           .as("log_pb"))
 
     val scored = perDoc.select(col("doc_id"), col("label").as("actual"),
-        col("bucket"), col("tf"))
+        col("is_train"), col("bucket"), col("tf"))
       .join(broadcast(model), Seq("bucket"))
-      .groupBy(col("doc_id"), col("actual"), col("label"))
+      .groupBy(col("doc_id"), col("actual"), col("is_train"), col("label"))
       .agg(sum(col("tf").cast("double") * col("log_pb")).as("ll"))
       .join(broadcast(priors), Seq("label"))
-      .select(col("doc_id"), col("actual"), col("label"),
+      .select(col("doc_id"), col("actual"), col("is_train"), col("label"),
         round(col("log_prior") + col("ll"), 6).as("score"))
     val byDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("label"))
     scored.withColumn("rn", row_number().over(byDoc))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("label").as("predicted"), col("score"),
-        col("actual"), (col("label") === col("actual")).as("correct"))
+        col("actual"), (col("label") === col("actual")).as("correct"),
+        col("is_train"))
   }
 }
