@@ -249,6 +249,38 @@ object TextAnalysis {
   }
 
   /**
+   * Word burstiness — the index of dispersion (variance-to-mean ratio)
+   * of per-document counts for the top-`k` corpus words, ZEROS
+   * INCLUDED (a word absent from a doc is an observation; computing
+   * over only the docs that contain it systematically understates
+   * clumping). D ≈ 1 is Poisson (function words); content/topic words
+   * burst (D ≫ 1); D < 1 flags templated even-spreading. Variance is
+   * the engine-identical avg(x²) − avg(x)² form.
+   *
+   * Shape: one (doc, word) partial aggregate; the top-k cut is a
+   * TakeOrdered; the dense (top-word × doc) grid is k·n_docs rows built
+   * from a broadcast of the k words — the corpus never re-tokenizes.
+   */
+  def wordDispersion(df: DataFrame, textCol: String, idCol: String,
+                     k: Int = 20): DataFrame = {
+    val counts = df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), 1)).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds the top-k cut AND the dense join
+    val top = counts.groupBy(col("w")).agg(sum(col("c")).as("total"))
+      .orderBy(col("total").desc, col("w")).limit(k)
+    val grid = broadcast(top).crossJoin(df.select(col(idCol).as("doc_id")))
+    val dense = grid.join(counts, Seq("doc_id", "w"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)).cast("double"))
+    dense.groupBy(col("w"), col("total"))
+      .agg(avg(col("c")).as("mu"),
+        (avg(col("c") * col("c")) - avg(col("c")) * avg(col("c"))).as("var"))
+      .select(col("w").as("word"), col("total"),
+        round(col("mu"), 6).as("mean_per_doc"),
+        round(col("var") / col("mu"), 6).as("dispersion"))
+  }
+
+  /**
    * Zipf rank–frequency fit: least-squares regression of ln(freq) on
    * ln(rank) over the top-`k` words — natural corpora slope ≈ −1;
    * template/boilerplate mass flattens the head (slope → 0) and
