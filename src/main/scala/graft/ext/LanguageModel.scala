@@ -125,6 +125,48 @@ object LanguageModel {
    * (bigram, c12, pmi).
    */
   /**
+   * A-priori 2-itemset mining over document word SETS — market-basket
+   * co-occurrence (which words appear in the same documents, regardless
+   * of position — the document-level complement of the adjacency-based
+   * [[pmiCollocations]]). Classic two-phase a-priori: frequent single
+   * words first (support ≥ `minSupport` docs), then pairs of FREQUENT
+   * words counted within documents — the candidate pruning that keeps
+   * the pair space polynomial in the frequent-vocab, not the corpus.
+   * Emits support, directional confidences, and lift, top-`k` by
+   * (lift desc, pair) — lift > 1 ⇒ genuinely associated topics.
+   *
+   * Shape: distinct (doc, word) collapse (map-side combined), a
+   * broadcast frequent-word filter, and a doc-keyed self-join whose
+   * per-doc fan-out is bounded by the doc's FREQUENT-word count.
+   */
+  def frequentItemPairs(df: DataFrame, textCol: String, idCol: String,
+                        minSupport: Long = 5L, k: Int = 50): DataFrame = {
+    val docWords = df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), 1)).as("w"))
+      .distinct()
+      .localCheckpoint(true) // feeds supports AND the pair join
+    val nDocs = docWords.select(col("doc_id")).distinct().count().toDouble
+    val freq = docWords.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minSupport)
+    val fw = docWords.join(broadcast(freq), Seq("w"))
+    val pairs = fw.select(col("doc_id"), col("w").as("w1"), col("c").as("c1"))
+      .join(fw.select(col("doc_id"), col("w").as("w2"), col("c").as("c2")),
+        Seq("doc_id"))
+      .filter(col("w1") < col("w2"))
+      .groupBy(col("w1"), col("w2"), col("c1"), col("c2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minSupport)
+    pairs.select(col("w1"), col("w2"), col("c12").as("support"),
+        round(col("c12").cast("double") / col("c1").cast("double"), 6)
+          .as("conf_w1_w2"),
+        round(col("c12").cast("double") / col("c2").cast("double"), 6)
+          .as("conf_w2_w1"),
+        round(lit(nDocs) * col("c12").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2")).limit(k)
+  }
+
+  /**
    * Corpus bigram conditional entropy H(w₂|w₁) = −Σ p(w₁,w₂) ln p(w₂|w₁)
    * (plus the unigram entropy H(w) for reference) — the corpus
    * predictability scalar: templated/boilerplate corpora approach 0
