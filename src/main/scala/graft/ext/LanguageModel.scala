@@ -23,15 +23,29 @@ import org.apache.spark.sql.functions._
  * count tables: the corpus's exploded bigrams never shuffle at all
  * (a bigram-keyed exchange would put every "of the" occurrence on one
  * reducer — Zipfian keys make that THE scale bottleneck, measured 12 s
- * of an 88-query bench at sf0.1 before this change). When the raw
- * tables outgrow the broadcast budget, `topK` prunes the model to the
- * top-K counts first (TakeOrderedAndProject — distributed partial
- * top-K, no global sort); a pruned-away bigram is simply an unseen one,
- * which is exactly what add-α smoothing is for. Training and scoring
- * corpora are independent inputs, so the model trains once and scores
- * any number of candidate batches.
+ * of an 88-query bench at sf0.1 before this change). Because the model
+ * MUST broadcast, it must also be BOUNDED: `score` counts the trained
+ * bigram table (a cheap scan of the eagerly-checkpointed aggregate) and,
+ * if it exceeds `maxBroadcastModelRows` (default 2M rows ≈ low hundreds
+ * of MB — inside a sane executor/driver broadcast budget), auto-prunes
+ * to the top `maxBroadcastModelRows` counts before broadcasting. Callers
+ * can prune harder with `topK` (TakeOrderedAndProject — distributed
+ * partial top-K, no global sort); a pruned-away bigram is simply an
+ * unseen one, which is exactly what add-α smoothing is for. At test
+ * scale the model sits far under the cap, so the default path is
+ * byte-identical to the unpruned model; at 100 TB, where the distinct
+ * bigram table is billions of rows, the cap is what keeps the driver
+ * alive. Training and scoring corpora are independent inputs, so the
+ * model trains once and scores any number of candidate batches.
  */
 object LanguageModel {
+
+  /** Broadcast budget for the trained model tables, in rows. A bigram
+   *  row is ~tens of bytes (two short words + a long), so 2M rows keeps
+   *  the broadcast low-hundreds-of-MB — bounded regardless of corpus
+   *  size. Above this, `score` auto-prunes (top-K by count) rather than
+   *  attempt an unbounded broadcast build on the driver. */
+  val defaultMaxBroadcastModelRows: Int = 2000000
 
   private def words(textCol: Column): Column =
     when(length(trim(textCol)) === 0, array().cast("array<string>"))
@@ -59,24 +73,36 @@ object LanguageModel {
    */
   def score(df: DataFrame, textCol: String, idCol: String,
             train: DataFrame, trainTextCol: String,
-            alpha: Double = 1.0, topK: Int = 0): DataFrame = {
+            alpha: Double = 1.0, topK: Int = 0,
+            maxBroadcastModelRows: Int = defaultMaxBroadcastModelRows): DataFrame = {
     val trainBi = train.select(words(col(trainTextCol)).as("ws"))
       .select(explode(bigramsOf(col("ws"))).as("bigram"))
+    // Eagerly checkpoint the vocab-bounded count table: the corpus is
+    // exploded exactly once, and the broadcast-budget count below plus
+    // the two downstream consumers (c12 join, c1 derivation) all read
+    // the materialized blocks instead of re-aggregating.
     val c12All = trainBi.groupBy("bigram").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    // Safe-by-default broadcast: if the caller didn't prune and the
+    // trained model exceeds the broadcast budget, auto-prune to the
+    // budget — the model side of the scoring join is NEVER unbounded.
+    val effectiveK =
+      if (topK > 0) topK
+      else if (c12All.count() > maxBroadcastModelRows) maxBroadcastModelRows
+      else 0
     // c(w1·) = Σ c(w1w2): derived from the vocab-bounded c12 table, not a
-    // second corpus-wide explode — Catalyst reuses c12's exchange
-    // (ReusedExchange), so the corpus is exploded once for the model
+    // second corpus-wide explode
     val c1All = c12All
       .select(split(col("bigram"), " ").getItem(0).as("w1"), col("c12"))
       .groupBy("w1").agg(sum(col("c12")).as("c1"))
     // topK pruning: orderBy(...).limit(K) plans as TakeOrderedAndProject
     // (per-partition top-K then a K-row merge — never a global sort);
     // deterministic tie-break on the key so both engines keep the same K
-    val c12 = if (topK > 0)
-      c12All.orderBy(col("c12").desc, col("bigram")).limit(topK)
+    val c12 = if (effectiveK > 0)
+      c12All.orderBy(col("c12").desc, col("bigram")).limit(effectiveK)
     else c12All
-    val c1 = if (topK > 0)
-      c1All.orderBy(col("c1").desc, col("w1")).limit(topK)
+    val c1 = if (effectiveK > 0)
+      c1All.orderBy(col("c1").desc, col("w1")).limit(effectiveK)
     else c1All
     val v = train.select(explode(words(col(trainTextCol))).as("w"))
       .select(countDistinct(col("w")).as("V"))
@@ -175,8 +201,14 @@ object LanguageModel {
    * (entropy of the EMPIRICAL distribution — exactly replayable).
    *
    * Shape: the bigram and unigram count aggregates (map-side combined)
-   * and two scalar reductions; p(w₂|w₁) = c(w₁,w₂)/c(w₁) rides a
-   * broadcast join of the vocab-bounded unigram table.
+   * and two scalar reductions. p(w₂|w₁) = c(w₁,w₂)/c(w₁) joins the
+   * bigram table to the unigram table on w₁ — BOTH sides are
+   * vocab-bounded aggregates, so the join carries no forced broadcast
+   * hint: AQE converts it to a runtime broadcast while the unigram
+   * table is small and falls back to a shuffle join (with skew-split)
+   * when it isn't. Shuffle skew is bounded too: the hottest w₁ fans
+   * out to at most its distinct-successor count, vocab-bounded — the
+   * corpus never enters this join.
    */
   def bigramConditionalEntropy(df: DataFrame, textCol: String): DataFrame = {
     val ws = words(col(textCol))
@@ -189,7 +221,7 @@ object LanguageModel {
     val nw = uni.agg(sum(col("c1")).as("nw"))
     val w1 = substring_index(col("bigram"), " ", 1)
     val cond = bi
-      .join(broadcast(uni.select(col("w").as("__w1"), col("c1"))), w1 === col("__w1"))
+      .join(uni.select(col("w").as("__w1"), col("c1")), w1 === col("__w1"))
       .crossJoin(broadcast(nb))
       .agg((-sum((col("c12").cast("double") / col("nb").cast("double")) *
         log(col("c12").cast("double") / col("c1").cast("double")))).as("h_cond"))

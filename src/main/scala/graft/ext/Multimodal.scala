@@ -214,6 +214,39 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic 8-bit grayscale JPEG via the real encoder (explicit
+   *  compression quality) — the LOSSY counterpart of [[grayPng]]. JPEG
+   *  is the codec every real image corpus actually ships, so the dedup
+   *  family must survive its quantization: decoded samples are only
+   *  approximately `gray(x, y)`, which is exactly why the JPEG-backed
+   *  query builds high-contrast block images (cell means 0 or 255, a
+   *  127-gray margin to the aHash threshold no sane quality level's
+   *  DCT error can cross) — the lossy codec stays value-level
+   *  oracle-able without modelling the quantizer. */
+  def grayJpeg(width: Int, height: Int, quality: Float,
+               gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, gray(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
   /** One image's perceptual hash: 64-char '0'/'1' aHash string, null for
    *  undecodable bytes. */
   final case class ImageHash(item_id: Long, ahash: String)

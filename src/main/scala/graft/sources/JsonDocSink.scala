@@ -50,26 +50,60 @@ private class JsonDocTable(schema: StructType, path: String)
       TableCapability.TRUNCATE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
-      override def truncate(): WriteBuilder = this // overwrite == rewrite dir
+      // overwrite == rewrite dir: record the request; the driver-side
+      // commit clears prior part files BEFORE renaming staged ones, so
+      // a rewrite that produces fewer partitions cannot leave stale
+      // part-*.jsonl mixed into the new output (and rename never lands
+      // on an existing destination — HDFS rename-onto-existing fails).
+      private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new JsonDocBatchWrite(info.schema(), path)
+          new JsonDocBatchWrite(info.schema(), path, truncateFirst)
       }
     }
 }
 
 private case class StagedFile(name: String) extends WriterCommitMessage
 
-private class JsonDocBatchWrite(schema: StructType, path: String)
-    extends BatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonDocWriterFactory(schema, path)
+/** Serializable carrier for the driver's resolved Hadoop conf
+ *  (spark.hadoop.* settings — object-store credentials, endpoints) so
+ *  executor-side writers build their FileSystem from the SAME config
+ *  the driver-side commit uses, not a bare `new Configuration()`. */
+private class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
 
-  private def fs = new Path(path)
-    .getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+private class JsonDocBatchWrite(schema: StructType, path: String,
+                                truncateFirst: Boolean)
+    extends BatchWrite {
+  // resolved on the DRIVER (where the active session lives), shipped to
+  // executors inside the writer factory
+  private val conf =
+    new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf())
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new JsonDocWriterFactory(schema, path, conf)
+
+  private def fs = new Path(path).getFileSystem(conf.value)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
+    if (truncateFirst) {
+      Option(fs.globStatus(new Path(dir, "part-*.jsonl")))
+        .foreach(_.foreach(st => fs.delete(st.getPath, false)))
+      fs.delete(new Path(dir, "_SUCCESS"), false)
+    }
     messages.zipWithIndex.foreach { case (StagedFile(name), i) =>
       val ok = fs.rename(new Path(dir, name), new Path(dir, f"part-$i%05d.jsonl"))
       require(ok, s"commit rename failed for $name")
@@ -85,19 +119,20 @@ private class JsonDocBatchWrite(schema: StructType, path: String)
   }
 }
 
-private class JsonDocWriterFactory(schema: StructType, path: String)
+private class JsonDocWriterFactory(schema: StructType, path: String,
+                                   conf: SerializableHadoopConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new JsonDocWriter(schema, path, partitionId, taskId)
+    new JsonDocWriter(schema, path, partitionId, taskId, conf)
 }
 
 private class JsonDocWriter(schema: StructType, path: String,
-                            partitionId: Int, taskId: Long)
+                            partitionId: Int, taskId: Long,
+                            conf: SerializableHadoopConf)
     extends DataWriter[InternalRow] {
   private val name = s"_staged-$partitionId-$taskId-${UUID.randomUUID()}.jsonl"
   private val file = new Path(new Path(path), name)
-  private lazy val fs =
-    file.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private lazy val fs = file.getFileSystem(conf.value)
   private lazy val out = {
     fs.mkdirs(new Path(path))
     new java.io.BufferedWriter(new java.io.OutputStreamWriter(
@@ -122,7 +157,12 @@ private class JsonDocWriter(schema: StructType, path: String,
           case StringType => "\"" + jsonEscape(row.getUTF8String(i).toString) + "\""
           case LongType | TimestampType => row.getLong(i).toString
           case IntegerType => row.getInt(i).toString
-          case DoubleType => row.getDouble(i).toString
+          // non-finite doubles have no JSON literal — bare NaN/Infinity
+          // tokens would make the line unparseable downstream; null is
+          // the lossless-enough JSON stand-in
+          case DoubleType =>
+            val d = row.getDouble(i)
+            if (java.lang.Double.isFinite(d)) d.toString else "null"
           case BooleanType => row.getBoolean(i).toString
           case other => throw new IllegalArgumentException(
             s"jsondoc sink: unsupported type $other for field ${f.name}")

@@ -107,12 +107,18 @@ object EventAnalytics {
    * (q_stream_static_join); stream equality asserted in
    * EventAnalyticsSpec.
    */
-  def enrichedEvents(events: DataFrame, dim: DataFrame,
-                     dimKey: String): DataFrame = {
+  def enrichedEvents(events: DataFrame, dim: DataFrame, dimKey: String,
+                     streamKey: String = "user_id",
+                     payloadCols: Seq[String] = Nil): DataFrame = {
     val e = graft.ingest.Readers.tsToNanos(events)
-    e.join(broadcast(dim), e("user_id") === dim(dimKey), "left")
-      .select(e("event_id"), e("user_id"), e("event_type"), e("value"),
-        dim("c_acctbal"), dim(dimKey).isNotNull.as("matched"))
+    // payload defaults to every dim column except the join key — project
+    // the dim BEFORE passing it in to narrow the broadcast
+    val payload =
+      if (payloadCols.nonEmpty) payloadCols
+      else dim.columns.toSeq.filterNot(_ == dimKey)
+    e.join(broadcast(dim), e(streamKey) === dim(dimKey), "left")
+      .select(e("event_id") +: e(streamKey) +: e("event_type") +: e("value") +:
+        (payload.map(dim(_)) :+ dim(dimKey).isNotNull.as("matched")): _*)
   }
 
   def attributedPurchases(purchases: DataFrame, views: DataFrame,

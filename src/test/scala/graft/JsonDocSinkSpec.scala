@@ -38,6 +38,40 @@ class JsonDocSinkSpec extends AnyFunSuite {
     assert(back == expected)
   }
 
+  test("overwrite truly truncates: a fewer-partition rewrite leaves no stale parts") {
+    val dir = Files.createTempDirectory("graft-jsondoc-trunc").toString
+    spark.range(0, 40, 1, 8).select(col("id"), lit("old").as("tag"))
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".jsonl")) == 8)
+    // rewrite with 2 partitions: part-00002..part-00007 from the first
+    // write must be GONE, not silently mixed into the new output
+    spark.range(100, 104, 1, 2).select(col("id"), lit("new").as("tag"))
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".jsonl"))
+    assert(files.length == 2, s"stale parts survived: ${files.map(_.getName).sorted.mkString(",")}")
+    val back = spark.read.json(files.map(_.getPath): _*)
+    assert(back.select("id").as[Long].collect().toSet == Set(100L, 101L, 102L, 103L))
+    assert(back.select("tag").as[String].collect().toSet == Set("new"))
+  }
+
+  test("non-finite doubles serialize as JSON null, keeping every line parseable") {
+    val dir = Files.createTempDirectory("graft-jsondoc-nan").toString
+    Seq((1L, 1.5), (2L, Double.NaN), (3L, Double.PositiveInfinity),
+        (4L, Double.NegativeInfinity))
+      .toDF("id", "score")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".jsonl"))
+    val lines = files.flatMap(f =>
+      scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq)
+    assert(lines.length == 4)
+    assert(!lines.exists(l => l.contains("NaN") || l.contains("Infinity")),
+      s"bare non-finite tokens in: ${lines.mkString(" | ")}")
+    // strict-mode JSON reader (FAILFAST) must accept every line
+    val back = spark.read.option("mode", "FAILFAST").json(files.map(_.getPath): _*)
+    assert(back.filter(col("score").isNull).count() == 3)
+    assert(back.filter(col("score") === 1.5).count() == 1)
+  }
+
   test("a poisoned job aborts atomically: no partial or staged output remains") {
     val dir = Files.createTempDirectory("graft-jsondoc-abort").toString
     val poison = udf((i: Long) =>

@@ -61,6 +61,31 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(byGram("x y") > byGram("a b"))
   }
 
+  test("model broadcast is bounded by default: over-budget model auto-prunes to top-K") {
+    // train model has 2 distinct bigrams; a budget of 1 forces the
+    // auto-prune path, keeping only the top count ("a b", c12=2). The
+    // pruned bigram "a c" must then SMOOTH like an unseen one.
+    val got = LanguageModel.score(
+      Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text"), "text", "doc_id",
+      train, "text", maxBroadcastModelRows = 1)
+      .as[(Long, Long, Double)].collect().map { case (id, n, s) => id -> (n, s) }.toMap
+    // kept: P(b|a) = (2+1)/(3+3) — c1 prunes to top-1 too, keeping 'a'
+    assert(got(1L)._2 == BigDecimal(math.log(0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // pruned "a c": c12 smooths to 0 → P = (0+1)/(3+3)
+    assert(got(2L)._2 == BigDecimal(math.log(1.0 / 6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("under-budget model is byte-identical to the unpruned path") {
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "z z")).toDF("doc_id", "text")
+    val unpruned = LanguageModel.score(docs, "text", "doc_id", train, "text",
+      maxBroadcastModelRows = Int.MaxValue).collect().toSet
+    val defaulted = LanguageModel.score(docs, "text", "doc_id", train, "text")
+      .collect().toSet
+    assert(defaulted == unpruned)
+  }
+
   test("PMI plan: unigram joins and totals broadcast, top-k is TakeOrderedAndProject") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = LanguageModel.pmiCollocations(df, "text", 5L, 50)

@@ -204,6 +204,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(6L)._1.isEmpty && got(6L)._2 == 6L, "null hashes must not cluster")
   }
 
+  test("real JPEG bytes ride the same decode seam: lossy round-trip, stable aHash") {
+    import spark.implicits._
+    // high-contrast block mask: bit i of pattern p = (7p + 13i) % 64 < 32
+    def mask(p: Int)(x: Int, y: Int): Int =
+      if ((p * 7 + ((y / 8) * 8 + x / 8) * 13) % 64 < 32) 255 else 0
+    val jpeg3 = Multimodal.grayJpeg(64, 64, 0.85f, mask(3))
+    // really JPEG: SOI marker FF D8, EOI FF D9 — not a re-labelled PNG
+    assert((jpeg3(0) & 0xff) == 0xff && (jpeg3(1) & 0xff) == 0xd8)
+    assert((jpeg3(jpeg3.length - 2) & 0xff) == 0xff &&
+      (jpeg3(jpeg3.length - 1) & 0xff) == 0xd9)
+    // the codec IS lossy: a non-block-aligned gradient picks up DCT
+    // quantization error. (The mask images themselves round-trip clean —
+    // constant 8×8 blocks have zero AC coefficients — which is precisely
+    // why they make the lossy codec oracle-able.)
+    val gradSrc: (Int, Int) => Int = (x, y) => (x * 3 + y * 5) % 256
+    val gradImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.grayJpeg(64, 64, 0.85f, gradSrc)))
+    assert(gradImg != null && gradImg.getWidth == 64)
+    val anyDiff = (0 until 64).exists(y => (0 until 64).exists(x =>
+      gradImg.getRaster.getSample(x, y, 0) != gradSrc(x, y)))
+    assert(anyDiff, "JPEG q0.85 on a wrapping gradient should not be bit-exact")
+    // …but the aHash margin (127 gray levels) absorbs the quantization:
+    // same-pattern JPEG and PNG group together, different patterns apart
+    val media = Seq(
+      (1L, jpeg3),
+      (2L, Multimodal.grayPng(64, 64, mask(3))),
+      (3L, Multimodal.grayJpeg(64, 64, 0.85f, mask(4))),
+      (4L, Multimodal.grayJpeg(64, 64, 0.6f, mask(3)))) // harsher quality, same mask
+      .toDF("item_id", "content")
+    val got = Multimodal.perceptualHashGroups(media).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val expected3 = (0 until 64).map(i =>
+      if ((3 * 7 + i * 13) % 64 < 32) '1' else '0').mkString
+    assert(got(1L)._1 == expected3, "JPEG aHash equals the mask exactly")
+    assert(got(2L)._1 == expected3 && got(2L)._2 == 1L, "lossless twin groups with the JPEG")
+    assert(got(4L)._1 == expected3 && got(4L)._2 == 1L, "q0.6 re-encode still groups")
+    assert(got(3L)._1 != expected3 && got(3L)._2 == 3L, "different mask, own group")
+  }
+
   test("audio fingerprint: closed-form flips/amp, duplicate grouping, undecodable singletons") {
     import spark.implicits._
     def square(half: Int, amp: Short): Array[Byte] =
