@@ -11,6 +11,9 @@ object GraftSession {
   def local(cpus: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the engine's SQL surface: graft_* native functions + the as-of
+      // lowering rule, injected the way a cluster deployment would
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The SQL face of the engine: `GraftExtensions` (injected via
+ * `spark.sql.extensions` at session build — TestSpark and GraftSession
+ * both carry it) must make the native expressions usable from plain
+ * SQL strings with results IDENTICAL to the registered DataFrame-API
+ * queries. Each case below is a SQL-string re-spelling of a registered
+ * `SparkEntry.queries` entry, compared row-for-row against the real
+ * registry query — the same Catalyst expressions must evaluate, so
+ * equality is bit-exact, not approximate.
+ */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def viewsReady(): Unit = {
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+  }
+
+  private def assertSameAsRegistry(name: String, sql: String): Unit = {
+    viewsReady()
+    val registry = SparkEntry.queries(name)(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val viaSql = spark.sql(sql).collect().map(_.toString).sorted.toSeq
+    assert(viaSql == registry, s"SQL spelling of $name diverged from the registry query")
+  }
+
+  test("extension injects the graft_* functions at session build") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val reg = spark.sessionState.functionRegistry
+    for (f <- Seq("graft_cosine", "graft_dot", "graft_word_shingles",
+        "graft_char_entropy", "graft_deflate_ratio", "graft_hyperplane",
+        "graft_array_get", "graft_word_ngrams", "graft_char_shingles",
+        "graft_gunzip_text"))
+      assert(reg.functionExists(FunctionIdentifier(f)), s"$f not registered")
+    // and DESCRIBE-style metadata is attached
+    val desc = spark.sql("DESCRIBE FUNCTION graft_cosine").collect().mkString
+    assert(desc.contains("graft_cosine"))
+  }
+
+  test("q_char_entropy as SQL equals the registry query") {
+    assertSameAsRegistry("q_char_entropy",
+      "SELECT doc_id, round(graft_char_entropy(text), 6) AS entropy FROM documents")
+  }
+
+  test("q_compression_ratio as SQL equals the registry query") {
+    assertSameAsRegistry("q_compression_ratio",
+      "SELECT doc_id, round(graft_deflate_ratio(text), 6) AS deflate_ratio FROM documents")
+  }
+
+  test("q_embed_neardup as SQL equals the registry query") {
+    assertSameAsRegistry("q_embed_neardup",
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       graft_cosine(a.embedding, b.embedding) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 400 AND b.vec_id < 400
+        |  AND graft_cosine(a.embedding, b.embedding) >= 0.3""".stripMargin)
+  }
+
+  test("q_ann_brute_force as SQL equals the registry query") {
+    assertSameAsRegistry("q_ann_brute_force",
+      """SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY graft_cosine(c.embedding, q.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+        |  WHERE q.vec_id <> c.vec_id)
+        |WHERE rank <= 5""".stripMargin)
+  }
+
+  test("q_jaccard_pairs as SQL equals the registry query") {
+    assertSameAsRegistry("q_jaccard_pairs",
+      """WITH ex AS (
+        |  SELECT doc_id AS id, size(shingles) AS set_size, shingle
+        |  FROM (SELECT doc_id, graft_word_shingles(text, 3) AS shingles FROM documents)
+        |  LATERAL VIEW explode(shingles) AS shingle),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.set_size AS size_a,
+        |         b.set_size AS size_b, count(*) AS common
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b,
+        |       CAST(common AS DOUBLE) / CAST(size_a + size_b - common AS DOUBLE) AS jaccard
+        |FROM p
+        |WHERE CAST(common AS DOUBLE) / CAST(size_a + size_b - common AS DOUBLE) >= 0.05""".stripMargin)
+  }
+
+  test("q_token_counts as SQL equals the registry query (built-ins compose with graft_*)") {
+    // escape for a Spark SQL string literal: backslashes double (the
+    // parser unescapes), single quotes double
+    val pat = graft.ext.TextAnalysis.bpeTokenPattern
+      .replace("\\", "\\\\").replace("'", "''")
+    assertSameAsRegistry("q_token_counts",
+      s"""SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE size(split(trim(text), '\\\\s+')) END AS ws_tokens,
+         |  regexp_count(text, '$pat') AS bpe_regex_tokens
+         |FROM documents""".stripMargin)
+  }
+}
