@@ -1,14 +1,22 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
- * Scale-stress harness: replicates the documents table `mult`× (ids
- * shifted so clones are distinct rows — near-dup CLUSTERS of size
- * `mult`, the adversarial shape for dedup-family ops) and times the
- * named heavy operators on it. Companion of the corpus-curation 16×
- * measurement cited in COVERAGE.md; run
- * `sbt "runMain graft.ScaleCheck /root/testdata/sf0.1 16"`.
+ * Scale-stress harness: replicates the input tables `mult`× and times
+ * the heavy operators on them, each against a wall-clock budget — the
+ * super-linear-blowup tripwire for the shapes PLANS.md claims are
+ * linear. Two corpus variants, matching the two adversarial shapes:
+ *
+ *  - `big`: ids shifted, text IDENTICAL — exact-duplicate clusters of
+ *    size `mult` (the worst case for hash-dedup bucket fan-out);
+ *  - `bigNear`: ids shifted, one replica tag appended to the text —
+ *    NEAR-duplicate clusters (Jaccard ≈ 1 − 1/tokens) that survive
+ *    exact dedup, the worst case for the LSH/curation family.
+ *
+ * Run `sbt "runMain graft.ScaleCheck /root/testdata/sf0.1 16"`; the
+ * output table is committed per round as SCALECHECK_r{N}.txt.
  */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
@@ -17,30 +25,159 @@ object ScaleCheck {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val base = spark.read.parquet(s"$dir/documents.parquet")
     val n = base.count()
-    val big = (0 until mult).map(i =>
-        base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
-          col("text"), col("lang"), col("source"), col("n_chars")))
-      .reduce(_ unionAll _)
-      .localCheckpoint(true)
+
+    def replicated(tag: Boolean): DataFrame =
+      (0 until mult).map(i =>
+          base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+            (if (tag) concat(col("text"), lit(s" repl$i")) else col("text")).as("text"),
+            col("lang"), col("source"), col("n_chars")))
+        .reduce(_ unionAll _)
+        .localCheckpoint(true)
+    val big = replicated(tag = false)
+    val bigNear = replicated(tag = true)
     println(s"[scalecheck] corpus: ${n * mult} docs (${mult}x)")
-    def time(name: String)(f: => Long): Unit = {
+
+    var allOk = true
+    def time(name: String, budgetSec: Double)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = f
-      println(f"[scalecheck] $name ${(System.nanoTime() - t0) / 1e9}%.1f s ($rows rows)")
+      val secs = (System.nanoTime() - t0) / 1e9
+      val ok = secs <= budgetSec
+      if (!ok) allOk = false
+      println(f"[scalecheck] $name ${secs}%.1f s (budget ${budgetSec}%.0f s, " +
+        f"${if (ok) "ok" else "OVER"}, $rows rows)")
     }
-    time("passage_dedup(n=4)") {
+
+    // ---- text-analysis family (r6 coverage) --------------------------
+    time("passage_dedup(n=4)", 15) {
       graft.ext.Dedup.duplicatePassageStats(big, "text", "doc_id", n = 4).count()
     }
-    time("winnow_fps(k=3,w=4)") {
+    time("winnow_fps(k=3,w=4)", 20) {
       graft.ext.TextAnalysis.winnowFingerprintsDF(big, "text", "doc_id").count()
     }
-    time("dsir_weights(B=256)") {
+    time("dsir_weights(B=256)", 20) {
       graft.ext.Sampling.dsirWeights(big, "text", "doc_id",
         col("source") === "src0").count()
     }
-    time("nb_train_score(B=128)") {
+    time("nb_train_score(B=128)", 20) {
       graft.ext.NaiveBayes.trainAndScore(big, "text", "lang", "doc_id").count()
     }
+
+    // ---- dedup/curation family (r7 additions) ------------------------
+    // capped LSH on near-dup clusters: buckets cluster but the hot-bucket
+    // valve bounds the candidate fan-out
+    time(s"minhash_capped(maxBucket=64)", 60) {
+      graft.ext.Dedup.minhashNearDuplicates(bigNear, "text", "doc_id",
+        n = 3, k = 64, bands = 16, threshold = 0.05, maxBucketSize = 64).count()
+    }
+    time("curation_lsh_composite", 120) {
+      val deduped = graft.ext.Dedup.dropExactDuplicates(bigNear, "text", "doc_id")
+      val scored = deduped.select(col("doc_id"), col("text"),
+        graft.ext.TextAnalysis.qualityScore(col("text")).as("quality"),
+        graft.ext.TextAnalysis.languageId(col("text")).as("lang_id"),
+        graft.ext.TextAnalysis.tokenCount(col("text")).as("tokens"))
+      val kept = scored.filter(col("quality") >= 0.5 && col("lang_id") =!= "und")
+        .localCheckpoint(true)
+      val pairs = graft.ext.Dedup.minhashNearDuplicates(kept, "text", "doc_id",
+        n = 3, k = 64, bands = 16, threshold = 0.05, maxBucketSize = 256)
+      graft.ext.Dedup.nearDupSurvivors(kept, "doc_id", pairs)
+        .filter(col("is_survivor"))
+        .groupBy(col("lang_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("total_tokens"))
+        .count()
+    }
+
+    // ---- sequential + validation family (many files) -----------------
+    // events replicated with DISTINCT file keys: parallelism = files,
+    // one exchange, per-file windows — the claim under test
+    val events = graft.ingest.Readers.tsToNanos(
+      spark.read.parquet(s"$dir/events.parquet"))
+    val bigEvents = (0 until mult).map(i =>
+        events.select((col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+          col("ts"), col("user_id"), col("event_type"), col("value"),
+          lit(i).as("replica")))
+      .reduce(_ unionAll _)
+      .localCheckpoint(true)
+    time(s"sequential_manyfiles(${mult * 5} files)", 30) {
+      val serial = floor(pmod(col("event_id"), lit(100000000L)) / 5).cast("long")
+      val tsCol = timestamp_micros(expr("ts div 1000"))
+      val std = bigEvents
+        .select(
+          concat(lit("f"), col("replica"), lit("_"),
+            pmod(col("event_id"), lit(5))).as(graft.sequential.SequentialChecks.FileCol),
+          serial.as(graft.sequential.SequentialChecks.SerialNumber),
+          floor(serial / 10).cast("long").as(graft.sequential.SequentialChecks.BundleId),
+          pmod(serial, lit(10)).as(graft.sequential.SequentialChecks.RecordId),
+          lit(10L).as(graft.sequential.SequentialChecks.BundleSize),
+          date_trunc("second", tsCol).as(graft.sequential.SequentialChecks.GeneratedAt),
+          date_trunc("second", tsCol).as(graft.sequential.SequentialChecks.ReceivedAt),
+          lit("log").as(graft.sequential.SequentialChecks.LogFileName))
+      graft.sequential.SequentialChecks(std).count()
+    }
+    // the shipped config_2.ini mega-projection over many replicated
+    // files: the 43-section rule suite's one wide select must scale in
+    // ROWS, its codegen cost already paid once
+    // rows replicate via a broadcast range cross-join — ONE copy of the
+    // 43-section mega-projection in the plan (a unionAll of replicas
+    // would multiply the PLAN 256×, a planner stress test, not a data
+    // one — measured: analysis alone ran minutes)
+    time(s"config2_manyfiles(${mult * 16} replicas)", 60) {
+      val suite = graft.config.SuiteLoader.fromFile(
+        "/root/reference/odevalidator/config_2.ini")
+      val records = graft.ingest.Readers.ndjson(spark,
+        "fixtures/config2/data/*.json", graft.pipeline.OdeSchema.config2Record)
+      val repl = records
+        .crossJoin(broadcast(spark.range(0, mult.toLong * 16).select(col("id").as("__r"))))
+        .withColumn("file", concat(col("file"), lit("#"), col("__r")))
+        .drop("__r")
+      graft.pipeline.ValidationPipeline.validateRecords(repl, suite)
+        .select(explode(col("validations")).as("v")).count()
+    }
+
+    // ---- events analytics ---------------------------------------------
+    time("gap_fill_hourly", 30) {
+      import org.apache.spark.sql.expressions.Window
+      val hourNs = 3600L * 1000000000L
+      val hourly = bigEvents
+        .withColumn("hour", expr(s"ts div $hourNs"))
+        .groupBy(col("hour"), col("event_type"))
+        .agg(round(sum(col("value")), 6).as("hour_value"))
+      val bounds = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"))).as("hour"))
+        .crossJoin(hourly.select(col("event_type")).distinct())
+      val filled = spine.join(hourly, Seq("hour", "event_type"), "left")
+      val wFill = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      filled
+        .withColumn("value_forward_filled",
+          coalesce(last(col("hour_value"), ignoreNulls = true).over(wFill), lit(0.0)))
+        .count()
+    }
+
+    // ---- ANN family ----------------------------------------------------
+    val embBase = spark.read.parquet(s"$dir/embeddings.parquet")
+    val bigEmb = (0 until mult).map(i =>
+        embBase.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+      .reduce(_ unionAll _)
+      .localCheckpoint(true)
+    val queries = embBase.filter(col("vec_id") < 8)
+    time("pq_topk(m=16,codes=16)", 60) {
+      graft.ext.Similarity.pqTopK(bigEmb, "vec_id", "embedding",
+        queries, "vec_id", "embedding",
+        dims = 64, m = 16, codes = 16, iters = 3, k = 5, overfetch = 8,
+        trainSampleSize = 512).count()
+    }
+    time("ivf_topk(k=5,nProbe=2)", 60) {
+      graft.ext.Similarity.ivfTopK(bigEmb, "vec_id", "embedding",
+        queries, "vec_id", "embedding",
+        embBase.filter(col("vec_id") < 4), "vec_id", "embedding",
+        k = 5, nProbe = 2).count()
+    }
+
+    println(s"[scalecheck] all_ok=$allOk")
     spark.stop()
+    if (!allOk) sys.exit(1)
   }
 }

@@ -116,7 +116,15 @@ object GraftFunctions {
       (children: Seq[Expression]) => GunzipText(children(0))),
     (FunctionIdentifier("graft_char_entropy"),
       info("graft_char_entropy", "graft_char_entropy(text) - Shannon entropy of the code-point distribution, bits/char", classOf[CharEntropy]),
-      (children: Seq[Expression]) => CharEntropy(children(0))))
+      (children: Seq[Expression]) => CharEntropy(children(0))),
+    // aggregates: the analyzer wraps a returned AggregateFunction in the
+    // AggregateExpression itself, so these work as SQL aggregates
+    (FunctionIdentifier("graft_minhash_agg"),
+      info("graft_minhash_agg", "graft_minhash_agg(hash, k) - k-slot MinHash signature over a long hash column", classOf[MinHashAgg]),
+      (children: Seq[Expression]) => MinHashAgg(children(0), asLong(children(1)).toInt)),
+    (FunctionIdentifier("graft_simhash_agg"),
+      info("graft_simhash_agg", "graft_simhash_agg(hash) - 64-bit SimHash signature over a long hash column", classOf[SimHashAgg]),
+      (children: Seq[Expression]) => SimHashAgg(children(0))))
 
   /** Register on a live session (post-build). */
   def register(spark: SparkSession): Unit =

@@ -42,6 +42,25 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(desc.contains("graft_cosine"))
   }
 
+  test("the aggregate tier works from SQL: graft_minhash_agg equals the DataFrame path") {
+    viewsReady()
+    import org.apache.spark.sql.functions.{col, explode, xxhash64}
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.graftWordShingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val api = df.groupBy(col("doc_id"))
+      .agg(graft.functions.GraftFunctions.graftMinhashAgg(col("h"), 8).as("sig"))
+      .collect().map(_.toString).sorted.toSeq
+    val sql = spark.sql(
+      """SELECT doc_id, graft_minhash_agg(h, 8) AS sig FROM (
+        |  SELECT doc_id, xxhash64(shingle) AS h FROM documents
+        |  LATERAL VIEW explode(graft_word_shingles(text, 3)) AS shingle)
+        |GROUP BY doc_id""".stripMargin)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sql == api)
+  }
+
   test("q_char_entropy as SQL equals the registry query") {
     assertSameAsRegistry("q_char_entropy",
       "SELECT doc_id, round(graft_char_entropy(text), 6) AS entropy FROM documents")
