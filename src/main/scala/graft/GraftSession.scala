@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * TIMESTAMP(NANOS) surfaced as long. */
 object GraftSession {
   def local(cpus: String): SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       // the engine's SQL surface: graft_* native functions + the as-of
       // lowering rule, injected the way a cluster deployment would
@@ -19,7 +19,13 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // SPARK_GRAFT_CODEGEN_ONLY=1: the per-round codegen audit — every
+    // expression must compile (no interpreted fallback), so a new
+    // expression that silently falls off the codegen path fails loudly
+    if (sys.env.get("SPARK_GRAFT_CODEGEN_ONLY").contains("1"))
+      b.config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+        .config("spark.sql.codegen.fallback", "false")
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -673,6 +673,156 @@ object Multimodal {
       })
   }
 
+  // ------------------------------------------------------------------
+  // Compressed-stream STRUCTURE parsers (MP3 frame walk, H.264 NAL scan)
+  // ------------------------------------------------------------------
+  // The container has no codec libraries, so SAMPLE decode for MP3/H.264
+  // stays stubbed — but the bitstream STRUCTURE is plain public-spec
+  // byte-walking, and it is the tier a corpus pipeline actually computes
+  // at scale: duration, bitrate, frame/keyframe counts come from frame
+  // headers and NAL types without ever running a DCT. Both parsers are
+  // deterministic over the bytes, tolerate trailing garbage (stop at the
+  // first invalid header — a header walk, not a resync demuxer), and map
+  // undecodable input to a sentinel row, same contract as the decoders.
+
+  /** MPEG-1 Layer III bitrate table (kbps), index 1-14; 0 is "free", 15
+   *  is forbidden — both treated as end-of-walk. */
+  private val mp3BitrateKbps =
+    Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+  /** MPEG-1 sample rates by the 2-bit header index; 3 is reserved. */
+  private val mp3SampleRates = Array(44100, 48000, 32000, -1)
+
+  /** One MP3 stream's header-walk stats; sentinel (-1, …) when no valid
+   *  frame header is found. 1152 samples per MPEG-1 Layer III frame. */
+  final case class Mp3Stats(item_id: Long, n_frames: Int, sample_rate: Int,
+                            avg_bitrate_kbps: Double, duration_ms: Long)
+
+  /** Walk MPEG-1 Layer III frame headers: sync (11 set bits), version 11
+   *  (MPEG-1), layer 01 (III), bitrate/sample-rate indices, padding bit;
+   *  frame length = 144·bitrate/sampleRate + padding. Returns
+   *  (frameCount, sampleRate, bitrateSumKbps). */
+  private[graft] def walkMp3(bytes: Array[Byte]): (Int, Int, Long) = {
+    var i = 0
+    var frames = 0
+    var sr = -1
+    var bitrateSum = 0L
+    var done = false
+    while (!done && i + 4 <= bytes.length) {
+      val b0 = bytes(i) & 0xff; val b1 = bytes(i + 1) & 0xff
+      val b2 = bytes(i + 2) & 0xff
+      val sync = b0 == 0xff && (b1 & 0xe0) == 0xe0
+      val version = (b1 >> 3) & 3   // 3 = MPEG-1
+      val layer = (b1 >> 1) & 3     // 1 = Layer III
+      val brIdx = (b2 >> 4) & 0xf
+      val srIdx = (b2 >> 2) & 3
+      val padding = (b2 >> 1) & 1
+      if (!sync || version != 3 || layer != 1 ||
+          brIdx == 0 || brIdx == 15 || srIdx == 3 ||
+          (frames > 0 && mp3SampleRates(srIdx) != sr)) {
+        done = true // not an MP3 at byte 0, or trailing garbage: stop
+      } else {
+        sr = mp3SampleRates(srIdx)
+        val bitrate = mp3BitrateKbps(brIdx)
+        bitrateSum += bitrate
+        frames += 1
+        i += 144 * bitrate * 1000 / sr + padding
+      }
+    }
+    (frames, sr, bitrateSum)
+  }
+
+  /** Per-item MP3 structure stats (frame count, sample rate, mean
+   *  bitrate, duration) from the header walk — narrow mapPartitions, no
+   *  shuffle, no sample decode. */
+  def mp3Structure(media: DataFrame): Dataset[Mp3Stats] = {
+    import media.sparkSession.implicits._
+    media.select(col("item_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (frames, sr, brSum) = walkMp3(Option(bytes).getOrElse(Array.emptyByteArray))
+        if (frames == 0) Mp3Stats(id, -1, -1, 0.0, -1L)
+        else Mp3Stats(id, frames, sr,
+          BigDecimal(brSum.toDouble / frames)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          math.round(frames * 1152.0 * 1000.0 / sr))
+      })
+  }
+
+  /** Structurally-valid MPEG-1 Layer III stream from (bitrateIdx,
+   *  padding) per frame — the independent fixture writer: headers are
+   *  real, payload bytes are 0xAA fill (a header walk cannot tell fill
+   *  from a real bit reservoir, which is the point). */
+  def mp3Bytes(srIdx: Int, frames: Seq[(Int, Int)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    frames.foreach { case (brIdx, pad) =>
+      val len = 144 * mp3BitrateKbps(brIdx) * 1000 / mp3SampleRates(srIdx) + pad
+      out.write(0xff); out.write(0xfa)            // sync + MPEG-1 Layer III
+      out.write((brIdx << 4) | (srIdx << 2) | (pad << 1))
+      out.write(0x00)                              // stereo, no emphasis
+      var i = 4
+      while (i < len) { out.write(0xaa); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** One H.264 Annex-B stream's NAL census; sentinel (-1, …) when no
+   *  start code exists. Keyframe ratio = IDR slices / all slices. */
+  final case class H264Stats(item_id: Long, n_nals: Int, n_sps: Int,
+                             n_pps: Int, n_idr: Int, n_slices: Int,
+                             keyframe_ratio: Double)
+
+  /** Scan Annex-B start codes (00 00 01, with an optional extra leading
+   *  zero) and read each NAL header's nal_unit_type (low 5 bits).
+   *  Returns the type sequence in stream order. */
+  private[graft] def scanNalTypes(bytes: Array[Byte]): Seq[Int] = {
+    val types = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i + 3 < bytes.length) {
+      if (bytes(i) == 0 && bytes(i + 1) == 0 && bytes(i + 2) == 1) {
+        if (i + 3 < bytes.length) types += (bytes(i + 3) & 0x1f)
+        i += 4
+      } else i += 1
+    }
+    types.toSeq
+  }
+
+  /** Per-item H.264 structure stats from the NAL scan: SPS/PPS counts,
+   *  IDR vs non-IDR slices, keyframe ratio — the GOP-shape signal a
+   *  video curation pass filters on (no-keyframe clips are untrimmable;
+   *  all-IDR clips are screen recordings / slideshows). */
+  def h264Structure(media: DataFrame): Dataset[H264Stats] = {
+    import media.sparkSession.implicits._
+    media.select(col("item_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val ts = scanNalTypes(Option(bytes).getOrElse(Array.emptyByteArray))
+        if (ts.isEmpty) H264Stats(id, -1, -1, -1, -1, -1, 0.0)
+        else {
+          val idr = ts.count(_ == 5)
+          val non = ts.count(_ == 1)
+          val slices = idr + non
+          H264Stats(id, ts.length, ts.count(_ == 7), ts.count(_ == 8),
+            idr, slices,
+            if (slices == 0) 0.0
+            else BigDecimal(idr.toDouble / slices)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      })
+  }
+
+  /** Annex-B stream from a NAL-type sequence — the independent fixture
+   *  writer: 4-byte start codes, real NAL headers (nal_ref_idc = 3),
+   *  0xAA RBSP fill (never forms a start code). */
+  def h264Bytes(nalTypes: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    nalTypes.foreach { t =>
+      out.write(0); out.write(0); out.write(0); out.write(1)
+      out.write(0x60 | (t & 0x1f))
+      out.write(0xaa); out.write(0xaa); out.write(0xaa)
+    }
+    out.toByteArray
+  }
+
   def imageIoCodec: () => Array[Byte] => (Int, Long) = () => {
     // javax.imageio caches plugin lookups process-wide; the per-partition
     // closure is where a heavier decoder (JNI, model) would hold state

@@ -284,6 +284,50 @@ class MultimodalSpec extends AnyFunSuite {
       "black video must not merge with the sentinel")
   }
 
+  test("MP3 header walk: frame counts, bitrate, duration; garbage and truncation stop cleanly") {
+    import spark.implicits._
+    // 3 frames at 128 kbps (idx 9), 44.1 kHz (idx 0), no padding
+    val clean = Multimodal.mp3Bytes(0, Seq.fill(3)((9, 0)))
+    val (f1, sr1, br1) = Multimodal.walkMp3(clean)
+    assert((f1, sr1, br1) == ((3, 44100, 384L)))
+    // header really is MPEG-1 Layer III sync
+    assert((clean(0) & 0xff) == 0xff && (clean(1) & 0xff) == 0xfa)
+    // mixed bitrates average; padding shifts the walk by one byte/frame
+    val mixed = Multimodal.mp3Bytes(1, Seq((1, 1), (14, 1)))
+    assert(Multimodal.walkMp3(mixed) == ((2, 48000, 32L + 320L)))
+    // trailing garbage after valid frames: frames kept, walk stops
+    val garbage = clean ++ Array.fill(64)(0x12.toByte)
+    assert(Multimodal.walkMp3(garbage)._1 == 3)
+    // truncated mid-frame: the partial last frame still counted (header
+    // was valid), next read falls off the end
+    assert(Multimodal.walkMp3(clean.take(clean.length - 10))._1 == 3)
+    // not MP3 at all -> sentinel row through the Dataset face
+    val media = Seq((1L, clean), (2L, Array[Byte](1, 2, 3))).toDF("item_id", "content")
+    val got = Multimodal.mp3Structure(media).collect().map(s => s.item_id -> s).toMap
+    assert(got(1L).n_frames == 3 && got(1L).duration_ms == 78L) // 3*1152000/44100 = 78.37
+    assert(got(1L).avg_bitrate_kbps == 128.0)
+    assert(got(2L).n_frames == -1 && got(2L).duration_ms == -1L)
+  }
+
+  test("H.264 NAL scan: census and keyframe ratio; no start code -> sentinel") {
+    import spark.implicits._
+    val gop = Multimodal.h264Bytes(Seq(7, 8, 5, 1, 1, 1))
+    assert(Multimodal.scanNalTypes(gop) == Seq(7, 8, 5, 1, 1, 1))
+    // 3-byte start codes are accepted too (strip the extra leading zero)
+    val threeByte = gop.drop(1)
+    assert(Multimodal.scanNalTypes(threeByte).head == 7)
+    val media = Seq(
+      (1L, gop),
+      (2L, Multimodal.h264Bytes(Seq(7, 8, 5))),   // all-IDR
+      (3L, Array.fill(32)(0xaa.toByte)))          // no start code
+      .toDF("item_id", "content")
+    val got = Multimodal.h264Structure(media).collect().map(s => s.item_id -> s).toMap
+    assert(got(1L).n_nals == 6 && got(1L).n_sps == 1 && got(1L).n_pps == 1)
+    assert(got(1L).n_idr == 1 && got(1L).n_slices == 4 && got(1L).keyframe_ratio == 0.25)
+    assert(got(2L).n_slices == 1 && got(2L).keyframe_ratio == 1.0)
+    assert(got(3L).n_nals == -1)
+  }
+
   test("extractFeatures yields fixed-width deterministic vectors") {
     import spark.implicits._
     val media = Multimodal.fromText(Seq((1L, "same"), (2L, "same")).toDF("id", "text"), "id", "text")
