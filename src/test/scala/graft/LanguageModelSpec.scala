@@ -86,6 +86,15 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(defaulted == unpruned)
   }
 
+  test("default-path scoring plan: model broadcasts; corpus bigrams never shuffle on the bigram key") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = LanguageModel.score(df, "text", "doc_id", df, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "a shuffle join here would key the exploded corpus on Zipfian bigrams")
+  }
+
   test("PMI plan: unigram joins and totals broadcast, top-k is TakeOrderedAndProject") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = LanguageModel.pmiCollocations(df, "text", 5L, 50)
