@@ -344,6 +344,32 @@ object EngineProperties extends Properties("graft") {
         (n < 150 || a.values.toSet.size == 3)
     }
 
+  property("MP3 header walk recovers exactly the frames the writer emitted") = {
+    // pure JVM round-trip (no Spark job): random frame lists with mixed
+    // bitrates/padding at each sample rate; the walk must recover the
+    // frame count, sample rate, and total bitrate — and survive garbage
+    val genFrames = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(1, 14), Gen.choose(0, 1))))
+    Prop.forAll(Gen.choose(0, 2), genFrames) { (srIdx, frames) =>
+      val bytes = graft.ext.Multimodal.mp3Bytes(srIdx, frames)
+      val withGarbage = bytes ++ Array.fill(7)(0x13.toByte)
+      val expectedSr = Seq(44100, 48000, 32000)(srIdx)
+      val expectedBr = frames.map { case (br, _) =>
+        Seq(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(br).toLong
+      }.sum
+      graft.ext.Multimodal.walkMp3(bytes) == ((frames.length, expectedSr, expectedBr)) &&
+        graft.ext.Multimodal.walkMp3(withGarbage)._1 == frames.length
+    }
+  }
+
+  property("H.264 NAL scan recovers exactly the writer's type sequence") = {
+    val genTypes = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(1, 5, 6, 7, 8, 9)))
+    Prop.forAll(genTypes) { types =>
+      graft.ext.Multimodal.scanNalTypes(graft.ext.Multimodal.h264Bytes(types)) == types
+    }
+  }
+
   property("winnowing DF form equals the Column form on random docs") = {
     val genDocs = Gen.choose(1, 6).flatMap(n =>
       Gen.listOfN(n, genWords.map(_.mkString(" "))))
