@@ -275,6 +275,58 @@ object Dedup {
           .as("dup_fraction"))
   }
 
+  /**
+   * Duplicate-span REMOVAL — the corpus REWRITE face of exact substring
+   * dedup ([[duplicatePassageStats]] and [[duplicateSpans]] report; this
+   * produces the training-ready token stream Lee et al. 2022 actually
+   * emit): every token covered by a corpus-duplicated n-gram window is
+   * deleted, and the surviving tokens are re-joined in order. Per doc:
+   * (doc_id, n_tokens, n_kept, n_removed, cleaned_md5) — the md5 of the
+   * cleaned space-joined stream keys the output so the whole rewrite is
+   * value-checkable without hauling text through the oracle compare; a
+   * fully-removed (or empty) doc keeps md5('') and never drops out of
+   * the result.
+   *
+   * Shape: positional tokenize + positional n-gram explode (one pass
+   * each), the gram-keyed occurrence window (long-n-gram flatness
+   * carries the skew, as in [[duplicateSpans]]), an n-wide bounded
+   * coverage explode, one doc-keyed anti-join, and a doc-keyed
+   * re-aggregation whose in-group sort is by token position. Nothing
+   * quadratic, nothing corpus-keyed.
+   */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                           n: Int = 8, minCount: Long = 2L): DataFrame = {
+    // 1-grams of an empty string are [""] under split semantics — an
+    // empty doc must contribute NO token rows (cf. LanguageModel.words)
+    val tokArr = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), 1))
+    val toks = df.select(col(idCol).as("doc_id"),
+      posexplode(tokArr).as(Seq("pos", "tok")))
+    val grams = df.select(col(idCol).as("doc_id"),
+      posexplode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), n))
+        .as(Seq("gpos", "gram")))
+    val covered = grams
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("occ") >= minCount)
+      .select(col("doc_id"),
+        explode(sequence(col("gpos"), col("gpos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val keptAgg = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ")).as("cleaned_md5"))
+    df.select(col(idCol).as("doc_id"),
+        graft.ext.TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+  }
+
   /** Shared candidate core of the exact shingle-overlap family:
    *  (id_a, id_b, size_a, size_b, common) for every pair sharing ≥1
    *  surviving shingle, id_a < id_b. */

@@ -104,4 +104,23 @@ class DedupVerifySpec extends AnyFunSuite {
     assert(got(1L) == ((1L, 6L)))
     assert(got(2L) == ((2L, 12L)), "two separated 6-token spans")
   }
+
+  test("span removal rewrites the stream: covered tokens go, the rest keep order") {
+    // same corpus as the spans case: the shared "p q r s t u" run is
+    // deleted wherever it occurs; surviving tokens re-join in order
+    val docs = Seq(
+      (0L, "x0 x1 p q r s t u y0 y1"),
+      (1L, "z0 p q r s t u z1 z2"),
+      (2L, "p q r s t u m0 m1 m2 m3 m4 p q r s t u"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "text", "doc_id", n = 4, minCount = 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(got(0L) == ((10L, 4L, 6L, m("x0 x1 y0 y1"))))
+    assert(got(1L) == ((9L, 3L, 6L, m("z0 z1 z2"))))
+    assert(got(2L) == ((17L, 5L, 12L, m("m0 m1 m2 m3 m4"))))
+    assert(got(3L) == ((0L, 0L, 0L, m(""))), "empty doc survives with md5('')")
+  }
 }
