@@ -52,6 +52,14 @@ object ScaleCheck {
     time("passage_dedup(n=4)", 15) {
       graft.ext.Dedup.duplicatePassageStats(big, "text", "doc_id", n = 4).count()
     }
+    // aggregate OVER the md5 column: a bare count() (or a foldable
+    // not-null filter) lets Catalyst eliminate the left join to the
+    // unique-keyed rewrite aggregate and time a pruned plan
+    time("span_removal(n=4)", 45) {
+      graft.ext.Dedup.removeDuplicateSpans(big, "text", "doc_id", n = 4)
+        .agg(countDistinct(col("cleaned_md5")).as("n"))
+        .collect()(0).getLong(0)
+    }
     time("winnow_fps(k=3,w=4)", 20) {
       graft.ext.TextAnalysis.winnowFingerprintsDF(big, "text", "doc_id").count()
     }
