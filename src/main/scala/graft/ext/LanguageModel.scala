@@ -80,14 +80,20 @@ object LanguageModel {
     // Eagerly checkpoint the vocab-bounded count table: the corpus is
     // exploded exactly once, and the broadcast-budget count below plus
     // the two downstream consumers (c12 join, c1 derivation) all read
-    // the materialized blocks instead of re-aggregating.
+    // the materialized blocks instead of re-aggregating. NB this makes
+    // score() eager — constructing the frame runs the training jobs,
+    // and the checkpoint blocks stay pinned until the frame is GC'd:
+    // the deliberate price of a size-checked broadcast (train once,
+    // score many batches; a per-batch retrain loop should hold ONE
+    // scored frame at a time).
     val c12All = trainBi.groupBy("bigram").agg(count(lit(1)).as("c12"))
       .localCheckpoint(true)
-    // Safe-by-default broadcast: if the caller didn't prune and the
-    // trained model exceeds the broadcast budget, auto-prune to the
-    // budget — the model side of the scoring join is NEVER unbounded.
+    // Safe-by-default broadcast: if the caller didn't prune (or asked
+    // for a prune wider than the budget), cap at the budget — the model
+    // side of the scoring join is NEVER unbounded, whatever the caller
+    // passes.
     val effectiveK =
-      if (topK > 0) topK
+      if (topK > 0) math.min(topK, maxBroadcastModelRows)
       else if (c12All.count() > maxBroadcastModelRows) maxBroadcastModelRows
       else 0
     // c(w1·) = Σ c(w1w2): derived from the vocab-bounded c12 table, not a

@@ -239,7 +239,10 @@ object Multimodal {
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(quality)
     val out = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    // explicit MemoryCache stream: ImageIO.createImageOutputStream
+    // defaults to a FILE-cache stream (a temp file per encode), which
+    // would turn the per-row encode loop into disk I/O
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
     try {
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
@@ -779,7 +782,7 @@ object Multimodal {
     var i = 0
     while (i + 3 < bytes.length) {
       if (bytes(i) == 0 && bytes(i + 1) == 0 && bytes(i + 2) == 1) {
-        if (i + 3 < bytes.length) types += (bytes(i + 3) & 0x1f)
+        types += (bytes(i + 3) & 0x1f)
         i += 4
       } else i += 1
     }

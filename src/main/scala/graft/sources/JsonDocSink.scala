@@ -25,9 +25,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *     under different uuids and only the COMMITTED attempt's file is
  *     kept;
  *  2. the driver's `BatchWrite.commit` renames staged → final
- *     `part-<i>.jsonl` and drops a `_SUCCESS` marker; `abort` deletes
- *     every staged file, so a failed job leaves NO partial output
- *     (asserted by JsonDocSinkSpec with a mid-write poison row).
+ *     `part-<i>-<jobId>.jsonl` (job-unique names — never colliding with
+ *     a previous job's output), deletes stale parts from earlier jobs
+ *     AFTER the new ones are in place (overwrite mode), and drops a
+ *     `_SUCCESS` marker last; `abort` deletes every staged file, so a
+ *     failed job leaves NO partial output (asserted by JsonDocSinkSpec
+ *     with a mid-write poison row), and a crash inside commit leaves
+ *     the previous output intact (no _SUCCESS yet ⇒ nothing committed).
  *
  * Supported field types: the metadata-document surface (string, long,
  * int, double, boolean, timestamp-as-micros); null → JSON null.
@@ -99,14 +103,24 @@ private class JsonDocBatchWrite(schema: StructType, path: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    if (truncateFirst) {
-      Option(fs.globStatus(new Path(dir, "part-*.jsonl")))
-        .foreach(_.foreach(st => fs.delete(st.getPath, false)))
-      fs.delete(new Path(dir, "_SUCCESS"), false)
-    }
+    // New parts carry a job-unique suffix, so they NEVER collide with a
+    // previous job's output; the order is rename-new-first, delete-stale
+    // second. A crash mid-commit therefore leaves either the old parts
+    // intact (no renames yet) or old+new side by side with NO _SUCCESS —
+    // never an empty directory. (Deleting the old output before the
+    // first rename would open a total-data-loss window: a failed rename
+    // aborts the job after the old parts are already gone.)
+    val jobId = UUID.randomUUID().toString
     messages.zipWithIndex.foreach { case (StagedFile(name), i) =>
-      val ok = fs.rename(new Path(dir, name), new Path(dir, f"part-$i%05d.jsonl"))
+      val ok = fs.rename(new Path(dir, name),
+        new Path(dir, f"part-$i%05d-$jobId.jsonl"))
       require(ok, s"commit rename failed for $name")
+    }
+    if (truncateFirst) {
+      fs.delete(new Path(dir, "_SUCCESS"), false)
+      Option(fs.globStatus(new Path(dir, "part-*.jsonl")))
+        .foreach(_.filterNot(_.getPath.getName.contains(jobId))
+          .foreach(st => fs.delete(st.getPath, false)))
     }
     fs.create(new Path(dir, "_SUCCESS"), true).close()
   }

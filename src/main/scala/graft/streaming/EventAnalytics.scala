@@ -111,8 +111,10 @@ object EventAnalytics {
                      streamKey: String = "user_id",
                      payloadCols: Seq[String] = Nil): DataFrame = {
     val e = graft.ingest.Readers.tsToNanos(events)
-    // payload defaults to every dim column except the join key — project
-    // the dim BEFORE passing it in to narrow the broadcast
+    // payload defaults to every dim column except the join key — the
+    // dim's width IS the broadcast width and the output schema, so
+    // project the dim BEFORE passing it in (or pass payloadCols
+    // explicitly; a streaming query's restart schema must not change)
     val payload =
       if (payloadCols.nonEmpty) payloadCols
       else dim.columns.toSeq.filterNot(_ == dimKey)

@@ -77,6 +77,19 @@ class LanguageModelSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("an over-budget explicit topK is capped at the broadcast budget") {
+    // topK wider than the budget must NOT bypass the cap: with budget 1
+    // this behaves exactly like the auto-prune-to-1 path
+    val got = LanguageModel.score(
+      Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text"), "text", "doc_id",
+      train, "text", topK = Int.MaxValue, maxBroadcastModelRows = 1)
+      .as[(Long, Long, Double)].collect().map { case (id, n, s) => id -> (n, s) }.toMap
+    assert(got(1L)._2 == BigDecimal(math.log(0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(2L)._2 == BigDecimal(math.log(1.0 / 6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("under-budget model is byte-identical to the unpruned path") {
     val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "z z")).toDF("doc_id", "text")
     val unpruned = LanguageModel.score(docs, "text", "doc_id", train, "text",
