@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -38,6 +39,32 @@ object Sampling {
       .limit(k)
 
   /**
+   * Per-group quality cap — the web-curation "at most `cap` documents
+   * per domain/source" quota (the anti-concentration rule every large
+   * crawl-derived corpus applies so one prolific domain cannot dominate
+   * the training mix). Within each group the `cap` highest-`quality`
+   * rows win; ties break by `idCol` ascending. Quality is expected
+   * 6-dp-rounded by the caller (the engine-wide near-tie discipline),
+   * so the kept set is stable across engines.
+   *
+   * Scale shape: one rank window per group — each group's slice sorts,
+   * bounded by the LARGEST group (domains are ≪ corpus; a pathological
+   * mega-domain is exactly the row-explosion this cap exists to remove,
+   * and AQE skew handling splits its sort). No global sort, no driver
+   * state.
+   *
+   * Returns the kept rows: (group, id, quality_score, quality_rank).
+   */
+  def qualityCap(df: DataFrame, groupCol: String, idCol: String,
+                 quality: Column, cap: Int): DataFrame = {
+    val scored = df.select(col(groupCol), col(idCol), quality.as("quality_score"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("quality_score").desc, col(idCol))
+    scored.withColumn("quality_rank", row_number().over(w))
+      .filter(col("quality_rank") <= cap)
+  }
+
+  /**
    * Mixture sampling — hit target per-group token shares with one
    * deterministic Bernoulli pass: group g keeps each row with rate
    * min(1, share_g · budget / size_g) where budget = budgetFrac · total
@@ -72,8 +99,6 @@ object Sampling {
       .groupBy(col(groupCol), round(col("rate"), 6).as("keep_rate"))
       .agg(count(lit(1)).as("n_kept"), sum(col(sizeCol)).as("size_kept"))
   }
-
-  import org.apache.spark.sql.expressions.Window
 
   /**
    * Exact-k-per-group uniform sample without replacement — the

@@ -73,6 +73,36 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /**
+   * Hard-negative mining for contrastive training: for each anchor, the
+   * k most cosine-similar corpus vectors whose LABEL DIFFERS from the
+   * anchor's — the near-miss negatives that make embedding models learn
+   * (easy random negatives carry almost no gradient). Anchors must be
+   * small (broadcast). Returns (anchor_id, negative_id, rank), rank 1 =
+   * hardest (most similar wrong-label) negative.
+   *
+   * Scale shape: same as [[bruteForceTopK]] — corpus scanned once against
+   * a broadcast anchor set, per-anchor top-k via rank window over the
+   * anchor-keyed slice. For corpus-sized anchor sets, mine per batch of
+   * anchors (the standard epoch-wise pattern) or swap the candidate pass
+   * to [[lshTopK]]'s bucketed join and filter labels post-hoc.
+   */
+  def hardNegatives(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    labelCol: String, anchors: DataFrame, anchorId: String,
+                    anchorVec: String, k: Int): DataFrame = {
+    val joined = corpus.crossJoin(
+      broadcast(anchors.select(col(anchorId).as("anchor_id"), col(anchorVec).as("__av"),
+        col(labelCol).as("__alabel"))))
+      .filter(col("anchor_id") =!= col(corpusId) && col(labelCol) =!= col("__alabel"))
+      .select(col("anchor_id"), col(corpusId).as("negative_id"),
+        cosine(col(corpusVec), col("__av")).as("sim"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("sim").desc, col("negative_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("negative_id"), col("rank"))
+  }
+
   /** Random-hyperplane LSH signature: `planes` sign bits packed in a long.
    *  Native codegen'd expression — plane components derive from splitmix64
    *  of (seed, plane, dim), integer mixing only, where the previous Column

@@ -25,6 +25,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(a.forall(r => r.getDouble(2) >= r.getDouble(1)))
   }
 
+  test("quality cap keeps the top-cap per group with id tie-break") {
+    // group g1: scores 5,5,3,1 with a tie at 5 — cap 2 keeps ids 1,2
+    // (tie breaks on id asc); group g2 has fewer rows than the cap
+    val df = Seq(
+      ("g1", 2L, 5.0), ("g1", 1L, 5.0), ("g1", 3L, 3.0), ("g1", 4L, 1.0),
+      ("g2", 9L, 7.0)).toDF("source", "doc_id", "q")
+    val got = Sampling.qualityCap(df, "source", "doc_id", col("q"), cap = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).sorted
+    assert(got.toSeq == Seq(("g1", 1L, 1), ("g1", 2L, 2), ("g2", 9L, 1)))
+    // quality_score column carries the score expression's value
+    val scores = Sampling.qualityCap(df, "source", "doc_id", col("q") * 2, cap = 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(scores(9L) == 14.0)
+  }
+
   test("mixture sample hits rates in (0,1] and respects group totals") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = Sampling.mixtureSample(docs, "lang", "n_chars", "doc_id",

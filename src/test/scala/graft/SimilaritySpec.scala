@@ -188,6 +188,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall $recall")
   }
 
+  test("hard negatives: top-k most-similar WRONG-label vectors, exactly") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val labels = e.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val got = Similarity.hardNegatives(e, "vec_id", "embedding", "label",
+        e.filter(col("vec_id") < 4), "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length == 4 * 5)
+    // every mined negative has a different label from its anchor
+    got.foreach { case (a, n, _) =>
+      assert(labels(n) != labels(a), s"anchor $a negative $n share label")
+    }
+    // exact agreement with an in-memory wrong-label brute force
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = vectors.toMap
+    (0L until 4L).foreach { a =>
+      val exp = vectors.filter { case (id, _) => id != a && labels(id) != labels(a) }
+        .map { case (id, v) => (id, cos(byId(a), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+      val g = got.filter(_._1 == a).sortBy(_._3).map(_._2).toSeq
+      assert(g == exp, s"anchor $a: $g != $exp")
+    }
+  }
+
   test("pcaTopComponent recovers a planted dominant axis") {
     // variance concentrated on dim 1 (scale 10) with noise on dim 0:
     // the top component must align with dim 1 and own most variance
