@@ -32,13 +32,15 @@ object Bpe {
   private[graft] def spacedRep(word: Column): Column =
     concat(lit(" "), rtrim(regexp_replace(word, "(.)", "$1  ")), lit(" "))
 
-  /** Distinct-word frequency table with spaced reps: (rep, freq). The one
-   *  corpus-touching pass. */
+  /** Distinct-word frequency table with spaced reps: (word, rep, freq).
+   *  The one corpus-touching pass. `word` rides along (word ↔ rep is a
+   *  bijection) so [[encode]] can join documents back to their final
+   *  segmentation without re-deriving reps. */
   def wordFrame(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(spacedRep(col("word")).as("rep"), col("freq"))
+      .select(col("word"), spacedRep(col("word")).as("rep"), col("freq"))
 
   /** Freq-weighted adjacent-symbol pair counts over the current reps. */
   private def pairCounts(reps: DataFrame): DataFrame =
@@ -70,7 +72,7 @@ object Bpe {
         merges += ((r, l, rr, f))
         // literal-pattern merge; localCheckpoint truncates the per-round
         // lineage (vocab-bounded frame, same discipline as Lloyd rounds)
-        reps = reps.select(
+        reps = reps.select(col("word"),
           call_function("replace", col("rep"),
             lit(s" $l  $rr "), lit(s" $l$rr ")).as("rep"),
           col("freq")).localCheckpoint(true)
@@ -92,6 +94,31 @@ object Bpe {
    *  (token, cnt, rank) — the fertility/compression readout (how much of
    *  the corpus the learned subwords cover). Counts are freq-weighted
    *  over the word frame, never a second corpus scan. */
+  /**
+   * Per-document tokenization readout under the learned merges:
+   * (id, n_words, n_tokens, fertility) — fertility = tokens/word, the
+   * number every tokenizer ablation reports (Rust et al. 2021). The
+   * corpus re-tokenizes by JOINING its exploded words to the final
+   * (word → rep) frame — symbol counting, no per-document replay — so
+   * the heavy side is one corpus-keyed equi-join against the
+   * vocab-bounded word frame (AQE picks broadcast while the vocab fits,
+   * shuffle-hash beyond that; we don't force broadcast precisely
+   * because a 100 TB corpus's vocab may not fit a driver).
+   */
+  def encode(docs: DataFrame, textCol: String, idCol: String,
+             rounds: Int): DataFrame = {
+    val (_, reps) = trainState(docs, textCol, rounds)
+    val tokCounts = reps.select(col("word"),
+      size(split(trim(col("rep")), "  ")).as("__ntok"))
+    docs.select(col(idCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(tokCounts, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__ntok")).as("n_tokens"))
+      .select(col(idCol), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words"), 6).as("fertility"))
+  }
+
   def vocab(docs: DataFrame, textCol: String, rounds: Int, k: Int): DataFrame = {
     val (_, reps) = trainState(docs, textCol, rounds)
     val counts = reps

@@ -526,11 +526,20 @@ object Dedup {
    * distance in both Spark and DuckDB, so the oracle is value-level
    * exact. Passes through every column of `pairs` and appends
    * (edit_distance, edit_sim).
+   *
+   * `prefixLen > 0` truncates both sides to that many chars before the
+   * distance — the banded-verify bound a corpus-scale run sets so one
+   * pathological pair of book-length near-dups can't pin an executor on
+   * an O(len²) cell sweep (similarity is then over the prefixes, which
+   * for near-dup confirmation is the accepted trade).
    */
   def verifyPairsByEditDistance(df: DataFrame, textCol: String, idCol: String,
-                                pairs: DataFrame, minEditSim: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(textCol).as("__text_a"))
-    val b = df.select(col(idCol).as("id_b"), col(textCol).as("__text_b"))
+                                pairs: DataFrame, minEditSim: Double,
+                                prefixLen: Int = 0): DataFrame = {
+    val text =
+      if (prefixLen > 0) substring(col(textCol), 1, prefixLen) else col(textCol)
+    val a = df.select(col(idCol).as("id_a"), text.as("__text_a"))
+    val b = df.select(col(idCol).as("id_b"), text.as("__text_b"))
     val withTexts = broadcast(broadcast(pairs).join(a, "id_a")).join(b, "id_b")
     val passthrough = pairs.columns.map(col).toSeq
     withTexts

@@ -74,6 +74,37 @@ object Similarity {
   }
 
   /**
+   * k-NN label vote — the embedding-space classifier a pipeline uses to
+   * propagate labels from a seeded set onto unlabeled data (and to sanity-
+   * check an embedding: if k-NN can't recover held-out labels, the space
+   * is junk). For each query, the k cosine-nearest LABELED corpus vectors
+   * vote; majority wins, ties break on (votes DESC, label ASC) —
+   * deterministic. Returns (query_id, pred_label, votes).
+   *
+   * Scale shape: one corpus scan against the broadcast query set (same
+   * as [[bruteForceTopK]]); the vote join broadcasts the (queries × k)
+   * neighbor frame against the corpus label projection, so the corpus
+   * never shuffles.
+   */
+  def knnClassify(corpus: DataFrame, corpusId: String, corpusVec: String,
+                  labelCol: String,
+                  queries: DataFrame, queryId: String, queryVec: String,
+                  k: Int): DataFrame = {
+    val neighbors = bruteForceTopK(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k)
+    val labels = corpus.select(col(corpusId).as("neighbor_id"),
+      col(labelCol).as("__lbl"))
+    val votes = labels.join(broadcast(neighbors), "neighbor_id")
+      .groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("__lbl"))
+    votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("__lbl").as("pred_label"), col("votes"))
+  }
+
+  /**
    * Hard-negative mining for contrastive training: for each anchor, the
    * k most cosine-similar corpus vectors whose LABEL DIFFERS from the
    * anchor's — the near-miss negatives that make embedding models learn

@@ -1,0 +1,165 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distribution statistics for corpus monitoring — the drift / association /
+ * profiling readouts a training-data pipeline runs between ingestion and
+ * export. All operators here are single-pass aggregates over category- or
+ * bin-bounded frames: nothing shuffles the corpus more than once, and the
+ * only unpartitioned windows run over frames bounded by a constant
+ * (`bins`) or by the category count, never by the data.
+ */
+object Stats {
+
+  /**
+   * Two-sample Kolmogorov–Smirnov statistic between the `valueCol`
+   * distributions of two groups — the standard "did this feed drift?"
+   * test between a reference and a candidate slice. Exact KS needs a
+   * global sort; the scale form bins both samples onto a shared
+   * `bins`-cell equi-width grid (resolution = range/bins, documented in
+   * the output) and takes the max CDF gap over bin edges — a lower
+   * bound on exact KS that converges as bins grow, and the form used at
+   * corpus scale. One corpus pass for [lo, hi] (2-value broadcast), one
+   * for bin counts; the CDF window runs over ≤ `bins` rows.
+   */
+  def ksDrift(df: DataFrame, valueCol: String, groupCol: String,
+              groupA: String, groupB: String, bins: Int = 256): DataFrame = {
+    val vals = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val bounds = vals.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val width = (col("hi") - col("lo")) / lit(bins.toDouble)
+    val binned = vals.crossJoin(broadcast(bounds))
+      .select(col("g"),
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(floor((col("v") - col("lo")) / width), lit(bins - 1L)))
+          .cast("int").as("bin"))
+    val counts = binned.groupBy(col("bin")).agg(
+      sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("g") === groupB, 1L).otherwise(0L)).as("cb"))
+    val cdf = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    counts
+      .select(
+        (sum(col("ca")).over(cdf).cast("double") / sum(col("ca")).over(all) -
+          sum(col("cb")).over(cdf).cast("double") / sum(col("cb")).over(all)).as("gap"),
+        sum(col("ca")).over(all).as("n_a"), sum(col("cb")).over(all).as("n_b"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(round(max(abs(col("gap"))), 6).as("ks_stat"))
+      .select(col("ks_stat"), col("n_a"), col("n_b"))
+  }
+
+  /**
+   * Mutual information between two categorical columns, with the
+   * marginal entropies and the normalized MI (NMI = MI/sqrt(Hx·Hy)) —
+   * the "is my source mix confounded with language?" check run before
+   * fixing sampling weights. One corpus pass to the (x, y) contingency
+   * frame; marginals ride windows over that category-bounded frame, so
+   * the corpus never shuffles twice. Natural-log units, rounded to 6 dp
+   * (the same float-sum discipline as the JS-divergence operator).
+   */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
+    val wx = Window.partitionBy(col("x"))
+    val wy = Window.partitionBy(col("y"))
+    val all = Window.partitionBy()
+    val terms = joint
+      .select(col("nxy"),
+        sum(col("nxy")).over(wx).as("nx"),
+        sum(col("nxy")).over(wy).as("ny"),
+        sum(col("nxy")).over(all).as("n"))
+      .select(col("n"),
+        (col("nxy") / col("n") * log(col("nxy") * col("n") / (col("nx") * col("ny"))))
+          .as("mi_term"))
+    // marginal entropies from their own category-bounded aggregates
+    val hx = df.groupBy(col(xCol)).agg(count(lit(1)).as("c"))
+      .agg((-sum(col("c") * log(col("c"))) / sum(col("c")) +
+        log(sum(col("c")))).as("h_x"))
+    val hy = df.groupBy(col(yCol)).agg(count(lit(1)).as("c"))
+      .agg((-sum(col("c") * log(col("c"))) / sum(col("c")) +
+        log(sum(col("c")))).as("h_y"))
+    terms.agg(sum(col("mi_term")).as("mi"), max(col("n")).as("n_rows"))
+      .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(round(col("mi"), 6).as("mi_nats"),
+        round(col("h_x"), 6).as("h_x"), round(col("h_y"), 6).as("h_y"),
+        round(col("mi") / sqrt(col("h_x") * col("h_y")), 6).as("nmi"),
+        col("n_rows"))
+  }
+
+  /**
+   * Chi-squared term–class association — the classic feature-selection
+   * score (Yang & Pedersen 1997) a curation pipeline uses to surface
+   * class-discriminative vocabulary (e.g. which words mark a language or
+   * a source). Per (term, class) the 2×2 document-frequency contingency
+   * (A = class docs with term, B = other docs with term, C/D their
+   * complements) scores N·(AD−BC)²/((A+B)(C+D)(A+C)(B+D)), computed in
+   * double from the start so no product overflows at corpus scale.
+   * Shape: one tokenize to per-doc DISTINCT terms, one (term, class)
+   * aggregate; the term marginal rides a term-keyed window over that
+   * vocab×classes frame; the class totals broadcast. Top-`k` per class.
+   */
+  def chiSquaredTerms(df: DataFrame, textCol: String, classCol: String,
+                      k: Int = 5): DataFrame = {
+    val dt = df.select(col(classCol).as("cls"),
+        explode(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val a = dt.groupBy(col("cls"), col("term")).agg(count(lit(1)).as("a"))
+    val clsTotals = df.groupBy(col(classCol).as("cls")).agg(count(lit(1)).as("n_cls"))
+    val nTotal = df.agg(count(lit(1)).as("n")).select(col("n"))
+    val wTerm = Window.partitionBy(col("term"))
+    val scored = a
+      .withColumn("n_term", sum(col("a")).over(wTerm))
+      .join(broadcast(clsTotals), "cls")
+      .crossJoin(broadcast(nTotal))
+      .select(col("cls"), col("term"), col("a").as("n_docs"), col("n"), {
+        val ad = col("a").cast("double")
+        val bd = (col("n_term") - col("a")).cast("double")
+        val cd = (col("n_cls") - col("a")).cast("double")
+        val dd = (col("n") - col("n_term") - col("n_cls") + col("a")).cast("double")
+        // (ad·dd − bd·cd)² as an explicit square: pow() is free to differ
+        // in the last bit across engines; x*x is the same IEEE op anywhere
+        val diff = ad * dd - bd * cd
+        val num = col("n").cast("double") * diff * diff
+        val den = (ad + bd) * (cd + dd) * (ad + cd) * (bd + dd)
+        when(den > 0, round(num / den, 6)).otherwise(lit(0.0)).as("chi2")
+      })
+    val w = Window.partitionBy(col("cls"))
+      .orderBy(col("chi2").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("cls"), col("term"), col("n_docs"), col("chi2"), col("rank"))
+  }
+
+  /**
+   * Column-level data profile — null count, exact distinct count, and
+   * min/max per column — the dataset-card summary emitted alongside an
+   * export. One scan: all measures are computed in a single `agg` (the
+   * distinct counts expand map-side, Spark's multi-distinct rewrite) and
+   * the 1-row result is exploded to a per-column frame driver-free.
+   * Min/max are computed in the column's native type and cast to string
+   * AFTER aggregation, so numeric order (not lexicographic) wins and
+   * date/long renderings agree across engines; double columns are
+   * deliberately out of scope (their string renderings are
+   * engine-specific) — profile those via [[ksDrift]]/robust stats.
+   */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        count_distinct(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val packed = cols.map { c =>
+      struct(lit(c).as("col_name"), col("__rows").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"), col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"), col(s"__max_$c").as("max_value"))
+    }
+    one.select(explode(array(packed: _*)).as("p")).select(col("p.*"))
+  }
+}

@@ -86,6 +86,19 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.train(df, "text", rounds = 5).count() == 0L)
   }
 
+  test("encode: per-doc token counts under the learned merges") {
+    // "ab ab b": round 1 merges (a,b); doc then tokenizes to [ab, ab, b]
+    val df = Seq((7L, "ab ab b")).toDF("doc_id", "text")
+    val r1 = graft.ext.Bpe.encode(df, "text", "doc_id", rounds = 1).collect()(0)
+    assert((r1.getLong(1), r1.getLong(2)) == ((3L, 3L)))
+    assert(r1.getDouble(3) == 1.0)
+    // zero rounds: raw char segmentation, 2+2+1 symbols over 3 words
+    val r0 = graft.ext.Bpe.encode(df, "text", "doc_id", rounds = 0).collect()(0)
+    assert((r0.getLong(1), r0.getLong(2)) == ((3L, 5L)))
+    assert(r0.getDouble(3) == BigDecimal(5.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("vocab token counts match the reference segmentation") {
     val lines = Seq("low lower lowest low low", "newer newest new low widest")
     val (_, expVocab) = refBpe(wordFreqs(lines), rounds = 4)

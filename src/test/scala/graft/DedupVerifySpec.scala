@@ -49,6 +49,22 @@ class DedupVerifySpec extends AnyFunSuite {
     assert(r.getLong(3) == 1L) // one substitution
   }
 
+  test("edit-distance verify: prefixLen bounds the compared window") {
+    // texts agree on the first 10 chars, diverge after: the truncated
+    // verify sees identical prefixes (sim 1.0), the full verify does not
+    val docs = Seq(
+      (0L, "same start then completely different tail content"),
+      (1L, "same start but the rest diverges wildly from doc zero"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L)).toDF("id_a", "id_b")
+    val truncated = Dedup.verifyPairsByEditDistance(docs, "text", "doc_id",
+      pairs, minEditSim = 0.0, prefixLen = 10).collect()(0)
+    assert(truncated.getDouble(3) == 1.0)
+    val full = Dedup.verifyPairsByEditDistance(docs, "text", "doc_id",
+      pairs, minEditSim = 0.0).collect()(0)
+    assert(full.getDouble(3) < 1.0)
+  }
+
   test("containment catches subset-duplicates that Jaccard misses") {
     // doc 2 is doc 1's text quoted whole inside unrelated framing:
     // containment of 1-in-2 is 1.0, symmetric Jaccard is well below.

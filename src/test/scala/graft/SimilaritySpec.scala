@@ -234,6 +234,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(norm - 1.0) < 1e-6)
   }
 
+  test("knnClassify: majority label of the k nearest wins, ties break low") {
+    // two tight clusters on orthogonal axes; queries sit inside each
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f), 0), (11L, Array(0.9f, 0.1f), 0),
+      (12L, Array(0.8f, 0.05f), 0),
+      (20L, Array(0.0f, 1.0f), 1), (21L, Array(0.1f, 0.9f), 1),
+      (22L, Array(0.05f, 0.8f), 1)).toDF("vec_id", "embedding", "label")
+    val queries = Seq((1L, Array(1.0f, 0.05f)), (2L, Array(0.05f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.knnClassify(corpus, "vec_id", "embedding", "label",
+      queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((0, 3L)) && got(2L) == ((1, 3L)))
+    // k spanning both clusters: 3 votes each at k=6 -> tie breaks to label 0
+    val tied = Similarity.knnClassify(corpus, "vec_id", "embedding", "label",
+      queries.filter(col("vec_id") === 1L), "vec_id", "embedding", k = 6)
+      .collect()(0)
+    assert(tied.getInt(1) == 0 && tied.getLong(2) == 3L)
+  }
+
   test("int8 quantization error is bounded by half a grid step") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val ranges = e.select(posexplode(col("embedding")).as(Seq("dim", "v")))

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Stats
+
+/** Hand-computed pins for the distribution-statistics operators
+  * ([[graft.ext.Stats]]): binned KS, mutual information, chi-squared
+  * term-class association, and the one-scan column profile. */
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ksDrift: hand-computed CDF gap on a 5-bin grid") {
+    // a: 0,1,2,3  b: 2,3,4,5 — lo=0 hi=5 width=1; CDFs diverge most at
+    // bins 1-3 where F_a - F_b = 0.5
+    val df = (Seq(0.0, 1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(2.0, 3.0, 4.0, 5.0).map(("b", _))).toDF("g", "v")
+    val r = Stats.ksDrift(df, "v", "g", "a", "b", bins = 5).collect()
+    assert(r.length == 1)
+    assert(r(0).getDouble(0) == 0.5)
+    assert(r(0).getLong(1) == 4L && r(0).getLong(2) == 4L)
+  }
+
+  test("ksDrift: identical groups and degenerate single-value range give 0") {
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    assert(Stats.ksDrift(same, "v", "g", "a", "b").collect()(0).getDouble(0) == 0.0)
+    // hi == lo: every value lands in bin 0, ks = 0 (no division blowup)
+    val flat = Seq(("a", 7.0), ("b", 7.0), ("b", 7.0)).toDF("g", "v")
+    assert(Stats.ksDrift(flat, "v", "g", "a", "b").collect()(0).getDouble(0) == 0.0)
+  }
+
+  test("mutualInformation: dependent = ln 2 with NMI 1, independent = 0") {
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")).toDF("x", "y")
+    val d = Stats.mutualInformation(dep, "x", "y").collect()(0)
+    assert(d.getDouble(0) == BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(d.getDouble(3) == 1.0) // NMI
+    assert(d.getLong(4) == 4L)
+    val ind = Seq(("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")).toDF("x", "y")
+    val i = Stats.mutualInformation(ind, "x", "y").collect()(0)
+    assert(i.getDouble(0) == 0.0 && i.getDouble(3) == 0.0)
+  }
+
+  test("chiSquaredTerms: perfect class marker scores N, shared term scores 0") {
+    // foo only in both X docs: A=2 B=0 C=0 D=2 -> chi2 = 4*(4)^2/16 = 4.0
+    // bar in one doc of each class: AD = BC -> 0
+    val df = Seq(("X", "foo bar"), ("X", "foo"), ("Y", "bar baz"), ("Y", "baz"))
+      .toDF("lang", "text")
+    val got = Stats.chiSquaredTerms(df, "text", "lang", k = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("X", "foo")) == ((2L, 4.0)))
+    assert(got(("Y", "baz")) == ((2L, 4.0)))
+    assert(got(("X", "bar"))._2 == 0.0)
+    assert(got(("Y", "bar"))._2 == 0.0)
+    // ranks: the perfect marker outranks the shared term in both classes
+    val ranks = Stats.chiSquaredTerms(df, "text", "lang", k = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(4)).toMap
+    assert(ranks(("X", "foo")) == 1 && ranks(("Y", "baz")) == 1)
+  }
+
+  test("columnProfile: nulls, exact distinct, typed min/max in one scan") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (10, 'a'), (2, 'b'), (2, CAST(NULL AS STRING)), (CAST(NULL AS INT), 'c')
+        |AS t(id, name)""".stripMargin)
+    val rows = Stats.columnProfile(df, Seq("id", "name")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val id = rows("id")
+    assert(id.getLong(1) == 4L && id.getLong(2) == 1L && id.getLong(3) == 2L)
+    // min/max cast AFTER aggregation: numeric order, so min is "2" not "10"
+    assert(id.getString(4) == "2" && id.getString(5) == "10")
+    val name = rows("name")
+    assert(name.getLong(2) == 1L && name.getLong(3) == 3L)
+    assert(name.getString(4) == "a" && name.getString(5) == "c")
+  }
+}
