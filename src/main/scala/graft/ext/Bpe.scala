@@ -90,10 +90,6 @@ object Bpe {
     trainState(docs, textCol, rounds)._1.toDF("merge_rank", "lhs", "rhs", "pair_freq")
   }
 
-  /** Corpus token counts under the learned segmentation: the top-k
-   *  (token, cnt, rank) — the fertility/compression readout (how much of
-   *  the corpus the learned subwords cover). Counts are freq-weighted
-   *  over the word frame, never a second corpus scan. */
   /**
    * Per-document tokenization readout under the learned merges:
    * (id, n_words, n_tokens, fertility) — fertility = tokens/word, the
@@ -119,6 +115,10 @@ object Bpe {
         round(col("n_tokens").cast("double") / col("n_words"), 6).as("fertility"))
   }
 
+  /** Corpus token counts under the learned segmentation: the top-k
+   *  (token, cnt, rank) — the fertility/compression readout (how much of
+   *  the corpus the learned subwords cover). Counts are freq-weighted
+   *  over the word frame, never a second corpus scan. */
   def vocab(docs: DataFrame, textCol: String, rounds: Int, k: Int): DataFrame = {
     val (_, reps) = trainState(docs, textCol, rounds)
     val counts = reps

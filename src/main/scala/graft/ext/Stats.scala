@@ -76,11 +76,13 @@ object Stats {
       .select(col("n"),
         (col("nxy") / col("n") * log(col("nxy") * col("n") / (col("nx") * col("ny"))))
           .as("mi_term"))
-    // marginal entropies from their own category-bounded aggregates
-    val hx = df.groupBy(col(xCol)).agg(count(lit(1)).as("c"))
+    // marginal entropies REUSE the joint contingency (its exchange is
+    // shared across all three branches — one corpus scan total), since
+    // the x/y marginals are just its per-axis rollups
+    val hx = joint.groupBy(col("x")).agg(sum(col("nxy")).as("c"))
       .agg((-sum(col("c") * log(col("c"))) / sum(col("c")) +
         log(sum(col("c")))).as("h_x"))
-    val hy = df.groupBy(col(yCol)).agg(count(lit(1)).as("c"))
+    val hy = joint.groupBy(col("y")).agg(sum(col("nxy")).as("c"))
       .agg((-sum(col("c") * log(col("c"))) / sum(col("c")) +
         log(sum(col("c")))).as("h_y"))
     terms.agg(sum(col("mi_term")).as("mi"), max(col("n")).as("n_rows"))
