@@ -138,6 +138,30 @@ object Stats {
   }
 
   /**
+   * Pairwise Pearson correlation over a set of numeric columns — the
+   * feature-redundancy readout of a dataset card (two near-perfectly
+   * correlated features means one is noise to a model). All C(n,2)
+   * `corr` aggregates run in ONE scan (a single `agg` call), and the
+   * 1-row result explodes to the (col_a, col_b, pearson_r) frame with
+   * no driver loop. Rounded to 6 dp: both engines compute the same
+   * co-moment quantity; accumulation-order noise is ~1e-12 relative.
+   */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      corr(col(a).cast("double"), col(b).cast("double")).as(s"__corr_${a}_$b")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val packed = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        round(col(s"__corr_${a}_$b"), 6).as("pearson_r"))
+    }
+    one.select(explode(array(packed: _*)).as("p")).select(col("p.*"))
+  }
+
+  /**
    * Column-level data profile — null count, exact distinct count, and
    * min/max per column — the dataset-card summary emitted alongside an
    * export. One scan: all measures are computed in a single `agg` (the
