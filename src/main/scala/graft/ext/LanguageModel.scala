@@ -132,6 +132,75 @@ object LanguageModel {
   }
 
   /**
+   * Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+   * smoothing every serious n-gram LM uses where [[score]]'s add-α is
+   * the didactic baseline): absolute discounting of seen bigrams plus a
+   * CONTINUATION back-off — a word's back-off mass is how many distinct
+   * histories it follows, not how often it occurs, which is what stops
+   * "francisco" (frequent, but only ever after "san") soaking up
+   * back-off probability.
+   *
+   *   P(w₂|w₁) = max(c₁₂−d, 0)/c₁ + (d·N₁₊(w₁·)/c₁)·P_cont(w₂)
+   *   P_cont(w₂) = (N₁₊(·w₂) + 1) / (D + V + 1)
+   *
+   * with N₁₊ the distinct-continuation/history counts, D the distinct
+   * bigram types, and P_cont add-1 smoothed over V+1 outcomes (vocab +
+   * unseen) so unseen words keep nonzero mass; a wholly unseen history
+   * backs off to P_cont alone. Same scale discipline as [[score]]: one
+   * corpus explode into a checkpointed vocab-bounded count table, every
+   * derived table (histories, continuations, totals) rolls up from it,
+   * the model side of the scoring join is broadcast under the same
+   * auto-prune budget, and avg_logp rounds to 6 dp. Returns
+   * (id, n_bigrams, avg_logp).
+   */
+  def kneserNeyScore(df: DataFrame, textCol: String, idCol: String,
+                     train: DataFrame, trainTextCol: String,
+                     discount: Double = 0.75, topK: Int = 0,
+                     maxBroadcastModelRows: Int = defaultMaxBroadcastModelRows): DataFrame = {
+    val trainBi = train.select(words(col(trainTextCol)).as("ws"))
+      .select(explode(bigramsOf(col("ws"))).as("bigram"))
+    val c12All = trainBi.groupBy("bigram").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val effectiveK =
+      if (topK > 0) math.min(topK, maxBroadcastModelRows)
+      else if (c12All.count() > maxBroadcastModelRows) maxBroadcastModelRows
+      else 0
+    val c12 = if (effectiveK > 0)
+      c12All.orderBy(col("c12").desc, col("bigram")).limit(effectiveK)
+    else c12All
+    // every model table derives from the (possibly pruned) bigram table,
+    // so the model stays self-consistent under pruning
+    val split12 = c12.select(col("bigram"), col("c12"),
+      split(col("bigram"), " ").getItem(0).as("w1"),
+      split(col("bigram"), " ").getItem(1).as("w2"))
+    val hist = split12.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = split12.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val totals = cont.agg(sum(col("n1b")).as("D"))
+    val v = train.select(explode(words(col(trainTextCol))).as("w"))
+      .select(countDistinct(col("w")).as("V"))
+
+    val pcont = (coalesce(col("n1b"), lit(0L)) + lit(1L)) /
+      (col("D") + col("V") + lit(1L))
+    val d = lit(discount)
+    df.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+      .select(col("id"), explode(bigramsOf(col("ws"))).as("bigram"))
+      .join(broadcast(c12), Seq("bigram"), "left")
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(broadcast(hist), Seq("w1"), "left")
+      .join(broadcast(cont), Seq("w2"), "left")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(v))
+      .select(col("id"),
+        log(when(col("c1").isNotNull,
+          greatest(coalesce(col("c12"), lit(0L)) - d, lit(0.0)) / col("c1") +
+            (d * col("n1f") / col("c1")) * pcont)
+          .otherwise(pcont)).as("logp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("logp")), 6).as("avg_logp"))
+  }
+
+  /**
    * PMI collocation mining (Church & Hanks 1990, "Word Association Norms,
    * Mutual Information, and Lexicography"): score word pairs by
    * pointwise mutual information

@@ -138,6 +138,31 @@ object Stats {
   }
 
   /**
+   * Equi-depth (quantile) binning — the feature-bucketization pass that
+   * turns a skewed numeric column into k roughly-equal-population bins
+   * (what a model's embedding table or a histogram-equalized readout
+   * wants, where equi-WIDTH bins would park 90% of rows in one cell).
+   * Boundaries are the exact k-quantiles (Spark `percentile` and DuckDB
+   * `quantile_cont` share the R-7 interpolation — bit-identical, the
+   * q_length_filter precedent); a row lands in bin 1 + #(boundaries
+   * strictly below it). One exact-percentile aggregate (a sort-free
+   * typed buffer), a (k−1)-value broadcast, one grouped pass.
+   */
+  def equiDepthBins(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 bins, got $k")
+    val v = col(valueCol).cast("double")
+    val fracs = (1 until k).map(_.toDouble / k)
+    val bounds = df.agg(
+      percentile(v, typedLit(fracs)).as("__qs"))
+    df.select(v.as("__v")).crossJoin(broadcast(bounds))
+      .select((size(filter(col("__qs"),
+        q => q < col("__v"))) + lit(1)).as("bin"), col("__v"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
+  }
+
+  /**
    * Pairwise Pearson correlation over a set of numeric columns — the
    * feature-redundancy readout of a dataset card (two near-perfectly
    * correlated features means one is noise to a model). All C(n,2)

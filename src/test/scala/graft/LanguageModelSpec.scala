@@ -108,6 +108,30 @@ class LanguageModelSpec extends AnyFunSuite {
       "a shuffle join here would key the exploded corpus on Zipfian bigrams")
   }
 
+  test("Kneser-Ney: hand-computed discount arithmetic and unseen-history backoff") {
+    // train/self-score "a b a b a c": c12 = {ab:2, ba:2, ac:1};
+    // hist a:(c1=3,n1f=2) b:(2,1); cont each n1b=1; D=3, V=3
+    val df = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val got = LanguageModel.kneserNeyScore(df, "text", "doc_id", df, "text")
+      .collect()(0)
+    val pc = 2.0 / 7.0 // (n1b+1)/(D+V+1)
+    val pAB = (2 - 0.75) / 3 + (0.75 * 2 / 3) * pc
+    val pBA = (2 - 0.75) / 2 + (0.75 * 1 / 2) * pc
+    val pAC = (1 - 0.75) / 3 + (0.75 * 2 / 3) * pc
+    val exp = (2 * math.log(pAB) + 2 * math.log(pBA) + math.log(pAC)) / 5
+    assert(got.getLong(1) == 5L)
+    assert(got.getDouble(2) == BigDecimal(exp)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // wholly unseen history backs off to the smoothed continuation:
+    // train "a b" -> D=1, V=2, P("z z") = (0+1)/(1+2+1) = 0.25
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    val z = Seq((9L, "z z")).toDF("doc_id", "text")
+    val zr = LanguageModel.kneserNeyScore(z, "text", "doc_id", train, "text")
+      .collect()(0)
+    assert(zr.getDouble(2) == BigDecimal(math.log(0.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("PMI plan: unigram joins and totals broadcast, top-k is TakeOrderedAndProject") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = LanguageModel.pmiCollocations(df, "text", 5L, 50)

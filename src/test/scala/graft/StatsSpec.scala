@@ -59,6 +59,16 @@ class StatsSpec extends AnyFunSuite {
     assert(ranks(("X", "foo")) == 1 && ranks(("Y", "baz")) == 1)
   }
 
+  test("equiDepthBins: 1..100 into deciles of exactly 10") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val bins = graft.ext.Stats.equiDepthBins(df, "v", k = 10).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(bins.size == 10)
+    bins.values.foreach { case (n, _, _) => assert(n == 10L) }
+    assert(bins(1) == ((10L, 1.0, 10.0)))
+    assert(bins(10) == ((10L, 91.0, 100.0)))
+  }
+
   test("columnProfile: nulls, exact distinct, typed min/max in one scan") {
     val df = spark.sql(
       """SELECT * FROM VALUES
