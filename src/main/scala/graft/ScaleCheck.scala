@@ -184,6 +184,33 @@ object ScaleCheck {
         k = 5, nProbe = 2).count()
     }
 
+    // ---- stats/layout/LM family (r7 batch-3 additions) ----------------
+    val liBase = spark.read.parquet(s"$dir/lineitem.parquet")
+    val bigLi = (0 until mult).map(i =>
+        liBase.select((col("l_orderkey") + lit(i.toLong * 1000000000L)).as("l_orderkey"),
+          col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax")))
+      .reduce(_ unionAll _)
+      .localCheckpoint(true)
+    time("zorder_quadrants(16bit)", 30) {
+      graft.ext.Layout.zQuadrantStats(bigLi, "l_partkey", "l_suppkey",
+        bits = 16, prefixBits = 4).count()
+    }
+    time("equidepth_bins(k=10)", 60) {
+      graft.ext.Stats.equiDepthBins(bigLi, "l_extendedprice", k = 10).count()
+    }
+    time("kn_score(self)", 90) {
+      graft.ext.LanguageModel.kneserNeyScore(big, "text", "doc_id",
+        big, "text").count()
+    }
+    time("chi2_terms(top5)", 60) {
+      graft.ext.Stats.chiSquaredTerms(big, "text", "lang", k = 5).count()
+    }
+    time("knn_classify(k=5)", 30) {
+      graft.ext.Similarity.knnClassify(bigEmb, "vec_id", "embedding", "label",
+        queries, "vec_id", "embedding", k = 5).count()
+    }
+
     println(s"[scalecheck] all_ok=$allOk")
     spark.stop()
     if (!allOk) sys.exit(1)

@@ -189,28 +189,46 @@ object Stats {
   /**
    * Column-level data profile — null count, exact distinct count, and
    * min/max per column — the dataset-card summary emitted alongside an
-   * export. One scan: all measures are computed in a single `agg` (the
-   * distinct counts expand map-side, Spark's multi-distinct rewrite) and
-   * the 1-row result is exploded to a per-column frame driver-free.
-   * Min/max are computed in the column's native type and cast to string
-   * AFTER aggregation, so numeric order (not lexicographic) wins and
-   * date/long renderings agree across engines; double columns are
-   * deliberately out of scope (their string renderings are
+   * export. Min/max are computed in the column's native type and cast
+   * to string AFTER aggregation, so numeric order (not lexicographic)
+   * wins and date/long renderings agree across engines; double columns
+   * are deliberately out of scope (their string renderings are
    * engine-specific) — profile those via [[ksDrift]]/robust stats.
+   *
+   * Two passes, both fully distributed. Rows/nulls/min/max are one
+   * cheap global `agg`. The exact distinct counts deliberately AVOID
+   * Spark's multi-distinct rewrite — n global `count_distinct`s expand
+   * the scan n+1-wide and funnel every distinct value of every column
+   * into ONE final reducer (measured 14 s where this form takes ~3 s at
+   * sf0.1): instead the columns melt to (col, value-string) pairs, the
+   * first groupBy dedups distributed on (col, value) with map-side
+   * partial dedup, and the per-column counts then partial-aggregate to
+   * n rows. String casts are injective for the supported types, so the
+   * counts are exact.
    */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        count_distinct(col(c)).as(s"__dist_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }
     val one = df.agg(count(lit(1)).as("__rows"), aggs: _*)
     val packed = cols.map { c =>
       struct(lit(c).as("col_name"), col("__rows").as("n_rows"),
-        col(s"__nulls_$c").as("n_nulls"), col(s"__dist_$c").as("n_distinct"),
+        col(s"__nulls_$c").as("n_nulls"),
         col(s"__min_$c").as("min_value"), col(s"__max_$c").as("max_value"))
     }
-    one.select(explode(array(packed: _*)).as("p")).select(col("p.*"))
+    val basic = one.select(explode(array(packed: _*)).as("p")).select(col("p.*"))
+    val melted = df.select(explode(array(cols.map { c =>
+      struct(lit(c).as("c"), col(c).cast("string").as("v"))
+    }: _*)).as("p")).select(col("p.*")).filter(col("v").isNotNull)
+    val dist = melted.distinct()
+      .groupBy(col("c")).agg(count(lit(1)).as("n_distinct"))
+      .withColumnRenamed("c", "col_name")
+    // left + coalesce: an all-null column has no distinct pairs at all
+    basic.join(broadcast(dist), Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_value"), col("max_value"))
   }
 }

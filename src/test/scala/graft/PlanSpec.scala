@@ -199,4 +199,40 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "CartesianProduct") == 0, "no cartesian in the iteration")
     assert(count(p, "Exchange rangepartitioning") == 0, "no global sort anywhere")
   }
+
+  test("q_kn_score: every model table joins broadcast, bigram stream never shuffles") {
+    val p = plan("q_kn_score")
+    assert(count(p, "SortMergeJoin") == 0,
+      "a shuffle join would key the exploded corpus on Zipfian bigrams")
+    assert(count(p, "BroadcastHashJoin") >= 3) // c12, hist, cont
+  }
+
+  test("q_zorder_stats: interleave is codegen'd arithmetic — no sort, no window") {
+    val p = plan("q_zorder_stats")
+    assert(count(p, "Exchange rangepartitioning") == 0)
+    assert(!p.contains("Window"))
+    // the two-value bounds row joins back broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("q_equidepth_bins: exact percentiles without a global sort") {
+    val p = plan("q_equidepth_bins")
+    assert(count(p, "Exchange rangepartitioning") == 0,
+      "percentile must plan as a typed aggregate buffer, not a sort")
+  }
+
+  test("q_knn_classify: corpus scans, never shuffles — all joins broadcast") {
+    val p = plan("q_knn_classify")
+    assert(count(p, "SortMergeJoin") == 0)
+    // exchanges only on the (queries x k)-bounded frames: top-k window,
+    // vote groupBy, winner window — never the corpus
+    assert(count(p, "Exchange hashpartitioning") <= 3)
+  }
+
+  test("q_column_profile: two distributed passes, no multi-distinct funnel") {
+    val p = plan("q_column_profile")
+    assert(count(p, "Scan parquet") == 2) // basic stats + melted distinct
+    assert(!p.contains("Expand"),
+      "the multi-distinct rewrite would funnel every value into one reducer")
+  }
 }
