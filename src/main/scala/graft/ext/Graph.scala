@@ -75,4 +75,53 @@ object Graph {
       .select(col("node").as("word"), round(col("score"), 6).as("score"))
       .orderBy(col("score").desc, col("word")).limit(k)
   }
+
+  /**
+   * Triangle census over an undirected edge list: distinct canonical
+   * edges (a < b), wedge enumeration pivoting on the middle node, and
+   * a closing-edge semi-probe — the standard two-join distributed
+   * triangle count (each triangle a < b < c found exactly once), plus
+   * the global clustering coefficient 3·triangles / wedges.
+   *
+   * Scale shape: both joins are node-keyed equi-joins on the deduped
+   * edge list — no all-pairs stage; wedge fan-out is Σ deg², the
+   * algorithm's inherent cost, and a hot hub is an AQE skew-split
+   * (or a degree-cap pre-filter, the standard mitigation). The wedge
+   * stream is never materialized — it flows straight into the
+   * closing-edge join.
+   *
+   * `edges` schema: (a, b), any orientation/duplication — canonicalized
+   * and deduped here.
+   */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    // canonical deduped edge set feeds four branches: checkpoint once
+    val canon = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val ends = canon.select(col("a").as("v"))
+      .unionAll(canon.select(col("b").as("v")))
+    val nodeCnt = ends.distinct().agg(count(lit(1)).as("n_nodes"))
+    val edgeCnt = canon.agg(count(lit(1)).as("n_edges"))
+    // undirected degree -> wedge count per node: deg·(deg−1)/2
+    val wedgeCnt = ends
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .agg(sum(col("deg") * (col("deg") - 1) / 2).as("wedges"))
+    // wedge a<b<c pivoting on b, closed by the (a,c) edge; the wedge
+    // stream flows straight into the closing join, never materialized
+    val e1 = canon.select(col("a").as("x"), col("b").as("y"))
+    val e2 = canon.select(col("a").as("y2"), col("b").as("z"))
+    val triCnt = e1
+      .join(e2, col("y") === col("y2"))
+      .select(col("x"), col("z"))
+      .join(canon, col("x") === canon("a") && col("z") === canon("b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nodeCnt.crossJoin(edgeCnt).crossJoin(triCnt).crossJoin(wedgeCnt)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        round(when(col("wedges") > 0,
+          lit(3.0) * col("n_triangles") / col("wedges"))
+          .otherwise(lit(0.0)), 6).as("global_clustering"))
+  }
 }

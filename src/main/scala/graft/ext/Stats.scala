@@ -231,4 +231,39 @@ object Stats {
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         col("min_value"), col("max_value"))
   }
+
+  /**
+   * Autocorrelation function of a regularly-spaced series at the given
+   * lags: Pearson corr between the series and its lag-k shift, per
+   * group — the seasonality probe (a daily cycle shows as a peak at
+   * lag 24 on hourly data).
+   *
+   * The shift is a self-equi-join on (group, index − lag) against the
+   * small exploded lag list rather than k window passes: one shuffle of
+   * the series per side keyed by group — at 100 TB the series table is
+   * already a bucket-sized aggregate, and `corr` partial-aggregates.
+   *
+   * `series` schema: (groupCol, idxCol, valueCol) with idxCol a dense
+   * integer index (gaps make a lag-k pair silently absent — fill first,
+   * cf. the gap-fill operator).
+   */
+  def autocorrelation(series: DataFrame, groupCol: String, idxCol: String,
+                      valueCol: String, lags: Seq[Int]): DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    val lagDf = lags.toDF("lag_h")
+    // distinct column names per side: a self-join on same-id attributes
+    // would resolve ambiguously
+    val cur = series.select(col(groupCol).as("_g"), col(idxCol).as("_i"),
+      col(valueCol).cast("double").as("_x"))
+    val prev = series.select(col(groupCol).as("_g2"), col(idxCol).as("_j"),
+      col(valueCol).cast("double").as("_y"))
+    cur.crossJoin(broadcast(lagDf))
+      .join(prev, col("_g") === col("_g2") &&
+        col("_j") === col("_i") - col("lag_h"))
+      .groupBy(col("_g"), col("lag_h"))
+      .agg(round(corr(col("_x"), col("_y")), 6).as("acf"),
+        count(lit(1)).as("n_pairs"))
+      .withColumnRenamed("_g", groupCol)
+  }
 }

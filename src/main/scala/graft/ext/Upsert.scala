@@ -55,4 +55,41 @@ object Upsert {
       .filter(col("_rn") === 1 && !coalesce(col(del), lit(false)))
       .drop("_rn", "_src", del)
   }
+
+  /**
+   * SCD-type-2 history build: collapse a change stream into validity
+   * intervals per key — consecutive equal attribute values (in
+   * `orderCols` order) form one island; each island becomes a row with
+   * `valid_from` (first observation), `valid_to` (next island's start,
+   * NULL while current), `is_current`, and the island's observation
+   * count. The islands trick is lag-change flag → running-sum group id;
+   * the whole op is TWO windows and one aggregate on the SAME key
+   * partitioning, so it plans as a single hash exchange on `keyCol` —
+   * the dimension-history rewrite warehouses run at every load.
+   *
+   * `orderCols` must be a deterministic total order within a key
+   * (include a unique tiebreaker, e.g. the event/order id).
+   */
+  def scd2History(df: DataFrame, keyCol: String, attrCol: String,
+                  orderCols: Seq[String]): DataFrame = {
+    val ord = orderCols.map(col)
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val islands = df
+      .withColumn("_prev", lag(col(attrCol), 1).over(w))
+      .withColumn("_chg",
+        when(col("_prev").isNull || col("_prev") =!= col(attrCol), 1)
+          .otherwise(0))
+      .withColumn("_grp",
+        sum(col("_chg")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col(keyCol), col(attrCol), col("_grp"))
+      .agg(min(col(orderCols.head)).as("valid_from"),
+        count(lit(1)).as("n_rows"))
+    val wNext = Window.partitionBy(col(keyCol)).orderBy(col("_grp"))
+    islands
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wNext))
+      .select(col(keyCol), col(attrCol), col("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"),
+        col("n_rows"))
+  }
 }

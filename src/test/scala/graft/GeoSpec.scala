@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Geo, Linkage, Sketches, Upsert}
+
+/** Hand-computed pins for the spatial/trajectory operators
+  * ([[graft.ext.Geo]]) and the round's warehouse/sketch/linkage
+  * additions: haversine against a textbook value, radius-join blocking
+  * equal to brute force across cell boundaries, trip legs, SCD2
+  * islands, count-min one-sided bias, and fuzzy best-match selection. */
+class GeoSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("haversineMeters: equator degree and pole-to-pole pins") {
+    val df = Seq((0.0, 0.0, 0.0, 1.0), (90.0, 0.0, -90.0, 0.0))
+      .toDF("lat1", "lon1", "lat2", "lon2")
+      .select(Geo.haversineMeters(col("lat1"), col("lon1"),
+        col("lat2"), col("lon2")).as("d"))
+      .collect().map(_.getDouble(0))
+    // one degree of longitude on the equator: R·π/180 ≈ 111195 m
+    assert(math.abs(df(0) - 6371000.0 * math.Pi / 180.0) < 1e-6)
+    // antipodal poles: half the great circle, R·π
+    assert(math.abs(df(1) - 6371000.0 * math.Pi) < 1e-6)
+  }
+
+  test("cellCounts: points bin to the enclosing cell, negatives floor down") {
+    val pts = Seq((0.07, -0.01, 2.0), (0.08, -0.01, 3.0), (0.02, 0.02, 5.0))
+      .toDF("lat", "lon", "v")
+    val r = Geo.cellCounts(pts, "lat", "lon", "v", 0.05)
+      .orderBy("cell_lat").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((0L, 0L, 1L), (1L, -1L, 2L)))
+    assert(r(1).getDouble(3) == 5.0) // 2.0 + 3.0 in cell (1, -1)
+  }
+
+  test("radiusJoin: cell-halo candidates equal brute force at the boundary") {
+    // probe sits just inside cell (0,0); matches straddle 3 cells
+    val probes = Seq((0L, 0.049, 0.049)).toDF("probe_id", "probe_lat", "probe_lon")
+    val pts = (0 until 100).map { i =>
+      (i.toLong, 0.0005 * i, 0.098 - 0.0005 * i)
+    }.toDF("id", "lat", "lon")
+    val blocked = Geo.radiusJoin(pts, probes, "lat", "lon", 2000.0, 0.05)
+      .select("id").as[Long].collect().sorted
+    val brute = pts.crossJoin(probes)
+      .withColumn("d", Geo.haversineMeters(col("lat"), col("lon"),
+        col("probe_lat"), col("probe_lon")))
+      .filter(col("d") <= 2000.0).select("id").as[Long].collect().sorted
+    assert(brute.nonEmpty && blocked.toSeq == brute.toSeq)
+  }
+
+  test("tripStats: two-leg trajectory sums legs and derives speed") {
+    // 3 fixes along the equator, 0.01° apart, 10 s apart
+    val ns = 1000000000L
+    val pts = Seq((1, 0L * ns, 0L, 0.0, 0.0), (1, 10L * ns, 1L, 0.0, 0.01),
+      (1, 20L * ns, 2L, 0.0, 0.02)).toDF("k", "ts", "id", "lat", "lon")
+    val r = Geo.tripStats(pts, "k", "ts", "id", "lat", "lon").collect()(0)
+    val leg = 6371000.0 * math.Pi / 180.0 * 0.01 // ≈ 1111.95 m
+    assert(r.getAs[Long]("n_fixes") == 3L)
+    assert(math.abs(r.getAs[Double]("total_m") - 2 * leg) < 0.02)
+    assert(math.abs(r.getAs[Double]("max_leg_m") - leg) < 0.02)
+    assert(r.getAs[Double]("duration_s") == 20.0)
+    assert(math.abs(r.getAs[Double]("avg_speed_mps") - 2 * leg / 20.0) < 0.01)
+  }
+
+  test("scd2History: islands collapse with correct validity chain") {
+    val ch = Seq((1, "A", 1, 10), (1, "A", 2, 11), (1, "B", 3, 12),
+      (1, "A", 4, 13), (2, "C", 1, 14)).toDF("k", "attr", "d", "id")
+    val r = Upsert.scd2History(ch, "k", "attr", Seq("d", "id"))
+      .orderBy("k", "valid_from").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getInt(2),
+        Option(x.get(3)), x.getBoolean(4), x.getLong(5)))
+    assert(r.toSeq == Seq(
+      (1, "A", 1, Some(3), false, 2L),
+      (1, "B", 3, Some(4), false, 1L),
+      (1, "A", 4, None, true, 1L),
+      (2, "C", 1, None, true, 1L)))
+  }
+
+  test("countMin: estimates are exact on a wide sketch, >= exact when squeezed") {
+    val keys = (Seq.fill(5)("x") ++ Seq.fill(3)("y") ++ Seq("z")).toDF("k")
+    val wide = Sketches.heavyHitters(keys, "k", depth = 4, width = 1024, k = 3)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(wide.toSeq == Seq(("x", 5L, 5L), ("y", 3L, 3L), ("z", 1L, 1L)))
+    // width 1: every key collides into one counter = total stream length
+    val squeezed = Sketches.heavyHitters(keys, "k", depth = 2, width = 1, k = 3)
+      .collect()
+    assert(squeezed.forall(r => r.getLong(1) == 9L && r.getLong(1) >= r.getLong(2)))
+  }
+
+  test("triangleStats: K4 has 4 triangles and clustering 1") {
+    val k4 = (for { a <- 0 to 3; b <- 0 to 3 if a < b } yield (a, b)).toDF("a", "b")
+    val r = graft.ext.Graph.triangleStats(k4).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((4L, 6L, 4L, 1.0)))
+  }
+
+  test("fuzzyBestMatch: nearest reference wins, ties break on key") {
+    val refs = Seq((1, "red widget"), (2, "red wagon"), (3, "blue widget"))
+      .toDF("rk", "rn")
+    val probes = Seq((10, "red widgez"), (11, "red xyzzy")).toDF("pk", "pn")
+    val r = Linkage.fuzzyBestMatch(probes, refs, "pk", "pn", "rk", "rn", 2)
+      .collect().map(x => (x.getInt(0), x.getInt(2), x.getInt(4), x.getLong(5)))
+    // probe 10: widget at lev 1 beats wagon (lev 5 > 2, filtered)
+    assert(r.toSeq == Seq((10, 1, 1, 1L)))
+  }
+
+  test("autocorrelation: a period-2 alternating series has acf -1 at lag 1, +1 at lag 2") {
+    val s = (0 until 20).map(i => ("g", i, if (i % 2 == 0) 1.0 else 5.0))
+      .toDF("g", "i", "v")
+    val r = graft.ext.Stats.autocorrelation(s, "g", "i", "v", Seq(1, 2))
+      .orderBy("lag_h").collect()
+    assert(r(0).getDouble(2) == -1.0 && r(1).getDouble(2) == 1.0)
+    assert(r(0).getLong(3) == 19L && r(1).getLong(3) == 18L)
+  }
+}
