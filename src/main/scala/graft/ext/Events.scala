@@ -93,4 +93,27 @@ object Events {
       .groupBy(col("cohort_bucket"), col("bucket_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /**
+   * First-order Markov transition matrix of the per-user event-type
+   * journey: (prev_type → type) bigram counts and row-normalized
+   * transition probabilities. One user-keyed window (the lag) and one
+   * type-pair aggregate; the probability normalizer is a window over
+   * the (prev_type)-grouped counts — state ∝ |type|², tiny. The
+   * product-analytics "user journey" op, and the behavioral twin of
+   * the text bigram LM in [[LanguageModel]].
+   */
+  def typeTransitions(events: DataFrame, userCol: String, tsCol: String,
+                      idCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val wRow = Window.partitionBy(col("prev_type"))
+    pairs.withColumn("p",
+      round(col("n").cast("double") / sum(col("n")).over(wRow), 6))
+  }
 }

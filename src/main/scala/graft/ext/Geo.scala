@@ -127,4 +127,134 @@ object Geo {
         round(when(col("duration_s") > 0,
           col("total_m") / col("duration_s")).otherwise(lit(0.0)), 6))
   }
+
+  /**
+   * Trip segmentation: split each key's fix stream into trips wherever
+   * the inter-fix gap exceeds `gapNs` — the sessionization islands
+   * trick (gap flag → running sum), the same shape as the engine's
+   * event sessionization but over the trajectory contract. Returns the
+   * input plus a per-key `trip_seq` (1-based).
+   */
+  def tripSegments(points: DataFrame, keyCol: String, tsCol: String,
+                   idCol: String, gapNs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    points
+      .withColumn("_prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("_new_trip",
+        when(col("_prev_ts").isNull ||
+          col(tsCol) - col("_prev_ts") > gapNs, 1).otherwise(0))
+      .withColumn("trip_seq",
+        sum(col("_new_trip")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .drop("_prev_ts", "_new_trip")
+  }
+
+  /**
+   * Per-trip roll-up over segmented fixes: fix count, intra-trip path
+   * length, duration, and the origin/destination grid cells (first/last
+   * fix at `cellDeg`). Same single key-shuffle discipline as
+   * [[tripStats]] — the leg window and the aggregate share the
+   * (key, trip) partitioning.
+   */
+  def tripSummaries(points: DataFrame, keyCol: String, tsCol: String,
+                    idCol: String, latCol: String, lonCol: String,
+                    gapNs: Long, cellDeg: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seg = tripSegments(points, keyCol, tsCol, idCol, gapNs)
+    val w = Window.partitionBy(col(keyCol), col("trip_seq"))
+      .orderBy(col(tsCol), col(idCol))
+    seg
+      .withColumn("_prev_lat", lag(col(latCol), 1).over(w))
+      .withColumn("_prev_lon", lag(col(lonCol), 1).over(w))
+      .withColumn("_leg_m",
+        haversineMeters(col("_prev_lat"), col("_prev_lon"),
+          col(latCol), col(lonCol)))
+      .withColumn("_rn_a", row_number().over(w))
+      .withColumn("_rn_d", row_number().over(
+        Window.partitionBy(col(keyCol), col("trip_seq"))
+          .orderBy(col(tsCol).desc, col(idCol).desc)))
+      .groupBy(col(keyCol), col("trip_seq"))
+      .agg(
+        count(lit(1)).as("n_fixes"),
+        round(coalesce(sum(col("_leg_m")), lit(0.0)), 2).as("trip_m"),
+        ((max(col(tsCol)) - min(col(tsCol))) / lit(1000000000L))
+          .cast("double").as("duration_s"),
+        max(when(col("_rn_a") === 1,
+          cellOf(col(latCol), cellDeg))).as("o_cell_lat"),
+        max(when(col("_rn_a") === 1,
+          cellOf(col(lonCol), cellDeg))).as("o_cell_lon"),
+        max(when(col("_rn_d") === 1,
+          cellOf(col(latCol), cellDeg))).as("d_cell_lat"),
+        max(when(col("_rn_d") === 1,
+          cellOf(col(lonCol), cellDeg))).as("d_cell_lon"))
+  }
+
+  /**
+   * Origin–destination matrix: trips rolled up to (origin cell →
+   * destination cell) counts — the flow aggregation transit planners
+   * run over CV trajectories. One extra map-side-combined aggregate
+   * over [[tripSummaries]].
+   */
+  def odMatrix(points: DataFrame, keyCol: String, tsCol: String,
+               idCol: String, latCol: String, lonCol: String,
+               gapNs: Long, cellDeg: Double): DataFrame =
+    tripSummaries(points, keyCol, tsCol, idCol, latCol, lonCol,
+        gapNs, cellDeg)
+      .groupBy(col("o_cell_lat"), col("o_cell_lon"),
+        col("d_cell_lat"), col("d_cell_lon"))
+      .agg(count(lit(1)).as("n_trips"),
+        round(avg(col("trip_m")), 2).as("avg_trip_m"))
+
+  /**
+   * Spatio-temporal co-location: pairs of DISTINCT keys with fixes
+   * within `distM` meters AND `dtNs` nanos of each other, aggregated to
+   * per-pair encounter counts. Candidate generation is an equi-join on
+   * a composite (cell, timeBucket) key with the 3×3 spatial halo and
+   * ±1 temporal halo exploded on ONE side (27× that side, nothing on
+   * the other) — both sides shuffle once by the composite key, never
+   * all-pairs; correct iff `distM` fits one cell edge and `dtNs` one
+   * bucket, the same halo-covers-radius contract as [[radiusJoin]].
+   * A pair can surface through several buckets, so candidates dedup on
+   * the event-id pair before verification counts them.
+   */
+  def colocationPairs(points: DataFrame, keyCol: String, idCol: String,
+                      tsCol: String, latCol: String, lonCol: String,
+                      distM: Double, dtNs: Long,
+                      cellDeg: Double): DataFrame = {
+    def sided(tag: String) = points.select(
+      col(keyCol).as(s"${tag}_key"), col(idCol).as(s"${tag}_id"),
+      col(tsCol).as(s"${tag}_ts"), col(latCol).as(s"${tag}_lat"),
+      col(lonCol).as(s"${tag}_lon"),
+      cellOf(col(latCol), cellDeg).as(s"${tag}_cl"),
+      cellOf(col(lonCol), cellDeg).as(s"${tag}_cn"),
+      // integer `div`, not floor(double /): epoch nanos exceed double's
+      // 53-bit exact range, and a boundary misassignment would defeat
+      // the ±1 temporal halo
+      expr(s"$tsCol div $dtNs").as(s"${tag}_tb"))
+    val a = sided("a")
+    val b = sided("b")
+      .withColumn("dlat", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dlon", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dtb", explode(sequence(lit(-1), lit(1))))
+      .select(col("b_key"), col("b_id"), col("b_ts"), col("b_lat"),
+        col("b_lon"), (col("b_cl") + col("dlat")).as("b_cl"),
+        (col("b_cn") + col("dlon")).as("b_cn"),
+        (col("b_tb") + col("dtb")).as("b_tb"))
+    a.join(b,
+        col("a_cl") === col("b_cl") && col("a_cn") === col("b_cn") &&
+          col("a_tb") === col("b_tb") && col("a_key") < col("b_key"))
+      .select(col("a_key"), col("b_key"), col("a_id"), col("b_id"),
+        col("a_ts"), col("b_ts"), col("a_lat"), col("a_lon"),
+        col("b_lat"), col("b_lon"))
+      .distinct() // one candidate per event pair, whatever bucket found it
+      .withColumn("dist_m",
+        haversineMeters(col("a_lat"), col("a_lon"),
+          col("b_lat"), col("b_lon")))
+      .filter(col("dist_m") <= lit(distM) &&
+        abs(col("a_ts") - col("b_ts")) <= lit(dtNs))
+      .groupBy(col("a_key").as("key_a"), col("b_key").as("key_b"))
+      .agg(count(lit(1)).as("n_encounters"),
+        round(min(col("dist_m")), 2).as("closest_m"))
+  }
 }

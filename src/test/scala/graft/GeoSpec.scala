@@ -107,6 +107,77 @@ class GeoSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((10, 1, 1, 1L)))
   }
 
+  test("tripSegments/tripSummaries: gaps split trips, legs stay intra-trip") {
+    val ns = 1000000000L
+    // user 1: fixes at 0s,10s then a 2h gap then 7210s,7220s — two trips
+    val pts = Seq(
+      (1, 0L * ns, 0L, 0.0, 0.00), (1, 10L * ns, 1L, 0.0, 0.01),
+      (1, 7210L * ns, 2L, 0.0, 0.10), (1, 7220L * ns, 3L, 0.0, 0.11))
+      .toDF("k", "ts", "id", "lat", "lon")
+    val r = graft.ext.Geo.tripSummaries(pts, "k", "ts", "id", "lat", "lon",
+        gapNs = 3600L * ns, cellDeg = 0.05)
+      .orderBy("trip_seq").collect()
+    assert(r.length == 2)
+    val leg = 6371000.0 * math.Pi / 180.0 * 0.01
+    assert(r.map(_.getAs[Long]("n_fixes")).toSeq == Seq(2L, 2L))
+    // each trip covers ONE 0.01° leg — the 0.09° inter-trip jump is not counted
+    assert(r.forall(x => math.abs(x.getAs[Double]("trip_m") - leg) < 0.02))
+    assert(r(0).getAs[Long]("o_cell_lon") == 0L) // origin cell of trip 1
+    assert(r(1).getAs[Long]("o_cell_lon") == 2L) // 0.10 / 0.05
+  }
+
+  test("colocationPairs: halo join equals brute force, same-key pairs excluded") {
+    val ns = 1000000000L
+    val pts = (0 until 60).map { i =>
+      // 3 users interleaved in time, walking near the 0.02° cell boundary
+      (i % 3, i.toLong, i * 60L * ns, 0.0195 + 0.0002 * (i / 3), 0.02 - 0.0002 * (i / 3))
+    }.toDF("k", "id", "ts", "lat", "lon")
+    val blocked = graft.ext.Geo.colocationPairs(pts, "k", "id", "ts",
+        "lat", "lon", distM = 300.0, dtNs = 120L * ns, cellDeg = 0.01)
+      .orderBy("key_a", "key_b").collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getLong(2)))
+    val a = pts.select(col("k").as("ka"), col("ts").as("ta"),
+      col("lat").as("la"), col("lon").as("na"))
+    val brute = a.crossJoin(pts)
+      .filter(col("ka") < col("k") &&
+        abs(col("ta") - col("ts")) <= 120L * ns)
+      .withColumn("d", Geo.haversineMeters(col("la"), col("na"),
+        col("lat"), col("lon")))
+      .filter(col("d") <= 300.0)
+      .groupBy(col("ka"), col("k")).agg(count(lit(1)).as("n"))
+      .orderBy("ka", "k").collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getLong(2)))
+    assert(brute.nonEmpty && blocked.toSeq == brute.toSeq)
+    assert(blocked.forall(p => p._1 < p._2))
+  }
+
+  test("typeTransitions: bigram counts and row-normalized probabilities") {
+    val ns = 1000000000L
+    val ev = Seq((1, 0L, 0L, "a"), (1, 1L * ns, 1L, "b"), (1, 2L * ns, 2L, "a"),
+      (1, 3L * ns, 3L, "b"), (2, 0L, 4L, "a"), (2, 1L * ns, 5L, "c"))
+      .toDF("u", "ts", "id", "t")
+    val r = graft.ext.Events.typeTransitions(ev, "u", "ts", "id", "t")
+      .orderBy("prev_type", "next_type").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+    // from 'a': a→b twice, a→c once; from 'b': b→a once
+    assert(r.toSeq == Seq(("a", "b", 2L, 0.666667), ("a", "c", 1L, 0.333333),
+      ("b", "a", 1L, 1.0)))
+  }
+
+  test("ntileFromRank matches the ntile window for ragged n") {
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(3, 7, 10, 11, 23); k <- Seq(2, 5)) {
+      val df = (1 to n).map(i => (i.toLong, n.toLong)).toDF("r", "n")
+      val got = df.select(col("r"),
+          graft.ext.Ranking.ntileFromRank("r", "n", k).as("b"))
+        .orderBy("r").collect().map(_.getAs[Any]("b").toString.toLong)
+      val want = df.select(col("r"),
+          ntile(k).over(Window.orderBy(col("r"))).as("b"))
+        .orderBy("r").collect().map(_.getInt(1).toLong)
+      assert(got.toSeq == want.toSeq, s"n=$n k=$k")
+    }
+  }
+
   test("autocorrelation: a period-2 alternating series has acf -1 at lag 1, +1 at lag 2") {
     val s = (0 until 20).map(i => ("g", i, if (i % 2 == 0) 1.0 else 5.0))
       .toDF("g", "i", "v")
