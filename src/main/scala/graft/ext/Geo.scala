@@ -161,32 +161,42 @@ object Geo {
                     idCol: String, latCol: String, lonCol: String,
                     gapNs: Long, cellDeg: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val seg = tripSegments(points, keyCol, tsCol, idCol, gapNs)
-    val w = Window.partitionBy(col(keyCol), col("trip_seq"))
-      .orderBy(col(tsCol), col(idCol))
-    seg
+    // Everything rides the KEY window — a (key, trip) window would cost
+    // a second exchange, but hashpartitioning(key) already colocates a
+    // key's trips: legs are nulled at trip starts instead of
+    // partition-reset, trip ends come from lead(new_trip), and the
+    // (key, trip_seq) groupBy re-uses the window's exchange.
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fixes = points
+      .withColumn("_prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("_new_trip",
+        when(col("_prev_ts").isNull ||
+          col(tsCol) - col("_prev_ts") > gapNs, 1).otherwise(0))
+      .withColumn("trip_seq", sum(col("_new_trip")).over(wCum))
       .withColumn("_prev_lat", lag(col(latCol), 1).over(w))
       .withColumn("_prev_lon", lag(col(lonCol), 1).over(w))
       .withColumn("_leg_m",
-        haversineMeters(col("_prev_lat"), col("_prev_lon"),
-          col(latCol), col(lonCol)))
-      .withColumn("_rn_a", row_number().over(w))
-      .withColumn("_rn_d", row_number().over(
-        Window.partitionBy(col(keyCol), col("trip_seq"))
-          .orderBy(col(tsCol).desc, col(idCol).desc)))
+        when(col("_new_trip") === 1, lit(null).cast("double"))
+          .otherwise(haversineMeters(col("_prev_lat"), col("_prev_lon"),
+            col(latCol), col(lonCol))))
+      .withColumn("_nxt_new", lead(col("_new_trip"), 1).over(w))
+      .withColumn("_is_last",
+        col("_nxt_new").isNull || col("_nxt_new") === 1)
+    fixes
       .groupBy(col(keyCol), col("trip_seq"))
       .agg(
         count(lit(1)).as("n_fixes"),
         round(coalesce(sum(col("_leg_m")), lit(0.0)), 2).as("trip_m"),
         ((max(col(tsCol)) - min(col(tsCol))) / lit(1000000000L))
           .cast("double").as("duration_s"),
-        max(when(col("_rn_a") === 1,
+        max(when(col("_new_trip") === 1,
           cellOf(col(latCol), cellDeg))).as("o_cell_lat"),
-        max(when(col("_rn_a") === 1,
+        max(when(col("_new_trip") === 1,
           cellOf(col(lonCol), cellDeg))).as("o_cell_lon"),
-        max(when(col("_rn_d") === 1,
+        max(when(col("_is_last"),
           cellOf(col(latCol), cellDeg))).as("d_cell_lat"),
-        max(when(col("_rn_d") === 1,
+        max(when(col("_is_last"),
           cellOf(col(lonCol), cellDeg))).as("d_cell_lon"))
   }
 

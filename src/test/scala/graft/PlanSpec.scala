@@ -235,4 +235,49 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Expand"),
       "the multi-distinct rewrite would funnel every value into one reducer")
   }
+
+  test("q_geo_radius_join: probe halo broadcasts — the point table never shuffles") {
+    val p = plan("q_geo_radius_join")
+    assert(p.contains("BroadcastExchange"))
+    assert(count(p, "Exchange hashpartitioning") == 0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_geo_cellcount: one map-side-combined exchange on the cell key") {
+    val p = plan("q_geo_cellcount")
+    assert(count(p, "Exchange hashpartitioning") == 1)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"))
+  }
+
+  test("q_trip_segments: segmentation, legs and trip agg ride ONE user exchange") {
+    val p = plan("q_trip_segments")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      "the (key, trip) roll-up must reuse the key window's exchange")
+  }
+
+  test("q_colocation: halo equi-join — no cartesian, bounded exchanges") {
+    val p = plan("q_colocation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "spatio-temporal candidates must come from the composite-key equi-join")
+  }
+
+  test("q_cms_topk: the sketch broadcasts, top-k is TakeOrdered not a sort") {
+    val p = plan("q_cms_topk")
+    assert(p.contains("BroadcastExchange"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(count(p, "Exchange rangepartitioning") == 0)
+  }
+
+  test("q_scd2_history: islands, intervals and lead all ride ONE custkey exchange") {
+    val p = plan("q_scd2_history")
+    assert(count(p, "Exchange hashpartitioning") == 1)
+  }
+
+  test("q_rfm: no single-partition window — ranks come from range exchanges") {
+    val p = plan("q_rfm")
+    assert(!p.contains("Window "), "ntile must not plan as a global window")
+    // the only SinglePartition is the 1-ROW global count, broadcast back
+    assert(count(p, "Exchange SinglePartition") == 1)
+    assert(p.contains("BroadcastExchange"))
+  }
 }
