@@ -211,6 +211,65 @@ object ScaleCheck {
         queries, "vec_id", "embedding", k = 5).count()
     }
 
+    // ---- geo/trajectory family (r7 batch 4) ---------------------------
+    // Replicas shift ts by ~231 days AND keep identical coordinates
+    // (user_id + i·100000 preserves the %50/%70 base): spatially the
+    // worst case (every cell 16× denser) but temporally disjoint, so
+    // co-location OUTPUT stays ∝ mult while the halo join carries the
+    // full 16× through the (cell, bucket) shuffle — the plan stress,
+    // not an output-bound blowup.
+    val geoPts = (0 until mult).map(i =>
+        events.select(
+          (col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+          (col("ts") + lit(i.toLong * 20000000000000000L)).as("ts"),
+          (col("user_id") + lit(i.toLong * 100000L)).as("user_id"),
+          col("value")))
+      .reduce(_ unionAll _)
+      .select(col("event_id"), col("user_id"), col("value"), col("ts"),
+        expr("39e0 + (user_id % 50) * 1e-2 + ((event_id * 7919) % 1000) * 1e-5").as("lat"),
+        expr("-105e0 + (user_id % 70) * 1e-2 + ((event_id * 104729) % 1000) * 1e-5").as("lon"))
+      .localCheckpoint(true)
+    time("geo_colocation(1km,2h)", 90) {
+      graft.ext.Geo.colocationPairs(geoPts, "user_id", "event_id", "ts",
+        "lat", "lon", distM = 1000.0, dtNs = 7200000000000L,
+        cellDeg = 0.02).count()
+    }
+    time("geo_radius_join(900m)", 30) {
+      val probes = spark.range(20).select(col("id").as("probe_id"),
+        expr("39e0 + (id % 10) * 5e-2 + 13e-3").as("probe_lat"),
+        expr("-105e0 + id * 35e-3 + 7e-3").as("probe_lon"))
+      graft.ext.Geo.radiusJoin(geoPts, probes, "lat", "lon",
+        radiusM = 900.0, cellDeg = 0.05).count()
+    }
+    time("trip_summaries(48h gap)", 30) {
+      graft.ext.Geo.tripSummaries(geoPts, "user_id", "ts", "event_id",
+        "lat", "lon", gapNs = 172800000000000L, cellDeg = 0.05).count()
+    }
+    // 16 DISJOINT co-purchase graphs (keys shifted per replica): the
+    // wedge fan-out must scale with Σ deg², not (16·deg)²
+    time("triangle_census(disjoint)", 60) {
+      val lp = (0 until mult).map(i =>
+          liBase.select(
+            (col("l_orderkey") + lit(i.toLong * 1000000000L)).as("ok"),
+            (col("l_partkey") + lit(i.toLong * 10000000L)).as("pk")))
+        .reduce(_ unionAll _)
+        .filter(col("pk") % 7 === 0)
+        .distinct()
+      val edges = lp.as("x").join(lp.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      graft.ext.Graph.triangleStats(edges).count()
+    }
+    // the token stream grows 16× but the SKETCH stays depth×width —
+    // the whole point of the operator
+    time("cms_heavy_hitters(d4,w512)", 30) {
+      val toks = bigNear
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      graft.ext.Sketches.heavyHitters(toks, "tok",
+        depth = 4, width = 512, k = 20).count()
+    }
+
     println(s"[scalecheck] all_ok=$allOk")
     spark.stop()
     if (!allOk) sys.exit(1)
