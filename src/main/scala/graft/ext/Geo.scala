@@ -96,6 +96,45 @@ object Geo {
   }
 
   /**
+   * Point-in-convex-polygon containment as pure Column algebra: the
+   * half-plane test per edge (vertices in counter-clockwise (lat, lon)
+   * order, lon as x / lat as y), reduced by AND. Codegen'd arithmetic,
+   * no geometry library — at planar city scale the equirectangular
+   * approximation these tests imply is the standard choice.
+   */
+  def inConvexPolygon(lat: Column, lon: Column,
+                      verts: Seq[(Double, Double)]): Column =
+    verts.indices.map { i =>
+      val (y1, x1) = verts(i)
+      val (y2, x2) = verts((i + 1) % verts.size)
+      (lit(x2 - x1) * (lat - lit(y1)) -
+        lit(y2 - y1) * (lon - lit(x1))) >= 0
+    }.reduce(_ && _)
+
+  /**
+   * Geofence aggregation: each point tested against every zone (a
+   * broadcast-small literal list), zone membership exploded, per-zone
+   * count + value mean. A point inside overlapping zones counts in
+   * each — the alerting contract. One narrow projection + one
+   * zone-keyed aggregate; the point table never shuffles by anything
+   * wider than the zone name.
+   *
+   * `zones`: (name, CCW vertices) pairs.
+   */
+  def geofenceCounts(points: DataFrame, latCol: String, lonCol: String,
+                     valueCol: String,
+                     zones: Seq[(String, Seq[(Double, Double)])]): DataFrame =
+    points
+      .select(col(valueCol).as("_v"),
+        explode(array(zones.map { case (name, vs) =>
+          when(inConvexPolygon(col(latCol), col(lonCol), vs), lit(name))
+        }: _*)).as("zone"))
+      .filter(col("zone").isNotNull)
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_points"),
+        round(avg(col("_v")), 6).as("avg_value"))
+
+  /**
    * Per-key trajectory statistics: order each key's fixes by
    * (tsCol, idCol), measure consecutive-fix haversine legs, and reduce
    * to path length, sharpest leg, duration and mean speed. One

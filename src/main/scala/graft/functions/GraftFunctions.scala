@@ -124,7 +124,28 @@ object GraftFunctions {
       (children: Seq[Expression]) => MinHashAgg(children(0), asLong(children(1)).toInt)),
     (FunctionIdentifier("graft_simhash_agg"),
       info("graft_simhash_agg", "graft_simhash_agg(hash) - 64-bit SimHash signature over a long hash column", classOf[SimHashAgg]),
-      (children: Seq[Expression]) => SimHashAgg(children(0))))
+      (children: Seq[Expression]) => SimHashAgg(children(0))),
+    // macro-style: expands to the same built-in operation sequence as
+    // the DataFrame API (graft.ext.Geo.haversineMeters) — identical
+    // IEEE result — built as RESOLVED Catalyst nodes (the Column
+    // bridge would hand the analyzer an unevaluable ColumnNode)
+    (FunctionIdentifier("graft_haversine"),
+      info("graft_haversine", "graft_haversine(lat1, lon1, lat2, lon2) - great-circle distance in meters (haversine, degrees in)", classOf[Expression]),
+      (children: Seq[Expression]) => haversineExpr(children)))
+
+  private def haversineExpr(c: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Asin, Cast, Cos, Divide, Literal, Multiply, Pow, Sin, Sqrt, Subtract, ToRadians}
+    import org.apache.spark.sql.types.DoubleType
+    require(c.length == 4, "graft_haversine(lat1, lon1, lat2, lon2)")
+    val Seq(lat1, lon1, lat2, lon2) = c.map(e => Cast(e, DoubleType): Expression)
+    def sq(e: Expression) = Pow(e, Literal(2.0))
+    def rad(e: Expression) = ToRadians(e)
+    val h = Add(
+      sq(Sin(Divide(rad(Subtract(lat2, lat1)), Literal(2.0)))),
+      Multiply(Multiply(Cos(rad(lat1)), Cos(rad(lat2))),
+        sq(Sin(Divide(rad(Subtract(lon2, lon1)), Literal(2.0))))))
+    Multiply(Literal(2.0 * graft.ext.Geo.EarthRadiusM), Asin(Sqrt(h)))
+  }
 
   /** Register on a live session (post-build). */
   def register(spark: SparkSession): Unit =

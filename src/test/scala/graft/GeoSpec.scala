@@ -107,6 +107,25 @@ class GeoSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((10, 1, 1, 1L)))
   }
 
+  test("inConvexPolygon/geofenceCounts: half-plane tests, overlap counts twice") {
+    val tri = Seq((0.0, 0.0), (0.0, 2.0), (2.0, 1.0)) // CCW triangle
+    val sq = Seq((0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0))
+    // at lat 0.5 the right edge of the triangle is lon 1.75: 1.7 in, 1.8 out
+    val pts = Seq((0.5, 0.5, 1.0), (0.5, 1.7, 2.0), (0.5, 1.8, 3.0),
+      (1.9, 1.0, 4.0), (3.0, 3.0, 8.0)).toDF("lat", "lon", "v")
+    val in = pts.select(col("lat"),
+      Geo.inConvexPolygon(col("lat"), col("lon"), tri).as("t"),
+      Geo.inConvexPolygon(col("lat"), col("lon"), sq).as("s")).collect()
+      .map(r => (r.getBoolean(1), r.getBoolean(2)))
+    assert(in.toSeq == Seq((true, true), (true, false), (false, false),
+      (true, false), (false, false)))
+    val z = Geo.geofenceCounts(pts, "lat", "lon", "v",
+        Seq("tri" -> tri, "sq" -> sq)).orderBy("zone").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // (0.5,0.5) is inside BOTH zones — counted in each
+    assert(z.toSeq == Seq(("sq", 1L, 1.0), ("tri", 3L, 2.333333)))
+  }
+
   test("tripSegments/tripSummaries: gaps split trips, legs stay intra-trip") {
     val ns = 1000000000L
     // user 1: fixes at 0s,10s then a 2h gap then 7210s,7220s — two trips

@@ -120,4 +120,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
          |  regexp_count(text, '$pat') AS bpe_regex_tokens
          |FROM documents""".stripMargin)
   }
+
+  test("graft_haversine from SQL equals the DataFrame expression tree") {
+    import org.apache.spark.sql.functions.col
+    val viaSql = spark.sql(
+      "SELECT graft_haversine(0e0, 0e0, 0e0, 1e0) AS d").collect()(0).getDouble(0)
+    val viaDf = spark.range(1).select(
+        graft.ext.Geo.haversineMeters(
+          col("id").cast("double") * 0, col("id").cast("double") * 0,
+          col("id").cast("double") * 0, col("id").cast("double") * 0 + 1)
+          .as("d"))
+      .collect()(0).getDouble(0)
+    assert(viaSql == viaDf) // identical tree -> identical IEEE result
+    assert(math.abs(viaSql - 6371000.0 * math.Pi / 180.0) < 1e-6)
+  }
 }
