@@ -179,4 +179,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(expectedClosed.nonEmpty, "vacuous: no session ever closes in the fixture")
     assert(got == expectedClosed)
   }
+
+  test("streaming geofence counts equal batch over the same files") {
+    // the geofence aggregate (explode zones -> filter -> groupBy) is a
+    // plain streaming-compatible aggregation: the alerting face of
+    // ext.Geo runs unchanged on a stream in Complete mode
+    val zones = Seq(
+      "west" -> Seq((39.0, -105.0), (39.0, -104.8), (39.5, -104.8), (39.5, -105.0)),
+      "east" -> Seq((39.0, -104.8), (39.0, -104.3), (39.5, -104.3), (39.5, -104.8)))
+    def geo(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Geo.geofenceCounts(
+        graft.ingest.Readers.tsToNanos(df).select(col("value"),
+          expr("39e0 + (user_id % 50) * 1e-2 + ((event_id * 7919) % 1000) * 1e-5").as("lat"),
+          expr("-105e0 + (user_id % 70) * 1e-2 + ((event_id * 104729) % 1000) * 1e-5").as("lon")),
+        "lat", "lon", "value", zones)
+
+    val expected = geo(spark.read.parquet(eventsFile))
+      .collect().map(_.toString).sorted.toSeq
+
+    val stream = spark.readStream.schema(rawSchema).parquet(eventsPath)
+    val q = geo(stream)
+      .writeStream.format("memory").queryName("geofence_out")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("geofence_out").collect().map(_.toString).sorted.toSeq
+    assert(expected.nonEmpty && got == expected)
+  }
 }
