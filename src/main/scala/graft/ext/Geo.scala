@@ -135,6 +135,60 @@ object Geo {
         round(avg(col("_v")), 6).as("avg_value"))
 
   /**
+   * Bounded-radius k-nearest-neighbors: for each probe, the `k`
+   * closest points within `maxRadiusM` — [[radiusJoin]]'s halo
+   * candidates cut by a per-probe window over (distance, id), the
+   * deterministic total order. The radius bound is what keeps the op
+   * an equi-join (true unbounded kNN needs an expanding search — at
+   * 100 TB you pick the radius you actually care about, exactly like
+   * an LSH probe budget). Window state is probe-bounded.
+   */
+  def geoKnn(points: DataFrame, probes: DataFrame,
+             latCol: String, lonCol: String, idCol: String,
+             k: Int, maxRadiusM: Double, cellDeg: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dist_m"), col(idCol))
+    radiusJoin(points, probes, latCol, lonCol, maxRadiusM, cellDeg)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col(idCol),
+        round(col("dist_m"), 2).as("dist_m"))
+  }
+
+  /**
+   * Trajectory similarity: users whose visited-cell SETS overlap —
+   * per-key distinct grid cells, candidate pairs through the shared-
+   * cell inverted index (the same bounded-bucket discipline as the
+   * n-gram Jaccard family — never all-pairs), exact Jaccard ≥
+   * `threshold` on the candidate set. A hub cell every vehicle crosses
+   * is the hot-bucket case: cap or drop top-df cells exactly like
+   * hot shingles (documented valve, not applied by default).
+   */
+  def trajectoryJaccard(points: DataFrame, keyCol: String,
+                        latCol: String, lonCol: String,
+                        cellDeg: Double, threshold: Double): DataFrame = {
+    val cells = points.select(col(keyCol),
+        cellOf(col(latCol), cellDeg).as("cl"),
+        cellOf(col(lonCol), cellDeg).as("cn"))
+      .distinct()
+    val sizes = cells.groupBy(col(keyCol).as("_k")).agg(count(lit(1)).as("_n"))
+    val b = cells.select(col(keyCol).as("_kb"), col("cl"), col("cn"))
+    val common = cells.join(b,
+        cells("cl") === b("cl") && cells("cn") === b("cn") &&
+          cells(keyCol) < col("_kb"))
+      .groupBy(cells(keyCol).as("key_a"), col("_kb").as("key_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("_k").as("key_a"), col("_n").as("_na")), "key_a")
+      .join(sizes.select(col("_k").as("key_b"), col("_n").as("_nb")), "key_b")
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("_na") + col("_nb") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("key_a"), col("key_b"), col("n_common"), col("jaccard"))
+  }
+
+  /**
    * Per-key trajectory statistics: order each key's fixes by
    * (tsCol, idCol), measure consecutive-fix haversine legs, and reduce
    * to path length, sharpest leg, duration and mean speed. One

@@ -197,6 +197,32 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("geoKnn: bounded-radius top-k equals brute force with deterministic ties") {
+    val probes = Seq((0L, 0.025, 0.025)).toDF("probe_id", "probe_lat", "probe_lon")
+    val pts = (0 until 50).map(i => (i.toLong, 0.001 * i, 0.05 - 0.001 * i))
+      .toDF("id", "lat", "lon")
+    val got = graft.ext.Geo.geoKnn(pts, probes, "lat", "lon", "id",
+        k = 3, maxRadiusM = 3000.0, cellDeg = 0.05)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getInt(1)))
+    val brute = pts.crossJoin(probes)
+      .withColumn("d", Geo.haversineMeters(col("lat"), col("lon"),
+        col("probe_lat"), col("probe_lon")))
+      .filter(col("d") <= 3000.0).orderBy(col("d"), col("id"))
+      .limit(3).collect().map(_.getLong(0))
+    assert(got.map(_._1).toSeq == brute.toSeq && got.map(_._2).toSeq == Seq(1, 2, 3))
+  }
+
+  test("trajectoryJaccard: shared-cell pairs carry exact set Jaccard") {
+    // user 1 visits cells {0,1,2}; user 2 visits {1,2,3}; user 3 visits {9}
+    def fix(u: Int, cell: Int) = (u, 0.021 * cell + 0.001, 0.0)
+    val pts = Seq(fix(1, 0), fix(1, 1), fix(1, 2), fix(1, 2), // revisit dedups
+      fix(2, 1), fix(2, 2), fix(2, 3), fix(3, 9)).toDF("k", "lat", "lon")
+    val r = graft.ext.Geo.trajectoryJaccard(pts, "k", "lat", "lon",
+        cellDeg = 0.021, threshold = 0.3).collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq((1, 2, 2L, 0.5))) // |∩|=2, |∪|=4; user 3 unpaired
+  }
+
   test("autocorrelation: a period-2 alternating series has acf -1 at lag 1, +1 at lag 2") {
     val s = (0 until 20).map(i => ("g", i, if (i % 2 == 0) 1.0 else 5.0))
       .toDF("g", "i", "v")
