@@ -212,8 +212,11 @@ object ScaleCheck {
     }
 
     // ---- geo/trajectory family (r7 batch 4) ---------------------------
-    // Replicas shift ts by ~231 days AND keep identical coordinates
-    // (user_id + i·100000 preserves the %50/%70 base): spatially the
+    // Replicas shift ts by ~231 days AND keep identical coordinates —
+    // the user shift must be a multiple of lcm(50, 70) = 350 so the
+    // %50/%70 base in the lat/lon overlay is preserved (a shift like
+    // 100000 ≡ 40 mod 70 would smear replicas across lon bases and
+    // quietly weaken the stress to ~2-3× cell density): spatially the
     // worst case (every cell 16× denser) but temporally disjoint, so
     // co-location OUTPUT stays ∝ mult while the halo join carries the
     // full 16× through the (cell, bucket) shuffle — the plan stress,
@@ -222,7 +225,7 @@ object ScaleCheck {
         events.select(
           (col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
           (col("ts") + lit(i.toLong * 20000000000000000L)).as("ts"),
-          (col("user_id") + lit(i.toLong * 100000L)).as("user_id"),
+          (col("user_id") + lit(i.toLong * 350000L)).as("user_id"),
           col("value")))
       .reduce(_ unionAll _)
       .select(col("event_id"), col("user_id"), col("value"), col("ts"),

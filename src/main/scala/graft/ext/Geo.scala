@@ -32,11 +32,17 @@ object Geo {
    * the result reproducible across engines at matching rounding).
    */
   def haversineMeters(lat1: Column, lon1: Column,
-                      lat2: Column, lon2: Column): Column =
-    lit(2.0 * EarthRadiusM) * asin(sqrt(
+                      lat2: Column, lon2: Column): Column = {
+    val root = sqrt(
       pow(sin(radians(lat2 - lat1) / 2), lit(2.0)) +
         cos(radians(lat1)) * cos(radians(lat2)) *
-          pow(sin(radians(lon2 - lon1) / 2), lit(2.0))))
+          pow(sin(radians(lon2 - lon1) / 2), lit(2.0)))
+    // conditional clamp, NOT least(): near-antipodal rounding can push
+    // the radicand to 1 + 1ulp where bare asin returns NaN — and
+    // least() would swallow NULL inputs (least(null, 1) = 1), turning a
+    // missing coordinate into a π·R distance
+    lit(2.0 * EarthRadiusM) * asin(when(root > 1.0, lit(1.0)).otherwise(root))
+  }
 
   /** Integer grid-cell index of a coordinate at `cellDeg` resolution. */
   def cellOf(coord: Column, cellDeg: Double): Column =
@@ -347,10 +353,12 @@ object Geo {
     a.join(b,
         col("a_cl") === col("b_cl") && col("a_cn") === col("b_cn") &&
           col("a_tb") === col("b_tb") && col("a_key") < col("b_key"))
+      // no dedup needed: for a fixed fix pair the cell/bucket deltas are
+      // fixed, so exactly ONE of b's 27 halo copies can satisfy the
+      // equi-join — each candidate pair surfaces once by construction
       .select(col("a_key"), col("b_key"), col("a_id"), col("b_id"),
         col("a_ts"), col("b_ts"), col("a_lat"), col("a_lon"),
         col("b_lat"), col("b_lon"))
-      .distinct() // one candidate per event pair, whatever bucket found it
       .withColumn("dist_m",
         haversineMeters(col("a_lat"), col("a_lon"),
           col("b_lat"), col("b_lon")))

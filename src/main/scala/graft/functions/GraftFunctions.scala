@@ -134,7 +134,7 @@ object GraftFunctions {
       (children: Seq[Expression]) => haversineExpr(children)))
 
   private def haversineExpr(c: Seq[Expression]): Expression = {
-    import org.apache.spark.sql.catalyst.expressions.{Add, Asin, Cast, Cos, Divide, Literal, Multiply, Pow, Sin, Sqrt, Subtract, ToRadians}
+    import org.apache.spark.sql.catalyst.expressions.{Add, Asin, Cast, Cos, Divide, GreaterThan, If, Literal, Multiply, Pow, Sin, Sqrt, Subtract, ToRadians}
     import org.apache.spark.sql.types.DoubleType
     require(c.length == 4, "graft_haversine(lat1, lon1, lat2, lon2)")
     val Seq(lat1, lon1, lat2, lon2) = c.map(e => Cast(e, DoubleType): Expression)
@@ -144,7 +144,10 @@ object GraftFunctions {
       sq(Sin(Divide(rad(Subtract(lat2, lat1)), Literal(2.0)))),
       Multiply(Multiply(Cos(rad(lat1)), Cos(rad(lat2))),
         sq(Sin(Divide(rad(Subtract(lon2, lon1)), Literal(2.0))))))
-    Multiply(Literal(2.0 * graft.ext.Geo.EarthRadiusM), Asin(Sqrt(h)))
+    // same null-preserving near-antipodal clamp as Geo.haversineMeters
+    val root = Sqrt(h)
+    Multiply(Literal(2.0 * graft.ext.Geo.EarthRadiusM),
+      Asin(If(GreaterThan(root, Literal(1.0)), Literal(1.0), root)))
   }
 
   /** Register on a live session (post-build). */

@@ -133,6 +133,12 @@ class GeoSpec extends AnyFunSuite {
       (1, 0L * ns, 0L, 0.0, 0.00), (1, 10L * ns, 1L, 0.0, 0.01),
       (1, 7210L * ns, 2L, 0.0, 0.10), (1, 7220L * ns, 3L, 0.0, 0.11))
       .toDF("k", "ts", "id", "lat", "lon")
+    // the public segmentation op itself (not just the roll-up's inline
+    // twin): trip ids are 1-based per-key cumsums at gap boundaries
+    val seg = graft.ext.Geo.tripSegments(pts, "k", "ts", "id",
+        gapNs = 3600L * ns)
+      .orderBy("ts").collect().map(_.getAs[Long]("trip_seq"))
+    assert(seg.toSeq == Seq(1L, 1L, 2L, 2L))
     val r = graft.ext.Geo.tripSummaries(pts, "k", "ts", "id", "lat", "lon",
         gapNs = 3600L * ns, cellDeg = 0.05)
       .orderBy("trip_seq").collect()
