@@ -168,16 +168,30 @@ object Geo {
    * cell inverted index (the same bounded-bucket discipline as the
    * n-gram Jaccard family — never all-pairs), exact Jaccard ≥
    * `threshold` on the candidate set. A hub cell every vehicle crosses
-   * is the hot-bucket case: cap or drop top-df cells exactly like
-   * hot shingles (documented valve, not applied by default).
+   * is the hot-bucket case: `maxCellKeys > 0` drops cells visited by
+   * more than that many keys BEFORE the index, sizes and intersections
+   * alike, so the metric becomes exact Jaccard over the non-hub cell
+   * universe — the same bounded-fan-out valve as MinHash's
+   * `maxBucketSize`, and usually the better metric anyway (a cell
+   * everyone crosses carries no similarity signal, exactly like a
+   * stopword in document Jaccard).
    */
   def trajectoryJaccard(points: DataFrame, keyCol: String,
                         latCol: String, lonCol: String,
-                        cellDeg: Double, threshold: Double): DataFrame = {
-    val cells = points.select(col(keyCol),
+                        cellDeg: Double, threshold: Double,
+                        maxCellKeys: Int = 0): DataFrame = {
+    val cellsAll = points.select(col(keyCol),
         cellOf(col(latCol), cellDeg).as("cl"),
         cellOf(col(lonCol), cellDeg).as("cn"))
       .distinct()
+    val cells =
+      if (maxCellKeys <= 0) cellsAll
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("cl"), col("cn"))
+        cellsAll.withColumn("_df", count(lit(1)).over(w))
+          .filter(col("_df") <= maxCellKeys).drop("_df")
+      }
     val sizes = cells.groupBy(col(keyCol).as("_k")).agg(count(lit(1)).as("_n"))
     val b = cells.select(col(keyCol).as("_kb"), col("cl"), col("cn"))
     val common = cells.join(b,

@@ -124,4 +124,39 @@ object Graph {
           lit(3.0) * col("n_triangles") / col("wedges"))
           .otherwise(lit(0.0)), 6).as("global_clustering"))
   }
+
+  /**
+   * k-hop BFS distance from a seed set over an undirected edge list:
+   * min hops (0 for seeds) to every node within `maxHops`, the bounded
+   * frontier expansion behind fraud-ring discovery and GNN
+   * neighborhood sampling. Each round is one join of the CURRENT
+   * frontier (nodes first reached last round — not the whole reached
+   * set) against the symmetrized edge list plus one min-aggregate;
+   * fixed `maxHops` unrolls into the oracle as chained CTEs, and every
+   * round localCheckpoints so the lineage stays flat.
+   *
+   * `edges` schema: (a, b), symmetrized here; `seeds`: (node).
+   */
+  def khopDistances(edges: DataFrame, seeds: DataFrame,
+                    maxHops: Int): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var reached = seeds.select(col("node"), lit(0).as("dist"))
+      .distinct().localCheckpoint(true)
+    var frontier = reached
+    for (h <- 1 to maxHops) {
+      val next = frontier.join(sym, col("node") === col("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(reached.select(col("node").as("_seen")),
+          col("node") === col("_seen"), "left_anti")
+        .select(col("node"), lit(h).as("dist"))
+        .localCheckpoint(true)
+      reached = reached.unionAll(next).localCheckpoint(true)
+      frontier = next
+    }
+    reached
+  }
 }

@@ -41,4 +41,23 @@ class GraphSpec extends AnyFunSuite {
     val again = Graph.textRank(docs, "text", iters = 3, k = 3).collect()
     assert(top.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("khopDistances: min hops on a path graph, frontier never revisits") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus a shortcut 1-4: node 4 is 1 hop, not 3
+    val edges = Seq((1, 2), (2, 3), (3, 4), (4, 5), (1, 4)).toDF("a", "b")
+    val seeds = Seq(1).toDF("node")
+    val d = Graph.khopDistances(edges, seeds, maxHops = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(d == Map(1 -> 0, 2 -> 1, 4 -> 1, 3 -> 2, 5 -> 2))
+  }
+
+  test("triangleStats: two disjoint triangles sharing no wedge") {
+    import spark.implicits._
+    val edges = Seq((1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12))
+      .toDF("a", "b")
+    val r = Graph.triangleStats(edges).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((6L, 6L, 2L, 1.0)))
+  }
 }
