@@ -307,7 +307,25 @@ object RuleCompiler {
       try_to_timestamp(value, lit("MMM d yyyy HH:mm:ss XX")),    // May 14 2019 19:05:47 +0000
       try_to_timestamp(value, lit("MMM d yyyy HH:mm:ss")),
       try_to_timestamp(value, lit("MMM d yyyy")),                // May 14 2019
-      try_to_timestamp(value, lit("MM/dd/yyyy HH:mm")))          // 05/14/2019 19:05
+      try_to_timestamp(value, lit("MM/dd/yyyy HH:mm")),          // 05/14/2019 19:05
+      // r7 widening (grid doubled): RFC-2822, ctime ordering, AM/PM,
+      // dateutil's implicit DAYFIRST FALLBACK (dd/MM must sit AFTER the
+      // MM/dd patterns — dateutil prefers month-first and only retries
+      // day-first when the month is invalid), dotted and dashed dates,
+      // compact yyyymmdd, comma decimal mark
+      // Spark >= 3 rejects 'E' in PARSE patterns — strip the weekday
+      // prefix instead (a weekday-less "14 May 2019 ..." parses too,
+      // which matches dateutil, where the weekday is always optional)
+      try_to_timestamp(regexp_replace(value, "^[A-Za-z]{3}, ", ""),
+        lit("d MMM yyyy HH:mm:ss XX")),   // Tue, 14 May 2019 19:05:47 +0000
+      try_to_timestamp(regexp_replace(value, "^[A-Za-z]{3} ", ""),
+        lit("MMM d HH:mm:ss yyyy")),      // Tue May 14 19:05:47 2019
+      try_to_timestamp(value, lit("MMM d, yyyy h:mm:ss a")),        // May 14, 2019 7:05:47 PM
+      try_to_timestamp(value, lit("dd/MM/yyyy HH:mm:ss")),          // 14/05/2019 19:05:47
+      try_to_timestamp(value, lit("yyyy.MM.dd HH:mm:ss")),          // 2019.05.14 19:05:47
+      try_to_timestamp(value, lit("d-MMM-yyyy HH:mm")),             // 14-May-2019 19:05
+      try_to_timestamp(value, lit("yyyyMMdd")),                     // 20190514
+      try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ss,SSSSSS'Z'")))
   }
 
   /** Python strptime directives → java.time pattern (the subset seen in

@@ -646,6 +646,22 @@ LENIENT_TS_VALUES = [
     "05/14/2019 19:05",
     "2019-05-14",
     "2019/05/14 19:05:47",
+    # r7 widening — aware (UTC) exotics: RFC-2822, short/comma
+    # fractions, leading whitespace
+    "Tue, 14 May 2019 19:05:47 +0000",
+    "2019-05-14T19:05:47.5Z",
+    "2019-05-14T19:05:47,123456Z",
+    " 2019-05-14T19:05:47Z",
+    # r7 widening — naive exotics: ctime order, AM/PM, the implicit
+    # dayfirst fallback (month 14 invalid -> dateutil retries
+    # day-first), dotted dates, abbreviated-month-with-dashes,
+    # compact yyyymmdd
+    "Tue May 14 19:05:47 2019",
+    "May 14, 2019 7:05:47 PM",
+    "14/05/2019 19:05:47",
+    "2019.05.14 19:05:47",
+    "14-May-2019 19:05",
+    "20190514",
     # unparseable: dateutil ParserError "Unknown string format"
     "not-a-timestamp",
     "xx 99 zz",
