@@ -386,4 +386,61 @@ object EngineProperties extends Properties("graft") {
       colForm == dfForm
     }
   }
+
+  private val genPts: Gen[List[(Long, Double, Double)]] = for {
+    n <- Gen.choose(5, 40)
+    pts <- Gen.listOfN(n, for {
+      lat <- Gen.choose(-8000, 8000).map(_ / 100.0) // ±80°, 0.01° grid
+      lon <- Gen.choose(-17000, 17000).map(_ / 100.0)
+    } yield (lat, lon))
+  } yield pts.zipWithIndex.map { case ((la, lo), i) => (i.toLong, la, lo) }
+
+  property("radius-join halo equals brute force on random point clouds") =
+    Prop.forAll(genPts, Gen.choose(1, 5)) { (pts, probeN) =>
+      import spark.implicits._
+      val df = pts.toDF("id", "lat", "lon")
+      // probes drawn from the cloud itself; radius safely under the
+      // 0.5° cell edge at 80° latitude (0.5·111045·cos80° ≈ 9641 m)
+      val probes = pts.take(probeN).map { case (i, la, lo) => (i, la, lo) }
+        .toDF("probe_id", "probe_lat", "probe_lon")
+      val blocked = graft.ext.Geo.radiusJoin(df, probes, "lat", "lon",
+          9000.0, 0.5)
+        .select("probe_id", "id").as[(Long, Long)].collect().toSet
+      val brute = df.crossJoin(probes)
+        .withColumn("d", graft.ext.Geo.haversineMeters(col("lat"), col("lon"),
+          col("probe_lat"), col("probe_lon")))
+        .filter(col("d") <= 9000.0)
+        .select("probe_id", "id").as[(Long, Long)].collect().toSet
+      blocked == brute
+    }
+
+  property("haversine is symmetric, non-negative, and zero on the diagonal") =
+    Prop.forAll(genPts) { pts =>
+      import spark.implicits._
+      val df = pts.take(8).toDF("id", "lat", "lon")
+      val b = df.select(col("id").as("id2"), col("lat").as("lat2"),
+        col("lon").as("lon2"))
+      val d = df.crossJoin(b).select(col("id"), col("id2"),
+          graft.ext.Geo.haversineMeters(col("lat"), col("lon"),
+            col("lat2"), col("lon2")).as("d"),
+          graft.ext.Geo.haversineMeters(col("lat2"), col("lon2"),
+            col("lat"), col("lon")).as("drev"))
+        .collect()
+      d.forall { r =>
+        val (i, j, x, y) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+        x >= 0 && math.abs(x - y) < 1e-9 && (i != j || x < 1e-6)
+      }
+    }
+
+  property("ntileFromRank equals the SQL ntile window for random n and k") =
+    Prop.forAll(Gen.choose(1, 40), Gen.choose(1, 8)) { (n, k) =>
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val df = (1 to n).map(i => (i.toLong, n.toLong)).toDF("r", "n")
+      val got = df.select(graft.ext.Ranking.ntileFromRank("r", "n", k).as("b"))
+        .collect().map(_.getAs[Any]("b").toString.toLong).sorted.toSeq
+      val want = df.select(ntile(k).over(Window.orderBy(col("r"))).as("b"))
+        .collect().map(_.getInt(0).toLong).sorted.toSeq
+      got == want
+    }
 }
