@@ -30,11 +30,12 @@ import graft.model._
  * never in the valid/invalid verdict):
  *   - decimal/timestamp/choice parse-failure details reproduce the COMMON
  *     CPython exception texts byte-for-byte (ConversionSyntax, "Unknown
- *     string format", strptime mismatch, %-format TypeError); exotic
- *     failure classes would render Python-specific texts we don't mirror;
- *   - timestamps in details render in session-UTC with a "+00:00" suffix
- *     for the dateutil path; inputs carrying a non-UTC offset would render
- *     shifted to UTC (Python str(datetime) keeps the original offset).
+ *     string format", the six datetime component-range messages in
+ *     constructor order, strptime mismatch, %-format TypeError); exotic
+ *     failure classes would render Python-specific texts we don't mirror.
+ *   (r7: the former non-UTC-offset divergence is CLOSED — dateutil-path
+ *   details now re-shift to the value's original offset, ref-golden
+ *   pinned in fixtures/lenient.)
  */
 object RuleCompiler {
 
@@ -145,11 +146,34 @@ object RuleCompiler {
 
   /** Python str(datetime) of a parsed timestamp value. `withOffset` for the
    *  dateutil path (tz-aware), bare for the strptime/DateFormat path. */
-  private def pyTsRepr(ts: Column, withOffset: Boolean): Column = {
-    val base = date_format(ts, "yyyy-MM-dd HH:mm:ss")
-    val micros = date_format(ts, "SSSSSS")
-    val withMicros = when(micros =!= "000000", concat(base, lit("."), micros)).otherwise(base)
-    if (withOffset) concat(withMicros, lit("+00:00")) else withMicros
+  private def pyTsRepr(ts: Column, withOffset: Boolean,
+                       raw: Option[Column] = None): Column = {
+    def render(t: Column): Column = {
+      val base = date_format(t, "yyyy-MM-dd HH:mm:ss")
+      val micros = date_format(t, "SSSSSS")
+      when(micros =!= "000000", concat(base, lit("."), micros)).otherwise(base)
+    }
+    if (!withOffset) render(ts)
+    else raw match {
+      case None => concat(render(ts), lit("+00:00"))
+      case Some(v) =>
+        // dateutil's str() preserves the ORIGINAL offset (tzoffset), so
+        // a '+05:30' value renders as local wall time + '+05:30', not
+        // shifted to UTC — extract the offset from the raw string and
+        // re-shift for display (r7: removes the non-UTC-offset
+        // exclusion from the leniency envelope)
+        val s = v.cast(StringType)
+        val offRe = "([+-])([0-9]{2}):?([0-9]{2})\\s*$"
+        val sign = regexp_extract(s, offRe, 1)
+        val oh = regexp_extract(s, offRe, 2)
+        val om = regexp_extract(s, offRe, 3)
+        val nonUtc = (sign =!= "") && !(oh === "00" && om === "00")
+        val offMin = (oh.cast("int") * 60 + om.cast("int")) *
+          when(sign === "-", -1).otherwise(1)
+        val shifted = ts + make_dt_interval(lit(0), lit(0), offMin, lit(0))
+        when(nonUtc, concat(render(shifted), sign, oh, lit(":"), om))
+          .otherwise(concat(render(ts), lit("+00:00")))
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -209,16 +233,15 @@ object RuleCompiler {
 
       case FieldTypes.Timestamp =>
         val ts = parseTimestamp(value, rule.dateFormat)
-        val tsRepr = pyTsRepr(ts, withOffset = rule.dateFormat.isEmpty)
+        val tsRepr = pyTsRepr(ts, withOffset = rule.dateFormat.isEmpty,
+          raw = if (rule.dateFormat.isEmpty) Some(value) else None)
         // ", error: ..." mirrors the common CPython failure texts
         // (dateutil ParserError / strptime ValueError, validator.py:229)
         val parseFail = fail(pathLbl, rule.dateFormat match {
           case Some(fmt) => concat(
             lit("failure to perform timestamp validation, error: time data '"),
             value.cast(StringType), lit(s"' does not match format '$fmt'"))
-          case None => concat(
-            lit("failure to perform timestamp validation, error: Unknown string format: "),
-            value.cast(StringType))
+          case None => dateutilParseError(value)
         })
         val earliest = rule.earliestTime.map { e =>
           when(ts < lit(java.sql.Timestamp.from(e)), fail(pathLbl, concat(
@@ -251,7 +274,8 @@ object RuleCompiler {
         val hasBounds = rule.earliestTime.isDefined || rule.latestTime.isDefined
         val aware: Column = rule.dateFormat match {
           case Some(fmt) => lit(fmt.contains("%z"))
-          case None => value.cast(StringType).rlike("(Z|[+-][0-9]{2}:?[0-9]{2})\\s*$")
+          case None => value.cast(StringType)
+            .rlike("(Z|[+-][0-9]{2}:?[0-9]{2}|GMT|UTC)\\s*$")
         }
         val naiveFail = fail(pathLbl, lit("failure to perform timestamp " +
           "validation, error: can't compare offset-naive and offset-aware datetimes"))
@@ -282,11 +306,53 @@ object RuleCompiler {
       .otherwise(typed)
   }
 
+  /**
+   * The dateutil ParserError text for an unparseable value. dateutil
+   * routes ISO-shaped strings into CPython's datetime constructor,
+   * whose component checks raise in a FIXED order (year, month, day,
+   * hour, minute, second — each with its own message); everything else
+   * is the generic "Unknown string format". Reproduced by classifying
+   * the failed value's shape (r7: removes the invalid-date exclusion
+   * from the leniency envelope; all six messages ref-golden-pinned).
+   */
+  private def dateutilParseError(value: Column): Column = {
+    val s = value.cast(StringType)
+    val comp = "^\\s*([0-9]{4})-([0-9]{2})-([0-9]{2})" +
+      "([T ]([0-9]{2}):([0-9]{2}):([0-9]{2}).*)?\\s*$"
+    def g(i: Int) = regexp_extract(s, comp, i)
+    val yy = g(1).cast("int")
+    val mm = g(2).cast("int")
+    val dd = g(3).cast("int")
+    val hasTime = g(4) =!= ""
+    val hh = g(5).cast("int")
+    val mi = g(6).cast("int")
+    val sec = g(7).cast("int")
+    val iso = s.rlike(comp)
+    val p = "failure to perform timestamp validation, error: "
+    when(iso && yy === 0, concat(lit(p + "year 0 is out of range: "), s))
+      .when(iso && (mm < 1 || mm > 12),
+        concat(lit(p + "month must be in 1..12: "), s))
+      .when(iso && (dd < 1 ||
+          dd > dayofmonth(last_day(make_date(yy, mm, lit(1))))),
+        concat(lit(p + "day is out of range for month: "), s))
+      .when(iso && hasTime && hh > 23,
+        concat(lit(p + "hour must be in 0..23: "), s))
+      .when(iso && hasTime && mi > 59,
+        concat(lit(p + "minute must be in 0..59: "), s))
+      .when(iso && hasTime && sec > 59,
+        concat(lit(p + "second must be in 0..59: "), s))
+      .otherwise(concat(lit(p + "Unknown string format: "), s))
+  }
+
   /** Lenient timestamp parse: coalesce chain approximating dateutil's ISO
    *  handling (validator.py:216-229); explicit DateFormat wins. */
   def parseTimestamp(value: Column, dateFormat: Option[String]): Column = dateFormat match {
     case Some(fmt) => try_to_timestamp(value, lit(pythonToJavaFormat(fmt)))
-    case None => coalesce(
+    // year 0 guard: Spark's proleptic calendar accepts 0000 (= 1 BC)
+    // where CPython's datetime raises "year 0 is out of range" — force
+    // the parse failure so the classifier emits CPython's message
+    case None => when(value.cast(StringType).rlike("^\\s*0000-"),
+      lit(null).cast(TimestampType)).otherwise(coalesce(
       try_to_timestamp(value), // ISO local / space-separated
       // exact-Z first: the dominant reference format — any value it
       // matches parses identically under the XXX branches below, so
@@ -325,8 +391,18 @@ object RuleCompiler {
       try_to_timestamp(value, lit("yyyy.MM.dd HH:mm:ss")),          // 2019.05.14 19:05:47
       try_to_timestamp(value, lit("d-MMM-yyyy HH:mm")),             // 14-May-2019 19:05
       try_to_timestamp(value, lit("yyyyMMdd")),                     // 20190514
-      try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ss,SSSSSS'Z'")))
+      try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ss,SSSSSS'Z'")),
+      // named UTC zones: dateutil resolves trailing GMT/UTC to tzutc
+      // with no tzinfos (its UTCZONE list) — strip and parse the three
+      // shapes it accepts them on; the T-form with a Z AND a zone name
+      // ("…Z GMT") stays unparseable, as in dateutil
+      try_to_timestamp(stripUtcZone(value), lit("d MMM yyyy HH:mm:ss")),
+      try_to_timestamp(stripUtcZone(value), lit("MMM d yyyy HH:mm:ss")),
+      try_to_timestamp(stripUtcZone(value), lit("yyyy-MM-dd HH:mm:ss"))))
   }
+
+  private def stripUtcZone(value: Column): Column =
+    regexp_replace(value.cast(StringType), "\\s+(GMT|UTC)\\s*$", "")
 
   /** Python strptime directives → java.time pattern (the subset seen in
    *  rule configs). */

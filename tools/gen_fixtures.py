@@ -625,13 +625,10 @@ EarliestTime = 2030-01-01T00:00:00.000Z
 # dateutil-leniency grid (validator.py:219 `dateutil.parser.parse`). The
 # far-future EarliestTime makes every AWARE parseable value fail with
 # "occurs before earliest limit '<str(parsed)>'" — pinning the PARSED
-# VALUE, not just parseability. Three deliberate exclusions, documented
-# here because they bound the engine's claimed leniency:
-#  - non-UTC offsets (str(datetime) preserves the original offset; the
-#    engine renders in UTC),
-#  - named zones ("GMT"), which depend on dateutil tzinfos,
-#  - in-range-looking but invalid dates ("2019-13-45"), whose ParserError
-#    text differs from the generic "Unknown string format".
+# VALUE, not just parseability. The r6 exclusions (non-UTC offsets,
+# named UTC zones, invalid-date component errors) were REMOVED in r7 —
+# all three families are pinned below; remaining residual is named
+# non-UTC zones ("EST"), which dateutil resolves only through tzinfos.
 LENIENT_TS_VALUES = [
     # aware (UTC): parsed value pinned via the earliest-limit message
     "2019-05-14T19:05:47Z",
@@ -662,6 +659,23 @@ LENIENT_TS_VALUES = [
     "2019.05.14 19:05:47",
     "14-May-2019 19:05",
     "20190514",
+    # r7 exclusion removals — named UTC zones (dateutil's UTCZONE
+    # list), non-UTC offsets (str() preserves the ORIGINAL offset; the
+    # engine re-shifts for display), and CPython's component-error
+    # messages in constructor order (year, month, day, hour, minute,
+    # second), leap days both ways
+    "14 May 2019 19:05:47 GMT",
+    "2019-05-14 19:05:47 UTC",
+    "2019-05-14T19:05:47+05:30",
+    "2019-05-14 19:05:47-07:00",
+    "0000-01-01",
+    "2019-13-05",
+    "2019-02-31",
+    "2019-02-29",
+    "2020-02-29",
+    "2019-05-14T25:05:47Z",
+    "2019-05-14T19:65:47Z",
+    "2019-05-14T19:05:99Z",
     # unparseable: dateutil ParserError "Unknown string format"
     "not-a-timestamp",
     "xx 99 zz",
