@@ -153,9 +153,10 @@ object RuleCompiler {
       val micros = date_format(t, "SSSSSS")
       when(micros =!= "000000", concat(base, lit("."), micros)).otherwise(base)
     }
+    val utc = concat(render(ts), lit("+00:00"))
     if (!withOffset) render(ts)
     else raw match {
-      case None => concat(render(ts), lit("+00:00"))
+      case None => utc
       case Some(v) =>
         // dateutil's str() preserves the ORIGINAL offset (tzoffset), so
         // a '+05:30' value renders as local wall time + '+05:30', not
@@ -172,7 +173,7 @@ object RuleCompiler {
           when(sign === "-", -1).otherwise(1)
         val shifted = ts + make_dt_interval(lit(0), lit(0), offMin, lit(0))
         when(nonUtc, concat(render(shifted), sign, oh, lit(":"), om))
-          .otherwise(concat(render(ts), lit("+00:00")))
+          .otherwise(utc)
     }
   }
 
@@ -317,8 +318,10 @@ object RuleCompiler {
    */
   private def dateutilParseError(value: Column): Column = {
     val s = value.cast(StringType)
-    val comp = "^\\s*([0-9]{4})-([0-9]{2})-([0-9]{2})" +
-      "([T ]([0-9]{2}):([0-9]{2}):([0-9]{2}).*)?\\s*$"
+    // components may be 1-2 digits and seconds optional — dateutil
+    // routes those to the constructor too ("2019-13-5", "... 25:05")
+    val comp = "^\\s*([0-9]{4})-([0-9]{1,2})-([0-9]{1,2})" +
+      "([T ]([0-9]{1,2}):([0-9]{1,2})(:([0-9]{1,2}))?.*)?\\s*$"
     def g(i: Int) = regexp_extract(s, comp, i)
     val yy = g(1).cast("int")
     val mm = g(2).cast("int")
@@ -326,10 +329,13 @@ object RuleCompiler {
     val hasTime = g(4) =!= ""
     val hh = g(5).cast("int")
     val mi = g(6).cast("int")
-    val sec = g(7).cast("int")
+    val sec = g(8).cast("int")
     val iso = s.rlike(comp)
     val p = "failure to perform timestamp validation, error: "
-    when(iso && yy === 0, concat(lit(p + "year 0 is out of range: "), s))
+    // year 0 fires on the compact form too ("00000101")
+    when(s.rlike("^\\s*0000([-./][0-9]{1,2}[-./][0-9]{1,2}|[0-9]{4})"),
+        concat(lit(p + "year 0 is out of range: "), s))
+      .when(iso && yy === 0, concat(lit(p + "year 0 is out of range: "), s))
       .when(iso && (mm < 1 || mm > 12),
         concat(lit(p + "month must be in 1..12: "), s))
       .when(iso && (dd < 1 ||
@@ -339,7 +345,7 @@ object RuleCompiler {
         concat(lit(p + "hour must be in 0..23: "), s))
       .when(iso && hasTime && mi > 59,
         concat(lit(p + "minute must be in 0..59: "), s))
-      .when(iso && hasTime && sec > 59,
+      .when(iso && hasTime && g(7) =!= "" && sec > 59,
         concat(lit(p + "second must be in 0..59: "), s))
       .otherwise(concat(lit(p + "Unknown string format: "), s))
   }
@@ -348,33 +354,49 @@ object RuleCompiler {
    *  handling (validator.py:216-229); explicit DateFormat wins. */
   def parseTimestamp(value: Column, dateFormat: Option[String]): Column = dateFormat match {
     case Some(fmt) => try_to_timestamp(value, lit(pythonToJavaFormat(fmt)))
-    // year 0 guard: Spark's proleptic calendar accepts 0000 (= 1 BC)
-    // where CPython's datetime raises "year 0 is out of range" — force
-    // the parse failure so the classifier emits CPython's message
-    case None => when(value.cast(StringType).rlike("^\\s*0000-"),
-      lit(null).cast(TimestampType)).otherwise(coalesce(
-      try_to_timestamp(value), // ISO local / space-separated
+    case None =>
+      val s = value.cast(StringType)
+      // Named UTC zones: dateutil resolves a trailing GMT/UTC to tzutc
+      // on EVERY shape it parses (its UTCZONE list, no tzinfos needed),
+      // so strip it once for the whole chain; awareness is detected on
+      // the RAW value. A DOUBLE timezone — explicit Z/offset AND a zone
+      // name ("…Z GMT", "…+0000 GMT") — is rejected, as in dateutil.
+      val cleaned = regexp_replace(s, "\\s+(GMT|UTC)\\s*$", "")
+      val doubleTz = s.rlike("(Z|[+-][0-9]{2}:?[0-9]{2})\\s+(GMT|UTC)\\s*$")
+      // year 0 guard (dashed, dotted, slashed, or compact): Spark's
+      // proleptic calendar accepts 0000 (= 1 BC) where CPython's
+      // datetime raises "year 0 is out of range" — force the parse
+      // failure so the classifier emits CPython's message
+      val yearZero = s.rlike("^\\s*0000([-./]|[0-9]{4})")
+      when(yearZero || doubleTz, lit(null).cast(TimestampType))
+        .otherwise(coalesce(
+      // formatless cast LAST GUARD: Spark's string grammar also accepts
+      // trailing zone ids ("America/New_York", POSIX "UTC+05:30") that
+      // dateutil rejects or reads with the OPPOSITE sign — gate the
+      // cast to values with no multi-letter token (T/Z singles pass)
+      when(!cleaned.rlike("[A-Za-z]{2,}"), try_to_timestamp(cleaned))
+        .otherwise(lit(null).cast(TimestampType)), // ISO local / space-separated
       // exact-Z first: the dominant reference format — any value it
       // matches parses identically under the XXX branches below, so
       // ordering only short-circuits the exception-driven walk
-      try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
-      try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
-      try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
-      try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
-      try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")),
-      try_to_timestamp(value, lit("yyyy-MM-dd HH:mm:ssXXX")),
-      try_to_timestamp(value, lit("yyyy/MM/dd HH:mm:ss")),
-      try_to_timestamp(value, lit("MM/dd/yyyy HH:mm:ss")),
+      try_to_timestamp(cleaned, lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+      try_to_timestamp(cleaned, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+      try_to_timestamp(cleaned, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+      try_to_timestamp(cleaned, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+      try_to_timestamp(cleaned, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")),
+      try_to_timestamp(cleaned, lit("yyyy-MM-dd HH:mm:ssXXX")),
+      try_to_timestamp(cleaned, lit("yyyy/MM/dd HH:mm:ss")),
+      try_to_timestamp(cleaned, lit("MM/dd/yyyy HH:mm:ss")),
       // dateutil-leniency tail, pinned by the q_rule_timestamp_lenient
       // ref-golden (fixtures/lenient): colon-less offsets, compact ISO,
       // English month names, minute-precision US dates
-      try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ssXX")),   // +0000
-      try_to_timestamp(value, lit("yyyyMMdd'T'HHmmssXX")),       // 20190514T190547Z
-      try_to_timestamp(value, lit("MMM d yyyy HH:mm:ss XX")),    // May 14 2019 19:05:47 +0000
-      try_to_timestamp(value, lit("MMM d yyyy HH:mm:ss")),
-      try_to_timestamp(value, lit("MMM d yyyy")),                // May 14 2019
-      try_to_timestamp(value, lit("MM/dd/yyyy HH:mm")),          // 05/14/2019 19:05
-      // r7 widening (grid doubled): RFC-2822, ctime ordering, AM/PM,
+      try_to_timestamp(cleaned, lit("yyyy-MM-dd'T'HH:mm:ssXX")),   // +0000
+      try_to_timestamp(cleaned, lit("yyyyMMdd'T'HHmmssXX")),       // 20190514T190547Z
+      try_to_timestamp(cleaned, lit("MMM d yyyy HH:mm:ss XX")),    // May 14 2019 19:05:47 +0000
+      try_to_timestamp(cleaned, lit("MMM d yyyy HH:mm:ss")),
+      try_to_timestamp(cleaned, lit("MMM d yyyy")),                // May 14 2019
+      try_to_timestamp(cleaned, lit("MM/dd/yyyy HH:mm")),          // 05/14/2019 19:05
+      // r7 widening (grid at 45): RFC-2822, ctime ordering, AM/PM,
       // dateutil's implicit DAYFIRST FALLBACK (dd/MM must sit AFTER the
       // MM/dd patterns — dateutil prefers month-first and only retries
       // day-first when the month is invalid), dotted and dashed dates,
@@ -382,27 +404,21 @@ object RuleCompiler {
       // Spark >= 3 rejects 'E' in PARSE patterns — strip the weekday
       // prefix instead (a weekday-less "14 May 2019 ..." parses too,
       // which matches dateutil, where the weekday is always optional)
-      try_to_timestamp(regexp_replace(value, "^[A-Za-z]{3}, ", ""),
+      try_to_timestamp(regexp_replace(cleaned, "^[A-Za-z]{3}, ", ""),
         lit("d MMM yyyy HH:mm:ss XX")),   // Tue, 14 May 2019 19:05:47 +0000
-      try_to_timestamp(regexp_replace(value, "^[A-Za-z]{3} ", ""),
+      try_to_timestamp(regexp_replace(cleaned, "^[A-Za-z]{3} ", ""),
         lit("MMM d HH:mm:ss yyyy")),      // Tue May 14 19:05:47 2019
-      try_to_timestamp(value, lit("MMM d, yyyy h:mm:ss a")),        // May 14, 2019 7:05:47 PM
-      try_to_timestamp(value, lit("dd/MM/yyyy HH:mm:ss")),          // 14/05/2019 19:05:47
-      try_to_timestamp(value, lit("yyyy.MM.dd HH:mm:ss")),          // 2019.05.14 19:05:47
-      try_to_timestamp(value, lit("d-MMM-yyyy HH:mm")),             // 14-May-2019 19:05
-      try_to_timestamp(value, lit("yyyyMMdd")),                     // 20190514
-      try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ss,SSSSSS'Z'")),
-      // named UTC zones: dateutil resolves trailing GMT/UTC to tzutc
-      // with no tzinfos (its UTCZONE list) — strip and parse the three
-      // shapes it accepts them on; the T-form with a Z AND a zone name
-      // ("…Z GMT") stays unparseable, as in dateutil
-      try_to_timestamp(stripUtcZone(value), lit("d MMM yyyy HH:mm:ss")),
-      try_to_timestamp(stripUtcZone(value), lit("MMM d yyyy HH:mm:ss")),
-      try_to_timestamp(stripUtcZone(value), lit("yyyy-MM-dd HH:mm:ss"))))
+      try_to_timestamp(regexp_replace(cleaned, "^[A-Za-z]{3}, ", ""),
+        lit("d MMM yyyy HH:mm:ss")),      // Tue, 14 May 2019 19:05:47 GMT (zone stripped)
+      try_to_timestamp(cleaned, lit("MMM d, yyyy h:mm:ss a")),        // May 14, 2019 7:05:47 PM
+      try_to_timestamp(cleaned, lit("dd/MM/yyyy HH:mm:ss")),          // 14/05/2019 19:05:47
+      try_to_timestamp(cleaned, lit("yyyy.MM.dd HH:mm:ss")),          // 2019.05.14 19:05:47
+      try_to_timestamp(cleaned, lit("d-MMM-yyyy HH:mm")),             // 14-May-2019 19:05
+      try_to_timestamp(cleaned, lit("yyyyMMdd")),                     // 20190514
+      try_to_timestamp(cleaned, lit("yyyy-MM-dd'T'HH:mm:ss,SSSSSS'Z'")),
+      try_to_timestamp(cleaned, lit("d MMM yyyy HH:mm:ss")),
+      try_to_timestamp(cleaned, lit("MMM d yyyy HH:mm:ss XXX"))))
   }
-
-  private def stripUtcZone(value: Column): Column =
-    regexp_replace(value.cast(StringType), "\\s+(GMT|UTC)\\s*$", "")
 
   /** Python strptime directives → java.time pattern (the subset seen in
    *  rule configs). */

@@ -676,6 +676,20 @@ LENIENT_TS_VALUES = [
     "2019-05-14T25:05:47Z",
     "2019-05-14T19:65:47Z",
     "2019-05-14T19:05:99Z",
+    # r7 review round: zone names on EVERY parseable shape (dateutil
+    # strips GMT/UTC globally), double-timezone rejects, 1-digit /
+    # minute-precision component errors, compact year 0, zone-id
+    # rejects, single-digit ISO
+    "2019-05-14T19:05:47 GMT",
+    "14-May-2019 19:05 GMT",
+    "05/14/2019 19:05:47 UTC",
+    "20190514T190547Z GMT",
+    "2019-05-14 19:05:47 +0000 GMT",
+    "2019-05-14 25:05",
+    "2019-13-5",
+    "00000101",
+    "2019-05-14 19:05:47 America/New_York",
+    "2019-5-14",
     # unparseable: dateutil ParserError "Unknown string format"
     "not-a-timestamp",
     "xx 99 zz",
