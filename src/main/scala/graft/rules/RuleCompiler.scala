@@ -357,10 +357,14 @@ object RuleCompiler {
     case None =>
       val s = value.cast(StringType)
       // Named UTC zones: dateutil resolves a trailing GMT/UTC to tzutc
-      // on EVERY shape it parses (its UTCZONE list, no tzinfos needed),
-      // so strip it once for the whole chain; awareness is detected on
-      // the RAW value. A DOUBLE timezone — explicit Z/offset AND a zone
-      // name ("…Z GMT", "…+0000 GMT") — is rejected, as in dateutil.
+      // on every shape it parses (its UTCZONE list, no tzinfos needed).
+      // The strip is applied to the FORMATLESS cast (covering the ISO
+      // family) and the ref-golden-pinned zone-suffixed shapes — NOT to
+      // every branch: the `cleaned` regexp subtree inlines into each
+      // branch's generated code, and 30 copies pushed the compiled
+      // method past janino. Zone suffixes on the remaining exotic
+      // shapes are an unpinned residual. A DOUBLE timezone — explicit
+      // Z/offset AND a zone name ("…Z GMT") — rejects, as in dateutil.
       val cleaned = regexp_replace(s, "\\s+(GMT|UTC)\\s*$", "")
       val doubleTz = s.rlike("(Z|[+-][0-9]{2}:?[0-9]{2})\\s+(GMT|UTC)\\s*$")
       // year 0 guard (dashed, dotted, slashed, or compact): Spark's
@@ -379,23 +383,23 @@ object RuleCompiler {
       // exact-Z first: the dominant reference format — any value it
       // matches parses identically under the XXX branches below, so
       // ordering only short-circuits the exception-driven walk
-      try_to_timestamp(cleaned, lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
-      try_to_timestamp(cleaned, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
-      try_to_timestamp(cleaned, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
-      try_to_timestamp(cleaned, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
-      try_to_timestamp(cleaned, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")),
-      try_to_timestamp(cleaned, lit("yyyy-MM-dd HH:mm:ssXXX")),
-      try_to_timestamp(cleaned, lit("yyyy/MM/dd HH:mm:ss")),
+      try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+      try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+      try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+      try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+      try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")),
+      try_to_timestamp(value, lit("yyyy-MM-dd HH:mm:ssXXX")),
+      try_to_timestamp(value, lit("yyyy/MM/dd HH:mm:ss")),
       try_to_timestamp(cleaned, lit("MM/dd/yyyy HH:mm:ss")),
       // dateutil-leniency tail, pinned by the q_rule_timestamp_lenient
       // ref-golden (fixtures/lenient): colon-less offsets, compact ISO,
       // English month names, minute-precision US dates
-      try_to_timestamp(cleaned, lit("yyyy-MM-dd'T'HH:mm:ssXX")),   // +0000
-      try_to_timestamp(cleaned, lit("yyyyMMdd'T'HHmmssXX")),       // 20190514T190547Z
-      try_to_timestamp(cleaned, lit("MMM d yyyy HH:mm:ss XX")),    // May 14 2019 19:05:47 +0000
-      try_to_timestamp(cleaned, lit("MMM d yyyy HH:mm:ss")),
-      try_to_timestamp(cleaned, lit("MMM d yyyy")),                // May 14 2019
-      try_to_timestamp(cleaned, lit("MM/dd/yyyy HH:mm")),          // 05/14/2019 19:05
+      try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ssXX")),   // +0000
+      try_to_timestamp(value, lit("yyyyMMdd'T'HHmmssXX")),       // 20190514T190547Z
+      try_to_timestamp(value, lit("MMM d yyyy HH:mm:ss XX")),    // May 14 2019 19:05:47 +0000
+      try_to_timestamp(value, lit("MMM d yyyy HH:mm:ss")),
+      try_to_timestamp(value, lit("MMM d yyyy")),                // May 14 2019
+      try_to_timestamp(value, lit("MM/dd/yyyy HH:mm")),          // 05/14/2019 19:05
       // r7 widening (grid at 45): RFC-2822, ctime ordering, AM/PM,
       // dateutil's implicit DAYFIRST FALLBACK (dd/MM must sit AFTER the
       // MM/dd patterns — dateutil prefers month-first and only retries
@@ -404,20 +408,20 @@ object RuleCompiler {
       // Spark >= 3 rejects 'E' in PARSE patterns — strip the weekday
       // prefix instead (a weekday-less "14 May 2019 ..." parses too,
       // which matches dateutil, where the weekday is always optional)
-      try_to_timestamp(regexp_replace(cleaned, "^[A-Za-z]{3}, ", ""),
+      try_to_timestamp(regexp_replace(value, "^[A-Za-z]{3}, ", ""),
         lit("d MMM yyyy HH:mm:ss XX")),   // Tue, 14 May 2019 19:05:47 +0000
-      try_to_timestamp(regexp_replace(cleaned, "^[A-Za-z]{3} ", ""),
+      try_to_timestamp(regexp_replace(value, "^[A-Za-z]{3} ", ""),
         lit("MMM d HH:mm:ss yyyy")),      // Tue May 14 19:05:47 2019
-      try_to_timestamp(regexp_replace(cleaned, "^[A-Za-z]{3}, ", ""),
+      try_to_timestamp(regexp_replace(value, "^[A-Za-z]{3}, ", ""),
         lit("d MMM yyyy HH:mm:ss")),      // Tue, 14 May 2019 19:05:47 GMT (zone stripped)
-      try_to_timestamp(cleaned, lit("MMM d, yyyy h:mm:ss a")),        // May 14, 2019 7:05:47 PM
-      try_to_timestamp(cleaned, lit("dd/MM/yyyy HH:mm:ss")),          // 14/05/2019 19:05:47
-      try_to_timestamp(cleaned, lit("yyyy.MM.dd HH:mm:ss")),          // 2019.05.14 19:05:47
+      try_to_timestamp(value, lit("MMM d, yyyy h:mm:ss a")),        // May 14, 2019 7:05:47 PM
+      try_to_timestamp(value, lit("dd/MM/yyyy HH:mm:ss")),          // 14/05/2019 19:05:47
+      try_to_timestamp(value, lit("yyyy.MM.dd HH:mm:ss")),          // 2019.05.14 19:05:47
       try_to_timestamp(cleaned, lit("d-MMM-yyyy HH:mm")),             // 14-May-2019 19:05
-      try_to_timestamp(cleaned, lit("yyyyMMdd")),                     // 20190514
-      try_to_timestamp(cleaned, lit("yyyy-MM-dd'T'HH:mm:ss,SSSSSS'Z'")),
+      try_to_timestamp(value, lit("yyyyMMdd")),                     // 20190514
+      try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ss,SSSSSS'Z'")),
       try_to_timestamp(cleaned, lit("d MMM yyyy HH:mm:ss")),
-      try_to_timestamp(cleaned, lit("MMM d yyyy HH:mm:ss XXX"))))
+      try_to_timestamp(value, lit("MMM d yyyy HH:mm:ss XXX"))))
   }
 
   /** Python strptime directives → java.time pattern (the subset seen in
