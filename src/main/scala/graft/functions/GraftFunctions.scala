@@ -60,6 +60,11 @@ object GraftFunctions {
   def graftCharEntropy(text: Column): Column =
     GraftBridge.column(CharEntropy(GraftBridge.expression(text)))
 
+  /** Lenient dateutil-style timestamp parse (null on failure) — the
+   *  rule compiler's whole parse chain as one native expression. */
+  def graftDateutilTs(text: Column): Column =
+    GraftBridge.column(DateutilTimestamp(GraftBridge.expression(text)))
+
   /** MinHash signature aggregate over a long hash column (k slots). */
   def graftMinhashAgg(hash: Column, k: Int): Column =
     GraftBridge.column(MinHashAgg(GraftBridge.expression(hash), k).toAggregateExpression())
@@ -114,6 +119,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_gunzip_text"),
       info("graft_gunzip_text", "graft_gunzip_text(bytes) - magic-byte-sniffing gzip decode to string", classOf[GunzipText]),
       (children: Seq[Expression]) => GunzipText(children(0))),
+    (FunctionIdentifier("graft_dateutil_ts"),
+      info("graft_dateutil_ts", "graft_dateutil_ts(s) - lenient dateutil-style timestamp parse, null on failure", classOf[DateutilTimestamp]),
+      (children: Seq[Expression]) => DateutilTimestamp(children(0))),
     (FunctionIdentifier("graft_char_entropy"),
       info("graft_char_entropy", "graft_char_entropy(text) - Shannon entropy of the code-point distribution, bits/char", classOf[CharEntropy]),
       (children: Seq[Expression]) => CharEntropy(children(0))),

@@ -354,7 +354,23 @@ object RuleCompiler {
    *  handling (validator.py:216-229); explicit DateFormat wins. */
   def parseTimestamp(value: Column, dateFormat: Option[String]): Column = dateFormat match {
     case Some(fmt) => try_to_timestamp(value, lit(pythonToJavaFormat(fmt)))
+    // the dateutil chain ships as ONE native expression
+    // (functions/DateutilTs.scala): ~30 try_to_timestamp branches
+    // inlined per rule instance pushed the ODE mega-projections into
+    // janino's fusion fallback and cost ~3 s of compile on the 100k
+    // head-to-head; the native walk is a single generated call with
+    // branch-for-branch identical semantics (45-row ref-golden pinned).
+    // The equivalent Column chain is kept below (unused) as the
+    // readable specification.
     case None =>
+      graft.functions.GraftFunctions.graftDateutilTs(value.cast(StringType))
+  }
+
+  /** The Column-algebra SPECIFICATION of the native dateutil chain —
+   *  retained for documentation and the spec test that pins the native
+   *  expression against it; not on the production path. */
+  private[graft] def parseTimestampColumnSpec(value: Column): Column = {
+    {
       val s = value.cast(StringType)
       // Named UTC zones: dateutil resolves a trailing GMT/UTC to tzutc
       // on every shape it parses (its UTCZONE list, no tzinfos needed).
@@ -422,6 +438,7 @@ object RuleCompiler {
       try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ss,SSSSSS'Z'")),
       try_to_timestamp(cleaned, lit("d MMM yyyy HH:mm:ss")),
       try_to_timestamp(value, lit("MMM d yyyy HH:mm:ss XXX"))))
+    }
   }
 
   /** Python strptime directives → java.time pattern (the subset seen in

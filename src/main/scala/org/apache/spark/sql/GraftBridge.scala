@@ -35,3 +35,29 @@ object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
+
+/** Parser factories for graft's native dateutil-chain expression —
+  * built HERE because `TimestampFormatter`'s apply overloads are
+  * `private[sql]`: each returned function is exactly what
+  * `try_to_timestamp(col, lit(pattern))` evaluates under the default
+  * CORRECTED parser policy (UTC session zone, US locale), so the
+  * native chain and the Column chain are behavior-identical. */
+object GraftTimeBridge {
+  import java.time.ZoneOffset
+  import org.apache.spark.sql.catalyst.util.{DateTimeUtils, TimestampFormatter}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** micros since epoch, or null on mismatch — `to_timestamp(s, fmt)`. */
+  def patternParser(pattern: String): String => java.lang.Long = {
+    val f = TimestampFormatter(pattern, ZoneOffset.UTC, isParsing = true)
+    (s: String) =>
+      try java.lang.Long.valueOf(f.parse(s))
+      catch { case _: Exception => null }
+  }
+
+  /** micros since epoch, or null — the formatless `CAST(s AS TIMESTAMP)`
+    * string grammar. */
+  def castParse(s: String): java.lang.Long =
+    DateTimeUtils.stringToTimestamp(UTF8String.fromString(s), ZoneOffset.UTC)
+      .map(java.lang.Long.valueOf(_)).orNull
+}

@@ -432,6 +432,34 @@ object EngineProperties extends Properties("graft") {
       }
     }
 
+  property("native dateutil parse equals the Column-chain specification") = {
+    val genTs: Gen[String] = Gen.oneOf(
+      Gen.oneOf(
+        "2019-05-14T19:05:47Z", "2019-05-14T19:05:47.123456Z",
+        "May 14 2019 19:05:47 +0000", "20190514T190547Z",
+        "2019-05-14", "May 14 2019", "05/14/2019 19:05",
+        "14 May 2019 19:05:47 GMT", "2019-05-14 19:05:47 UTC",
+        "2019-05-14T19:05:47+05:30", "Tue, 14 May 2019 19:05:47 +0000",
+        "Tue May 14 19:05:47 2019", "May 14, 2019 7:05:47 PM",
+        "14/05/2019 19:05:47", "2019.05.14 19:05:47", "14-May-2019 19:05",
+        "20190514", "0000-01-01", "00000101", "2019-13-05", "2019-02-31",
+        "2019-05-14T25:05:47Z", "not-a-timestamp",
+        "2019-05-14T19:05:47Z GMT", "2019-05-14 19:05:47 America/New_York"),
+      for { // random near-ISO strings probe the guards' edges
+        y <- Gen.choose(0, 2100); m <- Gen.choose(0, 19)
+        d <- Gen.choose(0, 39); sep <- Gen.oneOf("-", "/", ".")
+      } yield f"$y%04d$sep$m%02d$sep$d%02d")
+    Prop.forAll(Gen.listOfN(12, genTs)) { vals =>
+      import spark.implicits._
+      val df = vals.toDF("ts")
+      val both = df.select(
+          graft.rules.RuleCompiler.parseTimestamp(col("ts"), None).as("native"),
+          graft.rules.RuleCompiler.parseTimestampColumnSpec(col("ts")).as("spec"))
+        .collect()
+      both.forall(r => r.get(0) == r.get(1))
+    }
+  }
+
   property("ntileFromRank equals the SQL ntile window for random n and k") =
     Prop.forAll(Gen.choose(1, 40), Gen.choose(1, 8)) { (n, k) =>
       import org.apache.spark.sql.expressions.Window
