@@ -141,6 +141,64 @@ object Geo {
         round(avg(col("_v")), 6).as("avg_value"))
 
   /**
+   * First-match zone label for a point — zones checked in list order,
+   * null when outside all (the CASE chain both engines share).
+   */
+  def zoneOf(lat: Column, lon: Column,
+             zones: Seq[(String, Seq[(Double, Double)])]): Column =
+    zones.foldRight(lit(null).cast("string")) { case ((name, vs), rest) =>
+      when(inConvexPolygon(lat, lon, vs), lit(name)).otherwise(rest)
+    }
+
+  /**
+   * Geofence entry/exit transitions: each key's fixes labeled with
+   * their first-match zone, consecutive-fix label CHANGES emitted as
+   * transition events (from_zone/to_zone, null = outside) — the
+   * alerting op a CV pipeline runs on every position report. One
+   * key-partitioned window; the zone test is codegen'd half-plane
+   * algebra, so the stream side never joins anything.
+   */
+  def geofenceTransitions(points: DataFrame, keyCol: String, tsCol: String,
+                          idCol: String, latCol: String, lonCol: String,
+                          zones: Seq[(String, Seq[(Double, Double)])])
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    points
+      .withColumn("zone", zoneOf(col(latCol), col(lonCol), zones))
+      .withColumn("prev_zone", lag(col("zone"), 1).over(w))
+      .withColumn("_had_prev",
+        lag(col(tsCol), 1).over(w).isNotNull) // first fix is no transition
+      .filter(col("_had_prev") && !(col("zone") <=> col("prev_zone")))
+      .select(col(keyCol), col(tsCol).as("ts"), col(idCol),
+        col("prev_zone").as("from_zone"), col("zone").as("to_zone"))
+  }
+
+  /**
+   * Per-zone dwell time: inter-fix intervals attributed to the zone of
+   * the EARLIER fix (the step-function convention), summed per
+   * (key, zone) and rolled up to zone totals — "how long do vehicles
+   * spend downtown". Same single key window + one aggregate.
+   */
+  def zoneDwell(points: DataFrame, keyCol: String, tsCol: String,
+                idCol: String, latCol: String, lonCol: String,
+                zones: Seq[(String, Seq[(Double, Double)])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    points
+      .withColumn("zone", zoneOf(col(latCol), col(lonCol), zones))
+      .withColumn("_next_ts", lead(col(tsCol), 1).over(w))
+      .filter(col("zone").isNotNull && col("_next_ts").isNotNull)
+      .groupBy(col("zone"))
+      .agg(
+        countDistinct(col(keyCol)).as("n_vehicles"),
+        count(lit(1)).as("n_intervals"),
+        ((sum(col("_next_ts") - col(tsCol))) / lit(1000000000L))
+          .cast("double").as("dwell_s"))
+      .withColumn("dwell_s", round(col("dwell_s"), 3))
+  }
+
+  /**
    * Bounded-radius k-nearest-neighbors: for each probe, the `k`
    * closest points within `maxRadiusM` — [[radiusJoin]]'s halo
    * candidates cut by a per-probe window over (distance, id), the

@@ -203,6 +203,24 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("geofenceTransitions/zoneDwell: entry, exit, and step-function dwell") {
+    val ns = 1000000000L
+    val z = Seq("box" -> Seq((0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0)))
+    // outside -> in (10s) -> in (20s) -> outside (40s): one entry, one exit
+    val pts = Seq((1, 0L, 0L, 5.0, 5.0), (1, 10L * ns, 1L, 0.5, 0.5),
+      (1, 30L * ns, 2L, 0.6, 0.6), (1, 70L * ns, 3L, 5.0, 5.0))
+      .toDF("k", "ts", "id", "lat", "lon")
+    val tr = graft.ext.Geo.geofenceTransitions(pts, "k", "ts", "id",
+        "lat", "lon", z).orderBy("ts").collect()
+      .map(r => (Option(r.getString(3)), Option(r.getString(4))))
+    assert(tr.toSeq == Seq((None, Some("box")), (Some("box"), None)))
+    val dw = graft.ext.Geo.zoneDwell(pts, "k", "ts", "id", "lat", "lon", z)
+      .collect()(0)
+    // intervals starting at the two in-zone fixes: 20s + 40s
+    assert((dw.getString(0), dw.getLong(1), dw.getLong(2),
+      dw.getDouble(3)) == (("box", 1L, 2L, 60.0)))
+  }
+
   test("geoKnn: bounded-radius top-k equals brute force with deterministic ties") {
     val probes = Seq((0L, 0.025, 0.025)).toDF("probe_id", "probe_lat", "probe_lon")
     val pts = (0 until 50).map(i => (i.toLong, 0.001 * i, 0.05 - 0.001 * i))
