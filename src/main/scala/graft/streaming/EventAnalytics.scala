@@ -241,4 +241,51 @@ object EventAnalytics {
           }
       }
   }
+
+  final case class ZoneTransition(user_id: Long, ts: Long, event_id: Long,
+                                  from_zone: String, to_zone: String)
+  final case class ZoneState(lastTsNs: Long, lastZone: String)
+
+  /**
+   * STATEFUL streaming geofence transitions: per-vehicle last-zone
+   * state carried across micro-batches by `flatMapGroupsWithState`, so
+   * an entry in batch N is detected against the position from batch
+   * N-1 — the alerting face of [[graft.ext.Geo.geofenceTransitions]],
+   * whose batch form is the DuckDB-oracled gate (q_geofence_transitions;
+   * stream ≡ batch asserted in EventAnalyticsSpec). State is ONE
+   * (ts, zone) pair per vehicle — bounded by the fleet size, the
+   * smallest possible streaming state. Within a batch each vehicle's
+   * fixes sort in memory (per-vehicle-per-batch fan-in is small by
+   * construction); cross-batch order relies on source order, the
+   * standard contract for low-latency alerting (an event-time-perfect
+   * variant is the watermark-buffered formulation, cf.
+   * [[sessionizeStream]]).
+   */
+  def geofenceTransitionsStream(points: DataFrame,
+      zones: Seq[(String, Seq[(Double, Double)])],
+      keyCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", latCol: String = "lat",
+      lonCol: String = "lon"): Dataset[ZoneTransition] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .withColumn("zone", graft.ext.Geo.zoneOf(col(latCol), col(lonCol), zones))
+      .select(col(keyCol).cast("long").as[Long], col(tsCol).as[Long],
+        col(idCol).as[Long], col("zone").as[String])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[ZoneState]) =>
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          var last = state.getOption.orNull
+          val out = List.newBuilder[ZoneTransition]
+          for ((_, ts, id, zone) <- sorted) {
+            if (last != null && last.lastZone != zone)
+              out += ZoneTransition(key, ts, id, last.lastZone, zone)
+            last = ZoneState(ts, zone)
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }
+  }
 }

@@ -180,6 +180,40 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got == expectedClosed)
   }
 
+  test("stateful streaming geofence transitions equal the batch operator") {
+    // a thin lon strip whose edges cut through the per-event jitter
+    // range, so vehicles cross in and out between consecutive fixes
+    val zones = Seq(
+      "strip" -> Seq((39.0, -104.925), (39.0, -104.895),
+        (39.5, -104.895), (39.5, -104.925)))
+    def pts(df: org.apache.spark.sql.DataFrame) =
+      graft.ingest.Readers.tsToNanos(df).select(col("event_id"),
+        col("user_id"), col("ts"),
+        expr("39e0 + (user_id % 50) * 1e-2 + ((event_id * 7919) % 1000) * 1e-5").as("lat"),
+        expr("-105e0 + (user_id % 70) * 1e-2 + ((event_id * 104729) % 1000) * 1e-5").as("lon"))
+
+    val expected = graft.ext.Geo.geofenceTransitions(
+        pts(spark.read.parquet(eventsFile)), "user_id", "ts", "event_id",
+        "lat", "lon", zones)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), Option(r.getString(4)))).toSet
+
+    val ckpt = Files.createTempDirectory("graft-geofence-stream").toString
+    val stream = spark.readStream.schema(rawSchema).parquet(eventsPath)
+    val q = EventAnalytics.geofenceTransitionsStream(pts(stream), zones)
+      .writeStream.format("memory").queryName("zone_transitions")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("zone_transitions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), Option(r.getString(4)))).toSet
+    assert(expected.nonEmpty && got == expected)
+  }
+
   test("streaming geofence counts equal batch over the same files") {
     // the geofence aggregate (explode zones -> filter -> groupBy) is a
     // plain streaming-compatible aggregation: the alerting face of
