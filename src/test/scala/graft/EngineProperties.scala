@@ -460,6 +460,36 @@ object EngineProperties extends Properties("graft") {
     }
   }
 
+  property("count-min estimates never undercount, and are exact when wide") =
+    Prop.forAll(Gen.listOfN(60, Gen.choose(0, 12))) { keys =>
+      import spark.implicits._
+      val df = keys.map(k => s"k$k").toDF("k")
+      val hh = graft.ext.Sketches.heavyHitters(df, "k",
+          depth = 3, width = 8, k = 13).collect()
+      val exact = keys.map(k => s"k$k")
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      hh.nonEmpty && hh.forall { r =>
+        r.getLong(1) >= r.getLong(2) && r.getLong(2) == exact(r.getString(0))
+      }
+    }
+
+  property("triangle census equals the brute-force triple count") =
+    Prop.forAll(Gen.choose(4, 9), Gen.choose(30, 70)) { (n, pct) =>
+      import spark.implicits._
+      // deterministic pseudo-random graph from (n, pct)
+      val pairs = for { a <- 0 until n; b <- a + 1 until n
+        if (a * 31 + b * 17 + pct) % 100 < pct } yield (a, b)
+      if (pairs.isEmpty) true
+      else {
+        val edges = pairs.toDF("a", "b")
+        val r = graft.ext.Graph.triangleStats(edges).collect()(0)
+        val es = pairs.toSet
+        val brute = (for { a <- 0 until n; b <- a + 1 until n; c <- b + 1 until n
+          if es((a, b)) && es((b, c)) && es((a, c)) } yield 1).size
+        r.getLong(2) == brute.toLong && r.getLong(1) == pairs.size.toLong
+      }
+    }
+
   property("ntileFromRank equals the SQL ntile window for random n and k") =
     Prop.forAll(Gen.choose(1, 40), Gen.choose(1, 8)) { (n, k) =>
       import org.apache.spark.sql.expressions.Window
