@@ -247,6 +247,19 @@ class GeoSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((1, 2, 2L, 0.5))) // |∩|=2, |∪|=4; user 3 unpaired
   }
 
+  test("bucketedIntervalJoin equals brute force, intervals spanning many buckets") {
+    val pts = (0L until 200L).map(p => (p, p * 7 % 173)).toDF("id", "x")
+    val ivs = Seq((0, 10L, 30L), (1, 25L, 26L), (2, 0L, 173L), (3, 160L, 200L))
+      .toDF("iv", "lo", "hi") // iv 2 spans 18 buckets at width 10
+    val got = graft.ext.Intervals.bucketedIntervalJoin(pts, "x", ivs,
+        "lo", "hi", bucketWidth = 10L)
+      .select("iv", "id").as[(Int, Long)].collect().sorted.toSeq
+    val brute = pts.crossJoin(ivs)
+      .filter(col("x") >= col("lo") && col("x") < col("hi"))
+      .select("iv", "id").as[(Int, Long)].collect().sorted.toSeq
+    assert(brute.nonEmpty && got == brute)
+  }
+
   test("autocorrelation: a period-2 alternating series has acf -1 at lag 1, +1 at lag 2") {
     val s = (0 until 20).map(i => ("g", i, if (i % 2 == 0) 1.0 else 5.0))
       .toDF("g", "i", "v")

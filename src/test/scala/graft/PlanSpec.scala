@@ -273,6 +273,12 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Exchange hashpartitioning") == 1)
   }
 
+  test("q_interval_bucket_join: bucket EQUI-join — never a nested loop") {
+    val p = plan("q_interval_bucket_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the containment predicate must ride the bucket equi-join")
+  }
+
   test("q_rfm: no single-partition window — ranks come from range exchanges") {
     val p = plan("q_rfm")
     assert(!p.contains("Window "), "ntile must not plan as a global window")
