@@ -277,11 +277,7 @@ object ScaleCheck {
     // occupancy worst case); the containment join must stay an
     // equi-join over buckets
     time("interval_bucket_join(40w)", 30) {
-      val base = 1704067200L * 1000000000L
-      val windows = spark.range(40).select(col("id").as("window_id"),
-        (lit(base) + col("id") * lit(87000000000000L)).as("w_lo"),
-        (lit(base) + col("id") * lit(87000000000000L) +
-          lit(43000000000000L)).as("w_hi"))
+      val windows = Queries.maintenanceWindows(spark)
       graft.ext.Intervals.bucketedIntervalJoin(
         bigEvents.select(col("event_id"), col("ts"), col("value")),
         "ts", windows, "w_lo", "w_hi", 50000000000000L).count()

@@ -27,13 +27,16 @@ object Intervals {
   def bucketedIntervalJoin(points: DataFrame, ptCol: String,
                            intervals: DataFrame, loCol: String,
                            hiCol: String, bucketWidth: Long): DataFrame = {
-    val iv = intervals.withColumn("_b",
+    // qualified sides + improbable temp names: a reusable helper must
+    // survive callers whose two inputs share column names
+    val iv = intervals.withColumn("__graft_b",
       explode(sequence(expr(s"$loCol div $bucketWidth"),
-        expr(s"$hiCol div $bucketWidth"))))
+        expr(s"$hiCol div $bucketWidth")))).as("__gi")
     points
-      .withColumn("_pb", expr(s"$ptCol div $bucketWidth"))
-      .join(iv, col("_pb") === col("_b") &&
-        col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
-      .drop("_pb", "_b")
+      .withColumn("__graft_pb", expr(s"$ptCol div $bucketWidth")).as("__gp")
+      .join(iv, col("__gp.__graft_pb") === col("__gi.__graft_b") &&
+        col(s"__gp.$ptCol") >= col(s"__gi.$loCol") &&
+        col(s"__gp.$ptCol") < col(s"__gi.$hiCol"))
+      .drop("__graft_pb", "__graft_b")
   }
 }

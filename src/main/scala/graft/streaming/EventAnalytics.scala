@@ -280,9 +280,14 @@ object EventAnalytics {
           var last = state.getOption.orNull
           val out = List.newBuilder[ZoneTransition]
           for ((_, ts, id, zone) <- sorted) {
-            if (last != null && last.lastZone != zone)
-              out += ZoneTransition(key, ts, id, last.lastZone, zone)
-            last = ZoneState(ts, zone)
+            // a fix OLDER than the carried state (late cross-batch
+            // arrival) is dropped: comparing it against the newer
+            // stored zone would emit an inverted, past-dated transition
+            if (last == null || ts >= last.lastTsNs) {
+              if (last != null && last.lastZone != zone)
+                out += ZoneTransition(key, ts, id, last.lastZone, zone)
+              last = ZoneState(ts, zone)
+            }
           }
           if (last != null) state.update(last)
           out.result().iterator

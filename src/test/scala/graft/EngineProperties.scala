@@ -464,13 +464,19 @@ object EngineProperties extends Properties("graft") {
     Prop.forAll(Gen.listOfN(60, Gen.choose(0, 12))) { keys =>
       import spark.implicits._
       val df = keys.map(k => s"k$k").toDF("k")
-      val hh = graft.ext.Sketches.heavyHitters(df, "k",
-          depth = 3, width = 8, k = 13).collect()
       val exact = keys.map(k => s"k$k")
         .groupBy(identity).view.mapValues(_.size.toLong).toMap
-      hh.nonEmpty && hh.forall { r =>
-        r.getLong(1) >= r.getLong(2) && r.getLong(2) == exact(r.getString(0))
-      }
+      // squeezed: collisions guaranteed, bias must stay one-sided
+      val squeezed = graft.ext.Sketches.heavyHitters(df, "k",
+          depth = 3, width = 8, k = 13).collect()
+      // wide: width >> distinct keys, estimates must be EXACT
+      val wide = graft.ext.Sketches.heavyHitters(df, "k",
+          depth = 3, width = 1024, k = 13).collect()
+      squeezed.nonEmpty &&
+        squeezed.forall { r =>
+          r.getLong(1) >= r.getLong(2) && r.getLong(2) == exact(r.getString(0))
+        } &&
+        wide.forall(r => r.getLong(1) == r.getLong(2))
     }
 
   property("triangle census equals the brute-force triple count") =
