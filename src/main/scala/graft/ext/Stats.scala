@@ -147,6 +147,12 @@ object Stats {
    * q_length_filter precedent); a row lands in bin 1 + #(boundaries
    * strictly below it). One exact-percentile aggregate (a sort-free
    * typed buffer), a (k−1)-value broadcast, one grouped pass.
+   *
+   * Scale note: `percentile`'s buffer is DISTINCT-VALUE-bounded — fine
+   * for binned/price-like columns, unbounded for continuous doubles at
+   * 100 TB. There the boundaries come from `approx_percentile`
+   * (q_approx_agg's envelope) or a coarse-histogram-then-refine second
+   * pass; this form is the exact oracle face.
    */
   def equiDepthBins(df: DataFrame, valueCol: String, k: Int): DataFrame = {
     require(k >= 2, s"need at least 2 bins, got $k")
@@ -154,9 +160,18 @@ object Stats {
     val fracs = (1 until k).map(_.toDouble / k)
     val bounds = df.agg(
       percentile(v, typedLit(fracs)).as("__qs"))
+    // bin = 1 + #(cut points strictly below v), as a codegen'd
+    // comparison SUM — `size(filter(arr, lambda))` evaluates the
+    // lambda INTERPRETED per row (the winnowing lesson). Here the
+    // binning pass is minor (3.2 → 3.0 s warm at sf0.1): the exact
+    // `percentile` aggregate's distinct-value buffer dominates, which
+    // is the exactness contract (the approx_percentile family is the
+    // scale path, q_approx_agg)
+    val below = (1 to fracs.size)
+      .map(i => when(element_at(col("__qs"), i) < col("__v"), 1).otherwise(0))
+      .reduce(_ + _)
     df.select(v.as("__v")).crossJoin(broadcast(bounds))
-      .select((size(filter(col("__qs"),
-        q => q < col("__v"))) + lit(1)).as("bin"), col("__v"))
+      .select((below + lit(1)).as("bin"), col("__v"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
