@@ -121,6 +121,45 @@ class SqlSurfaceSpec extends AnyFunSuite {
          |FROM documents""".stripMargin)
   }
 
+  test("q_geo_cellcount as SQL equals the registry query") {
+    spark.read.parquet(s"$dir/events.parquet").createOrReplaceTempView("events_raw")
+    assertSameAsRegistry("q_geo_cellcount",
+      """WITH pts AS (
+        |  SELECT value,
+        |    39e0 + (user_id % 50) * 1e-2 + ((event_id * 7919) % 1000) * 1e-5 AS lat,
+        |    -105e0 + (user_id % 70) * 1e-2 + ((event_id * 104729) % 1000) * 1e-5 AS lon
+        |  FROM events_raw)
+        |SELECT CAST(floor(lat / 5e-2) AS BIGINT) AS cell_lat,
+        |  CAST(floor(lon / 5e-2) AS BIGINT) AS cell_lon,
+        |  count(*) AS n_points, round(sum(value), 6) AS value_sum,
+        |  round(avg(lat), 6) AS centroid_lat, round(avg(lon), 6) AS centroid_lon
+        |FROM pts GROUP BY 1, 2""".stripMargin)
+  }
+
+  test("q_geo_radius_join via SQL graft_haversine (brute force) equals the halo join") {
+    spark.read.parquet(s"$dir/events.parquet").createOrReplaceTempView("events_raw")
+    // the SQL user writes the BRUTE-FORCE form with graft_haversine;
+    // result-equality with the registry's cell-halo join is exactly the
+    // blocking-completeness identity the DuckDB oracle also pins
+    assertSameAsRegistry("q_geo_radius_join",
+      """WITH pts AS (
+        |  SELECT event_id,
+        |    39e0 + (user_id % 50) * 1e-2 + ((event_id * 7919) % 1000) * 1e-5 AS lat,
+        |    -105e0 + (user_id % 70) * 1e-2 + ((event_id * 104729) % 1000) * 1e-5 AS lon
+        |  FROM events_raw),
+        |probes AS (
+        |  SELECT id AS probe_id,
+        |    39e0 + (id % 10) * 5e-2 + 13e-3 AS probe_lat,
+        |    -105e0 + id * 35e-3 + 7e-3 AS probe_lon
+        |  FROM range(20)),
+        |d AS (
+        |  SELECT p.probe_id, x.event_id,
+        |    graft_haversine(x.lat, x.lon, p.probe_lat, p.probe_lon) AS dist_m
+        |  FROM pts x CROSS JOIN probes p)
+        |SELECT probe_id, event_id, round(dist_m, 2) AS dist_m
+        |FROM d WHERE dist_m <= 900e0""".stripMargin)
+  }
+
   test("graft_haversine from SQL equals the DataFrame expression tree") {
     import org.apache.spark.sql.functions.col
     val viaSql = spark.sql(
