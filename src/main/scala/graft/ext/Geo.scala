@@ -44,6 +44,20 @@ object Geo {
     lit(2.0 * EarthRadiusM) * asin(when(root > 1.0, lit(1.0)).otherwise(root))
   }
 
+  /**
+   * Initial great-circle bearing from point 1 to point 2, degrees in
+   * [0, 360) — the heading a vehicle reports between consecutive
+   * fixes. Same IEEE-portability contract as [[haversineMeters]].
+   */
+  def bearingDegrees(lat1: Column, lon1: Column,
+                     lat2: Column, lon2: Column): Column = {
+    val dLon = radians(lon2 - lon1)
+    val y = sin(dLon) * cos(radians(lat2))
+    val x = cos(radians(lat1)) * sin(radians(lat2)) -
+      sin(radians(lat1)) * cos(radians(lat2)) * cos(dLon)
+    (degrees(atan2(y, x)) + 360.0) % 360.0
+  }
+
   /** Integer grid-cell index of a coordinate at `cellDeg` resolution. */
   def cellOf(coord: Column, cellDeg: Double): Column =
     floor(coord / lit(cellDeg)).cast("long")

@@ -26,6 +26,20 @@ class GeoSpec extends AnyFunSuite {
     assert(math.abs(df(1) - 6371000.0 * math.Pi) < 1e-6)
   }
 
+  test("bearingDegrees: compass pins at the equator") {
+    val b = Seq(
+      (0.0, 0.0, 1.0, 0.0),  // due north
+      (0.0, 0.0, 0.0, 1.0),  // due east
+      (0.0, 0.0, -1.0, 0.0), // due south
+      (0.0, 0.0, 0.0, -1.0)) // due west
+      .toDF("lat1", "lon1", "lat2", "lon2")
+      .select(Geo.bearingDegrees(col("lat1"), col("lon1"),
+        col("lat2"), col("lon2")).as("b"))
+      .collect().map(_.getDouble(0))
+    assert(b.zip(Seq(0.0, 90.0, 180.0, 270.0))
+      .forall { case (got, want) => math.abs(got - want) < 1e-9 })
+  }
+
   test("cellCounts: points bin to the enclosing cell, negatives floor down") {
     val pts = Seq((0.07, -0.01, 2.0), (0.08, -0.01, 3.0), (0.02, 0.02, 5.0))
       .toDF("lat", "lon", "v")
