@@ -496,6 +496,52 @@ object EngineProperties extends Properties("graft") {
       }
     }
 
+  property("scd2History conserves rows and chains validity per key") =
+    Prop.forAll(Gen.listOfN(20, for {
+      k <- Gen.choose(1, 3); a <- Gen.oneOf("X", "Y", "Z")
+      d <- Gen.choose(1, 30)
+    } yield (k, a, d))) { raw =>
+      import spark.implicits._
+      val rows = raw.zipWithIndex.map { case ((k, a, d), i) => (k, a, d, i) }
+      val df = rows.toDF("k", "attr", "d", "id")
+      val hist = graft.ext.Upsert.scd2History(df, "k", "attr", Seq("d", "id"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)),
+          r.getBoolean(4), r.getLong(5)))
+      val byKey = hist.groupBy(_._1)
+      byKey.forall { case (_, islands) =>
+        val sorted = islands.sortBy(_._3)
+        // exactly one open (current) interval per key, at the end
+        sorted.count(_._5) == 1 && sorted.last._5 &&
+        // each valid_to chains to the NEXT island's valid_from, and
+        // consecutive islands always change the attribute
+        sorted.toSeq.sliding(2).forall {
+          case scala.collection.Seq(a, b) =>
+            a._4.contains(b._3) && a._2 != b._2
+          case _ => true
+        }
+      } && hist.map(_._6).sum == rows.size
+    }
+
+  property("tripSummaries conserves fixes and trip ids are dense from 1") =
+    Prop.forAll(Gen.listOfN(25, for {
+      k <- Gen.choose(1, 3); t <- Gen.choose(0L, 500L)
+    } yield (k, t))) { raw =>
+      import spark.implicits._
+      val ns = 1000000000L
+      val rows = raw.zipWithIndex.map { case ((k, t), i) =>
+        (k, t * 60L * ns, i.toLong, 0.001 * (i % 7), 0.001 * (i % 5))
+      }
+      val df = rows.toDF("k", "ts", "id", "lat", "lon")
+      val trips = graft.ext.Geo.tripSummaries(df, "k", "ts", "id",
+          "lat", "lon", gapNs = 3600L * ns, cellDeg = 0.05)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getAs[Long]("n_fixes")))
+      trips.map(_._3).sum == rows.size &&
+        trips.groupBy(_._1).forall { case (_, ts) =>
+          ts.map(_._2).sorted.toSeq == (1L to ts.length).toSeq
+        }
+    }
+
   property("ntileFromRank equals the SQL ntile window for random n and k") =
     Prop.forAll(Gen.choose(1, 40), Gen.choose(1, 8)) { (n, k) =>
       import org.apache.spark.sql.expressions.Window
