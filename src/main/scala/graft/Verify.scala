@@ -8,7 +8,7 @@ object Verify {
     * q_file_metadata's golden, and a git checkout resets mtimes to "now").
     * Scheme matches tools/gen_fixtures.py: sorted non-config data files
     * get 1705320000 (2024-01-15T12:00:00Z) + i*3600. */
-  private def pinRouteMtimes(): Unit = {
+  private[graft] def pinRouteMtimes(): Unit = {
     val root = Paths.get("/root/repo/fixtures/route")
     if (Files.isDirectory(root)) {
       import scala.jdk.CollectionConverters._

@@ -304,7 +304,11 @@ object Geo {
       .groupBy(col(keyCol))
       .agg(
         count(lit(1)).as("n_fixes"),
-        round(sum(col("leg_m")), 2).as("total_m"),
+        // exact long-mm accumulation, one trailing division — same
+        // order-independence fix as tripSummaries (round-of-double-sum
+        // at a .005 boundary is partial-agg-order dependent)
+        (sum(floor(col("leg_m") * lit(1e3)).cast("long")) / lit(1000.0))
+          .as("total_m"),
         round(max(col("leg_m")), 2).as("max_leg_m"),
         ((max(col(tsCol)) - min(col(tsCol))) / lit(1000000000L))
           .cast("double").as("duration_s"))
@@ -365,6 +369,14 @@ object Geo {
         when(col("_new_trip") === 1, lit(null).cast("double"))
           .otherwise(haversineMeters(col("_prev_lat"), col("_prev_lon"),
             col(latCol), col(lonCol))))
+      // Integer-millimeter legs: round(sum(double), 2) was hash-flaky —
+      // partial-agg accumulation order shifts the sum a few ULPs, and
+      // with enough legs per trip a sum lands on a .005 rounding
+      // boundary (r7 driver red). floor-to-mm per leg is a per-row
+      // deterministic op, the long sum is exact in any order, and the
+      // single /1000.0 division is the same IEEE op in every engine.
+      .withColumn("_leg_mm",
+        floor(col("_leg_m") * lit(1e3)).cast("long"))
       .withColumn("_nxt_new", lead(col("_new_trip"), 1).over(w))
       .withColumn("_is_last",
         col("_nxt_new").isNull || col("_nxt_new") === 1)
@@ -372,7 +384,7 @@ object Geo {
       .groupBy(col(keyCol), col("trip_seq"))
       .agg(
         count(lit(1)).as("n_fixes"),
-        round(coalesce(sum(col("_leg_m")), lit(0.0)), 2).as("trip_m"),
+        coalesce(sum(col("_leg_mm")), lit(0L)).as("trip_mm"),
         ((max(col(tsCol)) - min(col(tsCol))) / lit(1000000000L))
           .cast("double").as("duration_s"),
         max(when(col("_new_trip") === 1,
@@ -383,6 +395,7 @@ object Geo {
           cellOf(col(latCol), cellDeg))).as("d_cell_lat"),
         max(when(col("_is_last"),
           cellOf(col(lonCol), cellDeg))).as("d_cell_lon"))
+      .withColumn("trip_m", col("trip_mm") / lit(1000.0))
   }
 
   /**
@@ -399,7 +412,11 @@ object Geo {
       .groupBy(col("o_cell_lat"), col("o_cell_lon"),
         col("d_cell_lat"), col("d_cell_lon"))
       .agg(count(lit(1)).as("n_trips"),
-        round(avg(col("trip_m")), 2).as("avg_trip_m"))
+        // avg over exact integer millimeters, one division chain at the
+        // end — round(avg(double), 2) is the same boundary-flake family
+        // as the trip_m sum (see tripSummaries).
+        (sum(col("trip_mm")).cast("double") / count(lit(1)) / lit(1000.0))
+          .as("avg_trip_m"))
 
   /**
    * Spatio-temporal co-location: pairs of DISTINCT keys with fixes
