@@ -40,10 +40,27 @@ object DateutilTsOps {
   private val lettersRe = Pattern.compile("[A-Za-z]{2,}")
   private val wkCommaRe = Pattern.compile("^[A-Za-z]{3}, ")
   private val wkRe = Pattern.compile("^[A-Za-z]{3} ")
+  // r8 residual closure (ref dateutil/parser/_parser.py, public):
+  // POSIX tzstr — "UTC+05:30" names the zone Etc/GMT+5:30, i.e. the
+  // OPPOSITE of the face offset — and bare ALL-CAPS tznames, which
+  // dateutil accepts as a label with tzinfo=None (NAIVE result) when
+  // no tzinfos mapping is given. Both require an HOUR to be present
+  // (dateutil's _could_be_tzname gates on res.hour is not None).
+  private val posixRe =
+    Pattern.compile("\\s+(GMT|UTC)([+-])([0-9]{1,2})(?::?([0-9]{2}))?\\s*$")
+  private val tznameRe = Pattern.compile("\\s+([A-Z]{2,5})\\s*$")
+  private val awareTailRe =
+    Pattern.compile("(Z|[+-][0-9]{2}:?[0-9]{2}|\\s(GMT|UTC))\\s*$")
+  private val hasTimeRe = Pattern.compile("[0-9]:[0-9]{2}|[0-9]T[0-9]{4}")
+  private val notTznames = Set("GMT", "UTC", "AM", "PM")
 
   // input selectors per branch
   private val RAW = 0; private val CLEANED = 1
   private val WK_COMMA = 2; private val WK = 3
+  // weekday strip COMPOSED with the GMT/UTC zone strip — the RFC-1123
+  // shape ("Tue, 14 May 2019 19:05:47 GMT") needs both: dateutil drops
+  // the optional weekday AND resolves the trailing named UTC zone
+  private val WK_COMMA_CLEANED = 4
 
   /** (pattern, input-selector) in EXACT prior-chain order. */
   private val spec: Array[(String, Int)] = Array(
@@ -63,7 +80,9 @@ object DateutilTsOps {
     ("MM/dd/yyyy HH:mm", RAW),
     ("d MMM yyyy HH:mm:ss XX", WK_COMMA),
     ("MMM d HH:mm:ss yyyy", WK),
-    ("d MMM yyyy HH:mm:ss", WK_COMMA),
+    // zone-stripped input: identical to WK_COMMA when no zone suffix is
+    // present (cleaned == raw), and additionally parses RFC-1123
+    ("d MMM yyyy HH:mm:ss", WK_COMMA_CLEANED),
     ("MMM d, yyyy h:mm:ss a", RAW),
     ("dd/MM/yyyy HH:mm:ss", RAW),
     ("yyyy.MM.dd HH:mm:ss", RAW),
@@ -76,11 +95,10 @@ object DateutilTsOps {
   private lazy val parsers: Array[(String => java.lang.Long, Int)] =
     spec.map { case (p, sel) => (GraftTimeBridge.patternParser(p), sel) }
 
-  /** Epoch micros, or null when no dateutil-accepted shape matches. */
-  def parseMicros(v: UTF8String): java.lang.Long = {
-    val raw = v.toString
-    if (yearZeroRe.matcher(raw).find() || doubleTzRe.matcher(raw).find())
-      return null
+  /** The branch walk proper, over one input string (no zone-suffix
+    * rewrites — those live in [[parseMicros]], which may re-enter the
+    * walk on a zone-stripped base). */
+  private def walkMicros(raw: String): java.lang.Long = {
     val cleaned = zoneRe.matcher(raw).replaceAll("")
     // formatless CAST grammar first (the dominant ISO family), gated
     // against multi-letter tokens (zone ids / POSIX tzstr, which the
@@ -91,6 +109,7 @@ object DateutilTsOps {
     }
     lazy val wkComma = wkCommaRe.matcher(raw).replaceFirst("")
     lazy val wk = wkRe.matcher(raw).replaceFirst("")
+    lazy val wkCommaCleaned = wkCommaRe.matcher(cleaned).replaceFirst("")
     var i = 0
     while (i < parsers.length) {
       val (p, sel) = parsers(i)
@@ -99,10 +118,50 @@ object DateutilTsOps {
         case CLEANED => cleaned
         case WK_COMMA => wkComma
         case WK => wk
+        case WK_COMMA_CLEANED => wkCommaCleaned
       }
       val r = p(input)
       if (r != null) return r
       i += 1
+    }
+    null
+  }
+
+  /** Epoch micros, or null when no dateutil-accepted shape matches.
+    *
+    * NAIVE results are epoch micros of the wall time read as UTC; the
+    * aware/naive CLASSIFICATION lives in the rule compiler's `aware`
+    * regex, which must stay in lockstep with the zone handling here
+    * (POSIX-suffixed values are aware, bare-tzname values naive). */
+  def parseMicros(v: UTF8String): java.lang.Long = {
+    val raw = v.toString
+    if (yearZeroRe.matcher(raw).find() || doubleTzRe.matcher(raw).find())
+      return null
+    val r = walkMicros(raw)
+    if (r != null) return r
+    // POSIX tzstr: strip "UTC+05:30", parse the base as wall time, then
+    // apply the INVERTED offset. utcoffset = -(face), so
+    // epoch = wall - utcoffset = wall + face — the one zone form where
+    // the face sign is ADDED.
+    val pm = posixRe.matcher(raw)
+    if (pm.find()) {
+      val base = raw.substring(0, pm.start())
+      if (awareTailRe.matcher(base).find() || !hasTimeRe.matcher(base).find())
+        return null
+      val b = walkMicros(base)
+      if (b == null) return null
+      val sign = if (pm.group(2) == "+") 1L else -1L
+      val off = (pm.group(3).toLong * 3600L +
+        (if (pm.group(4) != null) pm.group(4).toLong * 60L else 0L)) * 1000000L
+      return java.lang.Long.valueOf(b.longValue() + sign * off)
+    }
+    // bare ALL-CAPS tzname (EST, PQRST, …): dateutil keeps the label
+    // with tzinfo=None — the value parses NAIVE
+    val tm = tznameRe.matcher(raw)
+    if (tm.find() && !notTznames.contains(tm.group(1))) {
+      val base = raw.substring(0, tm.start())
+      if (!awareTailRe.matcher(base).find() && hasTimeRe.matcher(base).find())
+        return walkMicros(base)
     }
     null
   }

@@ -164,6 +164,21 @@ object RuleCompiler {
         // re-shift for display (r7: removes the non-UTC-offset
         // exclusion from the leniency envelope)
         val s = v.cast(StringType)
+        // POSIX tzstr first ("UTC+05:30"): utcoffset = -(face), so the
+        // rendered wall time is epoch MINUS the face offset and the
+        // rendered suffix carries the INVERTED sign — checked before the
+        // generic branch, whose end-anchored regex also matches the
+        // tzstr's numeric tail.
+        val posixRe = "(GMT|UTC)([+-])([0-9]{1,2})(:?([0-9]{2}))?\\s*$"
+        val pSign = regexp_extract(s, posixRe, 2)
+        val pH = regexp_extract(s, posixRe, 3)
+        val pM = when(regexp_extract(s, posixRe, 5) === "", lit("00"))
+          .otherwise(regexp_extract(s, posixRe, 5))
+        val faceMin = (pH.cast("int") * 60 + pM.cast("int")) *
+          when(pSign === "-", -1).otherwise(1)
+        val pNonZero = (pSign =!= "") && (faceMin =!= 0)
+        val pShifted = ts - make_dt_interval(lit(0), lit(0), faceMin, lit(0))
+        val pDispSign = when(pSign === "+", lit("-")).otherwise(lit("+"))
         val offRe = "([+-])([0-9]{2}):?([0-9]{2})\\s*$"
         val sign = regexp_extract(s, offRe, 1)
         val oh = regexp_extract(s, offRe, 2)
@@ -172,7 +187,9 @@ object RuleCompiler {
         val offMin = (oh.cast("int") * 60 + om.cast("int")) *
           when(sign === "-", -1).otherwise(1)
         val shifted = ts + make_dt_interval(lit(0), lit(0), offMin, lit(0))
-        when(nonUtc, concat(render(shifted), sign, oh, lit(":"), om))
+        when(pNonZero, concat(render(pShifted), pDispSign,
+            lpad(pH, 2, "0"), lit(":"), pM))
+          .when(nonUtc, concat(render(shifted), sign, oh, lit(":"), om))
           .otherwise(utc)
     }
   }
@@ -276,7 +293,11 @@ object RuleCompiler {
         val aware: Column = rule.dateFormat match {
           case Some(fmt) => lit(fmt.contains("%z"))
           case None => value.cast(StringType)
-            .rlike("(Z|[+-][0-9]{2}:?[0-9]{2}|GMT|UTC)\\s*$")
+            // aware ⇔ explicit Z/offset, or a named UTC zone optionally
+            // carrying a POSIX tzstr offset ("UTC+05:30"). A bare
+            // non-UTC tzname (EST) stays NAIVE — dateutil keeps the
+            // label with tzinfo=None when no tzinfos mapping is given.
+            .rlike("(Z|[+-][0-9]{2}:?[0-9]{2}|(GMT|UTC)([+-][0-9]{1,2}(:?[0-9]{2})?)?)\\s*$")
         }
         val naiveFail = fail(pathLbl, lit("failure to perform timestamp " +
           "validation, error: can't compare offset-naive and offset-aware datetimes"))
@@ -372,6 +393,48 @@ object RuleCompiler {
   private[graft] def parseTimestampColumnSpec(value: Column): Column = {
     {
       val s = value.cast(StringType)
+      val doubleTz = s.rlike("(Z|[+-][0-9]{2}:?[0-9]{2})\\s+(GMT|UTC)\\s*$")
+      // year 0 guard (dashed, dotted, slashed, or compact): Spark's
+      // proleptic calendar accepts 0000 (= 1 BC) where CPython's
+      // datetime raises "year 0 is out of range" — force the parse
+      // failure so the classifier emits CPython's message
+      val yearZero = s.rlike("^\\s*0000([-./]|[0-9]{4})")
+
+      // r8: POSIX tzstr + bare-tzname suffixes (mirrors DateutilTsOps
+      // — see the native file for the dateutil semantics). Both gate on
+      // a present TIME and a zone-free base, and only fire when the
+      // main walk returned null.
+      val posixRe = "\\s+(GMT|UTC)([+-])([0-9]{1,2})(:?([0-9]{2}))?\\s*$"
+      val awareTail = "(Z|[+-][0-9]{2}:?[0-9]{2}|\\s(GMT|UTC))\\s*$"
+      val hasTime = "[0-9]:[0-9]{2}|[0-9]T[0-9]{4}"
+      val posixBase = regexp_replace(s, posixRe, "")
+      val faceSign = when(regexp_extract(s, posixRe, 2) === "+", 1).otherwise(-1)
+      val offH = regexp_extract(s, posixRe, 3).cast("int")
+      val offM = coalesce(when(regexp_extract(s, posixRe, 5) === "", lit("0"))
+        .otherwise(regexp_extract(s, posixRe, 5)).cast("int"), lit(0))
+      val posixVal = when(s.rlike(posixRe) && !posixBase.rlike(awareTail) &&
+          posixBase.rlike(hasTime),
+        walkSpec(posixBase) +
+          make_dt_interval(lit(0), faceSign * offH, faceSign * offM, lit(0)))
+        .otherwise(lit(null).cast(TimestampType))
+      val tznameRe = "\\s+([A-Z]{2,5})\\s*$"
+      val tzBase = regexp_replace(s, tznameRe, "")
+      val tznameVal = when(s.rlike(tznameRe) &&
+          !s.rlike("\\s+(GMT|UTC|AM|PM)\\s*$") &&
+          !tzBase.rlike(awareTail) && tzBase.rlike(hasTime),
+        walkSpec(tzBase)).otherwise(lit(null).cast(TimestampType))
+
+      when(yearZero || doubleTz, lit(null).cast(TimestampType))
+        .otherwise(coalesce(walkSpec(s), posixVal, tznameVal))
+    }
+  }
+
+  /** The branch walk proper over one input string (zone-suffix rewrites
+    * live in [[parseTimestampColumnSpec]], which re-enters the walk on a
+    * stripped base — same split as the native DateutilTsOps). */
+  private def walkSpec(value: Column): Column = {
+    {
+      val s = value
       // Named UTC zones: dateutil resolves a trailing GMT/UTC to tzutc
       // on every shape it parses (its UTCZONE list, no tzinfos needed).
       // The strip is applied to the FORMATLESS cast (covering the ISO
@@ -382,14 +445,7 @@ object RuleCompiler {
       // shapes are an unpinned residual. A DOUBLE timezone — explicit
       // Z/offset AND a zone name ("…Z GMT") — rejects, as in dateutil.
       val cleaned = regexp_replace(s, "\\s+(GMT|UTC)\\s*$", "")
-      val doubleTz = s.rlike("(Z|[+-][0-9]{2}:?[0-9]{2})\\s+(GMT|UTC)\\s*$")
-      // year 0 guard (dashed, dotted, slashed, or compact): Spark's
-      // proleptic calendar accepts 0000 (= 1 BC) where CPython's
-      // datetime raises "year 0 is out of range" — force the parse
-      // failure so the classifier emits CPython's message
-      val yearZero = s.rlike("^\\s*0000([-./]|[0-9]{4})")
-      when(yearZero || doubleTz, lit(null).cast(TimestampType))
-        .otherwise(coalesce(
+      coalesce(
       // formatless cast LAST GUARD: Spark's string grammar also accepts
       // trailing zone ids ("America/New_York", POSIX "UTC+05:30") that
       // dateutil rejects or reads with the OPPOSITE sign — gate the
@@ -428,8 +484,8 @@ object RuleCompiler {
         lit("d MMM yyyy HH:mm:ss XX")),   // Tue, 14 May 2019 19:05:47 +0000
       try_to_timestamp(regexp_replace(value, "^[A-Za-z]{3} ", ""),
         lit("MMM d HH:mm:ss yyyy")),      // Tue May 14 19:05:47 2019
-      try_to_timestamp(regexp_replace(value, "^[A-Za-z]{3}, ", ""),
-        lit("d MMM yyyy HH:mm:ss")),      // Tue, 14 May 2019 19:05:47 GMT (zone stripped)
+      try_to_timestamp(regexp_replace(cleaned, "^[A-Za-z]{3}, ", ""),
+        lit("d MMM yyyy HH:mm:ss")),      // Tue, 14 May 2019 19:05:47 GMT (RFC-1123: weekday strip composed with the zone strip)
       try_to_timestamp(value, lit("MMM d, yyyy h:mm:ss a")),        // May 14, 2019 7:05:47 PM
       try_to_timestamp(value, lit("dd/MM/yyyy HH:mm:ss")),          // 14/05/2019 19:05:47
       try_to_timestamp(value, lit("yyyy.MM.dd HH:mm:ss")),          // 2019.05.14 19:05:47
@@ -437,7 +493,7 @@ object RuleCompiler {
       try_to_timestamp(value, lit("yyyyMMdd")),                     // 20190514
       try_to_timestamp(value, lit("yyyy-MM-dd'T'HH:mm:ss,SSSSSS'Z'")),
       try_to_timestamp(cleaned, lit("d MMM yyyy HH:mm:ss")),
-      try_to_timestamp(value, lit("MMM d yyyy HH:mm:ss XXX"))))
+      try_to_timestamp(value, lit("MMM d yyyy HH:mm:ss XXX")))
     }
   }
 

@@ -244,7 +244,7 @@ object EventAnalytics {
 
   final case class ZoneTransition(user_id: Long, ts: Long, event_id: Long,
                                   from_zone: String, to_zone: String)
-  final case class ZoneState(lastTsNs: Long, lastZone: String)
+  final case class ZoneState(lastTsNs: Long, lastId: Long, lastZone: String)
 
   /**
    * STATEFUL streaming geofence transitions: per-vehicle last-zone
@@ -280,13 +280,17 @@ object EventAnalytics {
           var last = state.getOption.orNull
           val out = List.newBuilder[ZoneTransition]
           for ((_, ts, id, zone) <- sorted) {
-            // a fix OLDER than the carried state (late cross-batch
-            // arrival) is dropped: comparing it against the newer
-            // stored zone would emit an inverted, past-dated transition
-            if (last == null || ts >= last.lastTsNs) {
+            // a fix at or before the carried (ts, id) watermark (late or
+            // re-delivered cross-batch arrival) is dropped: comparing it
+            // against the newer stored zone would emit an inverted or
+            // duplicate transition. The strict (ts, id) tiebreaker is
+            // the batch operator's ordering, so a tied-timestamp fix
+            // resolves identically in both forms.
+            if (last == null || ts > last.lastTsNs ||
+                (ts == last.lastTsNs && id > last.lastId)) {
               if (last != null && last.lastZone != zone)
                 out += ZoneTransition(key, ts, id, last.lastZone, zone)
-              last = ZoneState(ts, zone)
+              last = ZoneState(ts, id, zone)
             }
           }
           if (last != null) state.update(last)

@@ -444,7 +444,14 @@ object EngineProperties extends Properties("graft") {
         "14/05/2019 19:05:47", "2019.05.14 19:05:47", "14-May-2019 19:05",
         "20190514", "0000-01-01", "00000101", "2019-13-05", "2019-02-31",
         "2019-05-14T25:05:47Z", "not-a-timestamp",
-        "2019-05-14T19:05:47Z GMT", "2019-05-14 19:05:47 America/New_York"),
+        "2019-05-14T19:05:47Z GMT", "2019-05-14 19:05:47 America/New_York",
+        // r8 zone-suffix closure: RFC-1123, POSIX tzstr (sign-inverted,
+        // hour-only, compact, zero), bare tznames (naive), hour gate
+        "Tue, 14 May 2019 19:05:47 GMT", "2019-05-14 19:05:47 UTC+05:30",
+        "2019-05-14 19:05:47 GMT-7", "2019-05-14 19:05:47 UTC+0530",
+        "2019-05-14 19:05:47 UTC+0", "2019-05-14 19:05:47 EST",
+        "2019-05-14 19:05:47 PQRST", "2019-05-14 EST", "20190514 GMT+3",
+        "2019-05-14T19:05:47+05:00 EST", "Tue, 14 May 2019 19:05:47 UT"),
       for { // random near-ISO strings probe the guards' edges
         y <- Gen.choose(0, 2100); m <- Gen.choose(0, 19)
         d <- Gen.choose(0, 39); sep <- Gen.oneOf("-", "/", ".")

@@ -690,6 +690,18 @@ LENIENT_TS_VALUES = [
     "00000101",
     "2019-05-14 19:05:47 America/New_York",
     "2019-5-14",
+    # r8 residual closure — RFC-1123 (weekday + named zone), POSIX
+    # tzstr with the INVERTED sign (dateutil reads "UTC+05:30" as
+    # Etc/GMT+5:30 = UTC-05:30), hour-only tzstr, zero tzstr, bare
+    # unknown tznames (naive result, UnknownTimezoneWarning), and the
+    # hour gate (tzname after a date-only value rejects)
+    "Tue, 14 May 2019 19:05:47 GMT",
+    "2019-05-14 19:05:47 UTC+05:30",
+    "2019-05-14 19:05:47 GMT-7",
+    "2019-05-14 19:05:47 UTC+0",
+    "2019-05-14 19:05:47 EST",
+    "2019-05-14 19:05:47 PQRST",
+    "2019-05-14 EST",
     # unparseable: dateutil ParserError "Unknown string format"
     "not-a-timestamp",
     "xx 99 zz",
