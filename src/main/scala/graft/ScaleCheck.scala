@@ -199,6 +199,14 @@ object ScaleCheck {
     time("equidepth_bins(k=10)", 60) {
       graft.ext.Stats.equiDepthBins(bigLi, "l_extendedprice", k = 10).count()
     }
+    // ~9.6M DISTINCT doubles: the exact `percentile` buffer would hold
+    // every one of them; the scalable path must stay bins/localLimit-
+    // bounded (histogram-guided selection, r8)
+    time("equidepth_scalable(hi-card)", 60) {
+      val cont = bigLi.select((col("l_extendedprice") *
+        (lit(1.0) + pmod(col("l_orderkey"), lit(9999991L)) * lit(1e-13))).as("x"))
+      graft.ext.Stats.equiDepthBinsScalable(cont, "x", k = 10).count()
+    }
     time("kn_score(self)", 90) {
       graft.ext.LanguageModel.kneserNeyScore(big, "text", "doc_id",
         big, "text").count()
@@ -281,6 +289,101 @@ object ScaleCheck {
       graft.ext.Intervals.bucketedIntervalJoin(
         bigEvents.select(col("event_id"), col("ts"), col("value")),
         "ts", windows, "w_lo", "w_hi", 50000000000000L).count()
+    }
+
+    // ---- skewed-key tier (r8) -----------------------------------------
+    // The uniform replication above stresses VOLUME; the 100 TB killer
+    // is Zipf skew — one hot key absorbing a constant fraction of the
+    // data. Each case pins a different skew defense: per-key windows
+    // staying sort-bound on the hot partition, the LSH hot-bucket
+    // valve, halo-join candidate floods with bounded OUTPUT, and AQE's
+    // skew-join split on a shuffled join.
+
+    // 30% of all fixes collapse onto ONE vehicle: a per-key window is
+    // inherently serial per key, so the budget asserts the hot
+    // partition stays sort-bound while the cold keys ride the normal
+    // hash layout (no blowup, no OOM).
+    time("skew_hot_user_trips(30%)", 60) {
+      val skewed = geoPts.withColumn("user_id",
+        when(pmod(col("event_id"), lit(10)) < 3, lit(77L))
+          .otherwise(col("user_id")))
+      graft.ext.Geo.tripSummaries(skewed, "user_id", "ts", "event_id",
+        "lat", "lon", gapNs = 172800000000000L, cellDeg = 0.05).count()
+    }
+
+    // One (cell, time-bucket) holds thousands of co-temporal fixes from
+    // only 50 distinct users: the halo equi-join must digest the
+    // QUADRATIC candidate flood (~3·h² rows through dedup + haversine)
+    // while the verified per-user-pair OUTPUT stays ≤ 50²/2 — the
+    // output-bound lesson inverted: candidates explode, output may not.
+    time("skew_hot_cell_colocation(h~4k)", 120) {
+      val hotBase = 1704067200L * 1000000000L
+      val hot = col("event_id") % 400 === 0
+      val skewed = geoPts.select(
+        col("event_id"),
+        when(hot, col("event_id") % 50 + 9000000L).otherwise(col("user_id"))
+          .as("user_id"),
+        col("value"),
+        when(hot, lit(hotBase) + (col("event_id") % 7200) * 1000000000L)
+          .otherwise(col("ts")).as("ts"),
+        when(hot, lit(39.5005) + (col("event_id") % 1000) * lit(1.5e-5))
+          .otherwise(col("lat")).as("lat"),
+        when(hot, lit(-105.0005) + ((col("event_id") * 31) % 1000) * lit(1.5e-5))
+          .otherwise(col("lon")).as("lon"))
+      graft.ext.Geo.colocationPairs(skewed, "user_id", "event_id", "ts",
+        "lat", "lon", distM = 1000.0, dtNs = 7200000000000L,
+        cellDeg = 0.02).count()
+    }
+
+    // A quarter of the corpus becomes ONE identical text: those docs
+    // collide in EVERY band, so all 16 band buckets go hot at once and
+    // the maxBucketSize valve — not wall-clock luck — must bound the
+    // candidate fan-out.
+    time("skew_hot_lsh_bucket(valve)", 60) {
+      val hotCorpus = bigNear.withColumn("text",
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("the quick brown fox jumps over the lazy dog and then " +
+            "some boilerplate every crawler sees on every page"))
+          .otherwise(col("text")))
+      graft.ext.Dedup.minhashNearDuplicates(hotCorpus, "text", "doc_id",
+        n = 3, k = 64, bands = 16, threshold = 0.05,
+        maxBucketSize = 64).count()
+    }
+
+    // 40% of a 16×-replicated lineitem lands on one orderkey, joined
+    // against a build side too large to broadcast: without AQE's
+    // skew-join split one task would own 40% of the probe side. The
+    // budget asserts the split actually engages (GraftSession enables
+    // AQE + skewJoin); output stays ∝ probe rows (build side deduped).
+    // At 100 TB the hot partition dwarfs the default 256 MB skew
+    // threshold; at 16× it is ~100 MB, so the threshold scales down for
+    // the check — the point is exercising the SPLIT machinery, and the
+    // plan is sniffed to prove it engaged rather than trusting the
+    // clock.
+    time("skew_hot_join_key(AQE split)", 60) {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      try {
+        val skewLi = bigLi.withColumn("l_orderkey",
+          when(pmod(col("l_partkey"), lit(5)) < 2, lit(42L))
+            .otherwise(col("l_orderkey")))
+        val oBase = spark.read.parquet(s"$dir/orders.parquet")
+        val bigOrders = (0 until mult).map(i =>
+            oBase.select((col("o_orderkey") + lit(i.toLong * 1000000000L)).as("o_orderkey"),
+              col("o_custkey"), col("o_totalprice")))
+          .reduce(_ unionAll _)
+          .dropDuplicates("o_orderkey")
+        val joined = skewLi.join(bigOrders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"))
+        val rows = joined.count()
+        val finalPlan = joined.queryExecution.executedPlan.toString
+        println(s"[scalecheck]   skew split engaged: ${finalPlan.contains("skew=true")}")
+        rows
+      } finally {
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      }
     }
 
     println(s"[scalecheck] all_ok=$allOk")

@@ -154,6 +154,132 @@ object Stats {
    * (q_approx_agg's envelope) or a coarse-histogram-then-refine second
    * pass; this form is the exact oracle face.
    */
+  /**
+   * EXACT quantiles without the distinct-value-bounded `percentile`
+   * buffer — the documented scale path for the exact-percentile family
+   * (r8, VERDICT item 5). The `percentile` aggregate holds every
+   * distinct value in one buffer: fine for price-like columns,
+   * memory-unbounded for a continuous double column at 100 TB. This
+   * form is histogram-guided order-statistic selection:
+   *
+   *   1. one pass: count / min / max;
+   *   2. one fixed-width histogram pass (`bins`-bounded state,
+   *      map-side combined) locates the bin holding each needed global
+   *      order statistic (R-7 interpolation needs the values at
+   *      floor((n−1)q) and ceil((n−1)q));
+   *   3. bins still holding > `localLimit` rows re-histogram WITHIN
+   *      their range — each round multiplies resolution by `bins`, so
+   *      a pathological spike converges in a handful of rounds (double
+   *      precision bounds the depth; equal-valued spikes short-circuit
+   *      when lo == hi);
+   *   4. a final per-bin pass ranks the ≤ `localLimit` candidate rows
+   *      and reads the exact order statistics.
+   *
+   * Every Spark-side structure is bounded by `bins` or `localLimit`
+   * regardless of row count or cardinality; the driver holds only bin
+   * counts and the ≤ 2·|fracs| result values. Sub-range membership is
+   * always recomputed through the SAME floor-assignment expression that
+   * built the histogram, so boundary values cannot drift between
+   * passes. Returns the same values `percentile(v, fracs)` returns
+   * (R-7), bit-exactly when interpolation is degenerate (frac lands on
+   * an integer rank) and to one interpolation rounding otherwise.
+   *
+   * NULLs are ignored (the `percentile` contract); NaN/Infinity are a
+   * documented precondition violation.
+   */
+  def exactQuantilesScalable(df: DataFrame, valueCol: String,
+                             fracs: Seq[Double], bins: Int = 4096,
+                             localLimit: Long = 1L << 20): Array[Double] = {
+    require(fracs.nonEmpty && fracs.forall(f => f >= 0 && f <= 1))
+    val vals = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val head = vals
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"))
+      .collect()(0)
+    val n = head.getLong(0)
+    require(n > 0, s"exactQuantilesScalable: no non-null rows in $valueCol")
+    val (lo0, hi0) = (head.getDouble(1), head.getDouble(2))
+    // global 0-based order-statistic indices the R-7 rule needs
+    val ranks = fracs.map { q => (n - 1) * q }
+    val needed: Set[Long] =
+      ranks.flatMap(r => Seq(math.floor(r).toLong, math.ceil(r).toLong)).toSet
+    val found = scala.collection.mutable.Map[Long, Double]()
+
+    // one refinement round: histogram `pred`-selected rows over
+    // [lo, hi], route each needed index to its bin, recurse or fetch
+    def binExpr(lo: Double, w: Double): org.apache.spark.sql.Column =
+      least(floor((col("__v") - lit(lo)) / lit(w)).cast("long"),
+        lit((bins - 1).toLong))
+    def refine(pred: org.apache.spark.sql.Column, lo: Double, hi: Double,
+               below: Long, cnt: Long, idxs: Set[Long], depth: Int): Unit = {
+      if (idxs.isEmpty) return
+      val w = (hi - lo) / bins
+      if (lo == hi || w == 0 || depth > 64 || cnt <= localLimit) {
+        // terminal: rank the candidate rows (≤ localLimit by contract;
+        // the lo==hi spike degenerates to a constant) and read the
+        // exact order statistics. The unpartitioned window is bounded
+        // by localLimit — the documented exception family.
+        if (lo == hi) { idxs.foreach(i => found(i) = lo); return }
+        val offsets = idxs.map(_ - below)
+        val got = vals.filter(pred)
+          .withColumn("__r",
+            row_number().over(Window.orderBy(col("__v"))).cast("long") - 1)
+          .filter(col("__r").isin(offsets.toSeq: _*))
+          .collect()
+        got.foreach(r => found(r.getLong(1) + below) = r.getDouble(0))
+        return
+      }
+      val hist = vals.filter(pred)
+        .groupBy(binExpr(lo, w).as("__b"))
+        .agg(count(lit(1)).as("__c"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // cumulative counts in bin order route each index to its bin
+      val sortedBins = hist.keys.toArray.sorted
+      var cum = below
+      val perBin = sortedBins.map { b =>
+        val start = cum; cum += hist(b); (b, start, hist(b))
+      }
+      for ((b, start, c) <- perBin) {
+        val mine = idxs.filter(i => i >= start && i < start + c)
+        if (mine.nonEmpty) {
+          val (bLo, bHi) =
+            (lo + b * w, if (b == bins - 1) hi else lo + (b + 1) * w)
+          refine(pred && binExpr(lo, w) === b, bLo, bHi, start, c, mine,
+            depth + 1)
+        }
+      }
+    }
+    refine(lit(true), lo0, hi0, 0L, n, needed, 0)
+
+    ranks.map { r =>
+      val (fl, ce) = (math.floor(r).toLong, math.ceil(r).toLong)
+      val (xlo, xhi) = (found(fl), found(ce))
+      if (fl == ce) xlo else xlo + (r - fl) * (xhi - xlo)
+    }.toArray
+  }
+
+  /** [[equiDepthBins]] with boundaries from the scalable exact-quantile
+    * machinery instead of the distinct-value-bounded `percentile`
+    * aggregate — same values, bounded state; the form a 100 TB
+    * continuous column runs. */
+  def equiDepthBinsScalable(df: DataFrame, valueCol: String, k: Int,
+                            bins: Int = 4096,
+                            localLimit: Long = 1L << 20): DataFrame = {
+    require(k >= 2, s"need at least 2 bins, got $k")
+    val fracs = (1 until k).map(_.toDouble / k)
+    val qs = exactQuantilesScalable(df, valueCol, fracs, bins, localLimit)
+    val v = col(valueCol).cast("double")
+    val below = qs.map(q => when(lit(q) < col("__v"), 1).otherwise(0))
+      .reduce(_ + _)
+    df.select(v.as("__v"))
+      .select((below + lit(1)).as("bin"), col("__v"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
+  }
+
   def equiDepthBins(df: DataFrame, valueCol: String, k: Int): DataFrame = {
     require(k >= 2, s"need at least 2 bins, got $k")
     val v = col(valueCol).cast("double")

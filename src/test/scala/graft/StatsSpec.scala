@@ -69,6 +69,42 @@ class StatsSpec extends AnyFunSuite {
     assert(bins(10) == ((10L, 91.0, 100.0)))
   }
 
+  test("exactQuantilesScalable equals the percentile aggregate, spikes included") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    // adversarial mix: a heavy equal-valued spike (the lo==hi
+    // degenerate), a dense cluster (forces re-histogram rounds at tiny
+    // bins), and a broad continuous tail
+    val values = Seq.fill(500)(7.25) ++
+      Seq.fill(300)(100.0 + rnd.nextDouble() * 1e-9) ++
+      Seq.fill(700)(rnd.nextDouble() * 1e6 - 5e5)
+    val df = rnd.shuffle(values).toDF("v")
+    val fracs = Seq(0.0, 0.05, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val expected = df.agg(expr(
+        s"percentile(v, array(${fracs.mkString(",")}))").as("q"))
+      .collect()(0).getSeq[Double](0)
+    // bins=8 + localLimit=32 force DEEP refinement; defaults take the
+    // single-round fast path — both must agree with the exact aggregate
+    for ((bins, lim) <- Seq((8, 32L), (4096, 1L << 20))) {
+      val got = graft.ext.Stats.exactQuantilesScalable(df, "v", fracs,
+        bins = bins, localLimit = lim)
+      fracs.indices.foreach { i =>
+        assert(math.abs(got(i) - expected(i)) <= math.ulp(expected(i)) * 4,
+          s"frac ${fracs(i)} bins=$bins: got ${got(i)} want ${expected(i)}")
+      }
+    }
+  }
+
+  test("equiDepthBinsScalable matches equiDepthBins on 1..100 deciles") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val a = graft.ext.Stats.equiDepthBins(df, "v", k = 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    val b = graft.ext.Stats.equiDepthBinsScalable(df, "v", k = 10,
+        bins = 16, localLimit = 8).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("columnProfile: nulls, exact distinct, typed min/max in one scan") {
     val df = spark.sql(
       """SELECT * FROM VALUES
