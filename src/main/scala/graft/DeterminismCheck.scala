@@ -86,6 +86,11 @@ object DeterminismCheck {
           quiet: Boolean = false): Seq[String] = {
     val todo = SparkEntry.queries
       .filter { case (n, _) => names.isEmpty || names.contains(n) }
+    // restore the CALLER's layout afterwards — the shared test session
+    // runs other suites with its own partition count
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val origBytes = spark.conf
+      .getOption("spark.sql.files.maxPartitionBytes").getOrElse("128m")
     val bad = scala.collection.mutable.ArrayBuffer[String]()
     todo.foreach { case (name, fn) =>
       try {
@@ -102,7 +107,8 @@ object DeterminismCheck {
           bad += name
           println(s"ERROR $name: ${e.getMessage}")
       } finally {
-        withLayout(spark, 32, "128m")
+        spark.conf.set("spark.sql.shuffle.partitions", origParts)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", origBytes)
       }
     }
     bad.toSeq

@@ -376,9 +376,14 @@ object ScaleCheck {
         val joined = skewLi.join(bigOrders, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_custkey"))
           .agg(count(lit(1)).as("n"))
-        val rows = joined.count()
+        // materialize through the DataFrame's OWN QueryExecution (count()
+        // would plan a separate one whose adaptive plan never finalizes)
+        // so the post-run executedPlan is the real final adaptive plan
+        val rows = joined.rdd.count()
         val finalPlan = joined.queryExecution.executedPlan.toString
-        println(s"[scalecheck]   skew split engaged: ${finalPlan.contains("skew=true")}")
+        val engaged = finalPlan.toLowerCase.contains("skew")
+        println(s"[scalecheck]   skew split engaged: $engaged")
+        if (!engaged) allOk = false
         rows
       } finally {
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
