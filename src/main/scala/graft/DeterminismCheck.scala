@@ -67,10 +67,10 @@ object DeterminismCheck {
     val cols = df.columns
     val order = cols.indices.sortBy(cols(_))
     val rows = df.collect().map { r =>
-      order.map(i => norm(r.get(i))).mkString("")
+      order.map(i => norm(r.get(i))).mkString("\u0001")
     }.sorted
     val md = java.security.MessageDigest.getInstance("MD5")
-    rows.foreach(r => md.update((r + "").getBytes("UTF-8")))
+    rows.foreach(r => md.update((r + "\u0002").getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString
   }
 

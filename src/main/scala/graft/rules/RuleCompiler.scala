@@ -297,7 +297,11 @@ object RuleCompiler {
             // carrying a POSIX tzstr offset ("UTC+05:30"). A bare
             // non-UTC tzname (EST) stays NAIVE — dateutil keeps the
             // label with tzinfo=None when no tzinfos mapping is given.
-            .rlike("(Z|[+-][0-9]{2}:?[0-9]{2}|(GMT|UTC)([+-][0-9]{1,2}(:?[0-9]{2})?)?)\\s*$")
+            // Boundary guards: Z only counts after a digit or space
+            // (an unknown tzname like 'NZ' must stay naive), GMT/UTC
+            // only after whitespace (mirrors the strip + the native
+            // awareTailRe).
+            .rlike("((?<=[0-9\\s])Z|[+-][0-9]{2}:?[0-9]{2}|\\s(GMT|UTC)([+-][0-9]{1,2}(:?[0-9]{2})?)?)\\s*$")
         }
         val naiveFail = fail(pathLbl, lit("failure to perform timestamp " +
           "validation, error: can't compare offset-naive and offset-aware datetimes"))

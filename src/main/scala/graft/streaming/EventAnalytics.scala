@@ -244,6 +244,10 @@ object EventAnalytics {
 
   final case class ZoneTransition(user_id: Long, ts: Long, event_id: Long,
                                   from_zone: String, to_zone: String)
+  /** NOTE: adding lastId (r8) changed the state-store schema — a
+    * pre-r8 streaming checkpoint of this operator cannot restore and
+    * must be rebuilt (no long-lived checkpoints exist in this repo's
+    * tests; a production deployment would pay one reprocess). */
   final case class ZoneState(lastTsNs: Long, lastId: Long, lastZone: String)
 
   /**

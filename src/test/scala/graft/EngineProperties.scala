@@ -451,7 +451,8 @@ object EngineProperties extends Properties("graft") {
         "2019-05-14 19:05:47 GMT-7", "2019-05-14 19:05:47 UTC+0530",
         "2019-05-14 19:05:47 UTC+0", "2019-05-14 19:05:47 EST",
         "2019-05-14 19:05:47 PQRST", "2019-05-14 EST", "20190514 GMT+3",
-        "2019-05-14T19:05:47+05:00 EST", "Tue, 14 May 2019 19:05:47 UT"),
+        "2019-05-14T19:05:47+05:00 EST", "Tue, 14 May 2019 19:05:47 UT",
+        "2019-05-14 19:05:47 NZ", "2019-05-14 19:05:47 XUTC"),
       for { // random near-ISO strings probe the guards' edges
         y <- Gen.choose(0, 2100); m <- Gen.choose(0, 19)
         d <- Gen.choose(0, 39); sep <- Gen.oneOf("-", "/", ".")

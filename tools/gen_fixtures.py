@@ -701,6 +701,10 @@ LENIENT_TS_VALUES = [
     "2019-05-14 19:05:47 UTC+0",
     "2019-05-14 19:05:47 EST",
     "2019-05-14 19:05:47 PQRST",
+    # tzname ENDING in Z/UTC letters: must classify NAIVE (the aware
+    # regex needs its word boundary — r8 review finding)
+    "2019-05-14 19:05:47 NZ",
+    "2019-05-14 19:05:47 XUTC",
     "2019-05-14 EST",
     # unparseable: dateutil ParserError "Unknown string format"
     "not-a-timestamp",
