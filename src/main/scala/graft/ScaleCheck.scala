@@ -368,20 +368,32 @@ object ScaleCheck {
           when(pmod(col("l_partkey"), lit(5)) < 2, lit(42L))
             .otherwise(col("l_orderkey")))
         val oBase = spark.read.parquet(s"$dir/orders.parquet")
+        // the dedup MATERIALIZES before the join: an aggregate between
+        // the exchange and the sort would break OptimizeSkewedJoin's
+        // SMJ(Sort(Shuffle), Sort(Shuffle)) pattern and silently forfeit
+        // the split this row exists to verify
         val bigOrders = (0 until mult).map(i =>
             oBase.select((col("o_orderkey") + lit(i.toLong * 1000000000L)).as("o_orderkey"),
               col("o_custkey"), col("o_totalprice")))
           .reduce(_ unionAll _)
           .dropDuplicates("o_orderkey")
+          .localCheckpoint(true)
+        // the aggregate CONSUMES payload columns: column pruning would
+        // otherwise strip the probe side down to the constant hot key,
+        // which lz4 flattens below any skew threshold — the hot
+        // partition must be hot in BYTES, as it would be at 100 TB
         val joined = skewLi.join(bigOrders, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_custkey"))
-          .agg(count(lit(1)).as("n"))
-        // materialize through the DataFrame's OWN QueryExecution (count()
-        // would plan a separate one whose adaptive plan never finalizes)
-        // so the post-run executedPlan is the real final adaptive plan
-        val rows = joined.rdd.count()
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+              col("l_quantity")).as("volume"))
+        // materialize through the DataFrame's OWN QueryExecution —
+        // count() and even .rdd plan SEPARATE query executions whose
+        // adaptive plans never finalize, leaving executedPlan at
+        // isFinalPlan=false with no skew markers
+        val rows = joined.queryExecution.toRdd.count()
         val finalPlan = joined.queryExecution.executedPlan.toString
-        val engaged = finalPlan.toLowerCase.contains("skew")
+        val engaged = finalPlan.contains("skew=true")
         println(s"[scalecheck]   skew split engaged: $engaged")
         if (!engaged) allOk = false
         rows

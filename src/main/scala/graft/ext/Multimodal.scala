@@ -826,6 +826,95 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** One GIF's block census; sentinel (-1, …) on a bad signature.
+    * `n_frames` > 1 is the animated-GIF curation signal. */
+  final case class GifStats(item_id: Long, width: Int, height: Int,
+                            gct_colors: Int, n_frames: Int,
+                            n_extensions: Int, data_bytes: Long)
+
+  /** Walk the GIF89a block structure (no LZW decode — the r8
+    * no-decode tier, same posture as [[walkMp3]]/[[scanNalTypes]]):
+    * header + logical screen descriptor, global color table skip, then
+    * the block stream — 0x21 extensions (label + sub-blocks), 0x2C
+    * image descriptors (LZW min-code byte + data sub-blocks, counted
+    * into `data_bytes`), 0x3B trailer. Malformed tails stop the walk
+    * with what was read so far (the permissive posture real corpus
+    * GIFs need). */
+  private[graft] def walkGif(bytes: Array[Byte]): (Int, Int, Int, Int, Int, Long) = {
+    if (bytes.length < 13 ||
+        new String(bytes, 0, 6, "US-ASCII") != "GIF89a")
+      return (-1, -1, -1, -1, -1, -1L)
+    def u16(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    val w = u16(6); val h = u16(8)
+    val packed = bytes(10) & 0xff
+    val gctColors = if ((packed & 0x80) != 0) 2 << (packed & 7) else 0
+    var i = 13 + (if ((packed & 0x80) != 0) 3 * gctColors else 0)
+    var frames = 0; var exts = 0; var dataBytes = 0L
+    def skipSubBlocks(start: Int, countData: Boolean): Int = {
+      var j = start
+      while (j < bytes.length && bytes(j) != 0) {
+        val n = bytes(j) & 0xff
+        if (countData) dataBytes += n
+        j += 1 + n
+      }
+      j + 1 // past the 0x00 terminator
+    }
+    var done = false
+    while (!done && i < bytes.length) {
+      (bytes(i) & 0xff) match {
+        case 0x21 => // extension: label byte then sub-blocks
+          exts += 1
+          i = skipSubBlocks(i + 2, countData = false)
+        case 0x2c => // image descriptor: 9 more bytes, LZW size, data
+          frames += 1
+          i = skipSubBlocks(i + 10 + 1, countData = true)
+        case 0x3b => done = true
+        case _ => done = true // unknown block: stop, keep what we have
+      }
+    }
+    (w, h, gctColors, frames, exts, dataBytes)
+  }
+
+  /** Per-item GIF structure stats from the block walk — narrow
+    * mapPartitions, no shuffle, no pixel decode. */
+  def gifStructure(media: DataFrame): Dataset[GifStats] = {
+    import media.sparkSession.implicits._
+    media.select(col("item_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w, h, gct, frames, exts, data) =
+          walkGif(Option(bytes).getOrElse(Array.emptyByteArray))
+        GifStats(id, w, h, gct, frames, exts, data)
+      })
+  }
+
+  /** Structurally-valid GIF89a from screen size, GCT bits, and per-frame
+    * data sizes — the independent fixture writer: real header, LSD, GCT
+    * (0x55 fill), one graphic-control extension per frame, image
+    * descriptors at (0,0) full size, 0xAA LZW fill sub-blocks. */
+  def gifBytes(w: Int, h: Int, gctBits: Int,
+               frameDataSizes: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(0x80 | (gctBits & 7)) // GCT present, 2^(bits+1) colors
+    out.write(0); out.write(0)      // background idx, aspect
+    (0 until 3 * (2 << (gctBits & 7))).foreach(_ => out.write(0x55))
+    frameDataSizes.foreach { n =>
+      out.write(0x21); out.write(0xf9)              // GCE
+      out.write(4); out.write(0); le16(10); out.write(0); out.write(0)
+      out.write(0x2c)                               // image descriptor
+      le16(0); le16(0); le16(w); le16(h); out.write(0)
+      out.write(7)                                  // LZW min code size
+      out.write(n & 0xff)                           // one data sub-block
+      (0 until n).foreach(_ => out.write(0xaa))
+      out.write(0)                                  // terminator
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   def imageIoCodec: () => Array[Byte] => (Int, Long) = () => {
     // javax.imageio caches plugin lookups process-wide; the per-partition
     // closure is where a heavier decoder (JNI, model) would hold state

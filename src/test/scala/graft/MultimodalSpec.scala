@@ -328,6 +328,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L).n_nals == -1)
   }
 
+  test("gifStructure: block walk round-trips the writer, rejects bad magic") {
+    import spark.implicits._
+    val g = Multimodal.gifBytes(20, 10, 2, Seq(5, 3))
+    assert(Multimodal.walkGif(g) == ((20, 10, 8, 2, 2, 8L)))
+    // truncated mid-frame: keep what was fully read, no crash
+    val cut = g.take(g.length - 2)
+    val (w, _, _, frames, _, _) = Multimodal.walkGif(cut)
+    assert(w == 20 && frames >= 1)
+    val media = Seq(
+      (1L, g),
+      (2L, Multimodal.gifBytes(4, 4, 0, Seq(1))),
+      (3L, "NOTAGIF89a".getBytes("US-ASCII")))
+      .toDF("item_id", "content")
+    val got = Multimodal.gifStructure(media).collect().map(s => s.item_id -> s).toMap
+    assert(got(1L).n_frames == 2 && got(1L).gct_colors == 8 && got(1L).data_bytes == 8L)
+    assert(got(2L).width == 4 && got(2L).n_frames == 1 && got(2L).gct_colors == 2)
+    assert(got(3L).width == -1)
+  }
+
   test("extractFeatures yields fixed-width deterministic vectors") {
     import spark.implicits._
     val media = Multimodal.fromText(Seq((1L, "same"), (2L, "same")).toDF("id", "text"), "id", "text")
