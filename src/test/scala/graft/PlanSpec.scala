@@ -286,4 +286,35 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Exchange SinglePartition") == 1)
     assert(p.contains("BroadcastExchange"))
   }
+
+  test("runtime bloom filter injects on a selective shuffled join (r8)") {
+    // the 100 TB lever Catalyst adds for free when the plan is
+    // declarative: a selective dimension filter materializes a bloom
+    // filter that prunes the FACT side before its shuffle. Thresholds
+    // lowered to fire at test scale (the creation side must look small,
+    // the application side non-trivial); broadcast disabled so the join
+    // actually shuffles — the broadcast form wouldn't need the filter.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"))
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("l_quantity")))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected a bloom-filter runtime filter on the probe side:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
