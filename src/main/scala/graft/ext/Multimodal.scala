@@ -841,8 +841,13 @@ object Multimodal {
     * with what was read so far (the permissive posture real corpus
     * GIFs need). */
   private[graft] def walkGif(bytes: Array[Byte]): (Int, Int, Int, Int, Int, Long) = {
-    if (bytes.length < 13 ||
-        new String(bytes, 0, 6, "US-ASCII") != "GIF89a")
+    // accept BOTH signatures: GIF87a (legacy static, identical block
+    // structure) and GIF89a — a census that drops 87a would misread
+    // every legacy static GIF as malformed
+    if (bytes.length < 13 || {
+        val sig = new String(bytes, 0, 6, "US-ASCII")
+        sig != "GIF89a" && sig != "GIF87a"
+      })
       return (-1, -1, -1, -1, -1, -1L)
     def u16(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
     val w = u16(6); val h = u16(8)
@@ -854,7 +859,9 @@ object Multimodal {
       var j = start
       while (j < bytes.length && bytes(j) != 0) {
         val n = bytes(j) & 0xff
-        if (countData) dataBytes += n
+        // count only bytes physically PRESENT: a stream truncated
+        // mid-sub-block must not report more payload than the file holds
+        if (countData) dataBytes += math.min(n, math.max(0, bytes.length - j - 1))
         j += 1 + n
       }
       j + 1 // past the 0x00 terminator
@@ -865,9 +872,16 @@ object Multimodal {
         case 0x21 => // extension: label byte then sub-blocks
           exts += 1
           i = skipSubBlocks(i + 2, countData = false)
-        case 0x2c => // image descriptor: 9 more bytes, LZW size, data
+        case 0x2c => // image descriptor: 9 more bytes (the packed byte
+          // may flag a LOCAL color table — common in animated GIFs —
+          // whose 3·2^(N+1) palette bytes sit before the LZW size byte),
+          // then LZW min-code byte + data sub-blocks
           frames += 1
-          i = skipSubBlocks(i + 10 + 1, countData = true)
+          val lctSkip =
+            if (i + 9 < bytes.length && (bytes(i + 9) & 0x80) != 0)
+              3 * (2 << (bytes(i + 9) & 7))
+            else 0
+          i = skipSubBlocks(i + 10 + lctSkip + 1, countData = true)
         case 0x3b => done = true
         case _ => done = true // unknown block: stop, keep what we have
       }
@@ -893,7 +907,7 @@ object Multimodal {
     * (0x55 fill), one graphic-control extension per frame, image
     * descriptors at (0,0) full size, 0xAA LZW fill sub-blocks. */
   def gifBytes(w: Int, h: Int, gctBits: Int,
-               frameDataSizes: Seq[Int]): Array[Byte] = {
+               frameDataSizes: Seq[Int], lctBits: Int = -1): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -905,7 +919,11 @@ object Multimodal {
       out.write(0x21); out.write(0xf9)              // GCE
       out.write(4); out.write(0); le16(10); out.write(0); out.write(0)
       out.write(0x2c)                               // image descriptor
-      le16(0); le16(0); le16(w); le16(h); out.write(0)
+      le16(0); le16(0); le16(w); le16(h)
+      if (lctBits >= 0) {                           // per-frame local table
+        out.write(0x80 | (lctBits & 7))
+        (0 until 3 * (2 << (lctBits & 7))).foreach(_ => out.write(0x33))
+      } else out.write(0)
       out.write(7)                                  // LZW min code size
       out.write(n & 0xff)                           // one data sub-block
       (0 until n).foreach(_ => out.write(0xaa))

@@ -332,10 +332,22 @@ class MultimodalSpec extends AnyFunSuite {
     import spark.implicits._
     val g = Multimodal.gifBytes(20, 10, 2, Seq(5, 3))
     assert(Multimodal.walkGif(g) == ((20, 10, 8, 2, 2, 8L)))
-    // truncated mid-frame: keep what was fully read, no crash
+    // per-frame LOCAL color tables (the common animated-GIF layout)
+    // must be skipped, not read as sub-block lengths
+    val lct = Multimodal.gifBytes(8, 8, 1, Seq(4, 4), lctBits = 1)
+    assert(Multimodal.walkGif(lct) == ((8, 8, 4, 2, 2, 8L)))
+    // legacy GIF87a: identical structure, different signature
+    val g87 = g.clone(); g87(4) = '7'.toByte
+    assert(Multimodal.walkGif(g87) == ((20, 10, 8, 2, 2, 8L)))
+    // truncated mid-frame: keep what was fully read, no crash, and
+    // data_bytes never exceeds the bytes physically present
     val cut = g.take(g.length - 2)
-    val (w, _, _, frames, _, _) = Multimodal.walkGif(cut)
-    assert(w == 20 && frames >= 1)
+    val (w, _, _, frames, _, db) = Multimodal.walkGif(cut)
+    assert(w == 20 && frames >= 1 && db <= cut.length)
+    val midBlock = Multimodal.gifBytes(4, 4, 0, Seq(200)).dropRight(150)
+    val (_, _, _, _, _, db2) = Multimodal.walkGif(midBlock)
+    assert(db2 <= midBlock.length,
+      s"declared-but-absent payload counted: $db2 > ${midBlock.length}")
     val media = Seq(
       (1L, g),
       (2L, Multimodal.gifBytes(4, 4, 0, Seq(1))),
