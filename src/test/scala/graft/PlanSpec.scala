@@ -287,6 +287,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"))
   }
 
+  test("q_touch_attribution: both models ride ONE user exchange (r8)") {
+    val p = plan("q_touch_attribution")
+    // the two-branch union formulation planned the window subtree
+    // (scan + user exchange + sort) twice; the explode form must not
+    assert(count(p, "Exchange hashpartitioning") == 2,
+      "expected exactly the user window exchange + the final group")
+    assert(count(p, "Scan parquet") == 1)
+    assert(p.contains("Generate")) // the model explode
+  }
+
   test("runtime bloom filter injects on a selective shuffled join (r8)") {
     // the 100 TB lever Catalyst adds for free when the plan is
     // declarative: a selective dimension filter materializes a bloom
