@@ -403,6 +403,49 @@ object ScaleCheck {
       }
     }
 
+    // ---- experimentation/graph batch (r8 continuation) ---------------
+    // Wedge-join jaccard at 16× orders over the SAME part universe: the
+    // co-order graph DENSIFIES (degrees grow with replication), which is
+    // the wedge join's actual 100 TB failure mode — candidate pairs are
+    // Σdeg², never node-pairwise. Runs the registry query's exact shape
+    // on the replicated lineitem; top-20 must stay TakeOrderedAndProject.
+    time("node_jaccard_wedge(16x orders)", 90) {
+      val lp = bigLi
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .filter(col("pk") % 7 === 0).distinct()
+      val und = lp.as("x").join(lp.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        .localCheckpoint(true)
+      val dir2 = und.unionByName(
+        und.select(col("b").as("a"), col("a").as("b")))
+      val deg = dir2.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val common = dir2.as("e1").join(dir2.as("e2"),
+          col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+        .groupBy(col("e1.b").as("pa"), col("e2.b").as("pb"))
+        .agg(count(lit(1)).as("common_cnt"))
+      common
+        .join(deg.select(col("node"), col("deg").as("deg_a")),
+          col("pa") === col("node")).drop("node")
+        .join(deg.select(col("node"), col("deg").as("deg_b")),
+          col("pb") === col("node")).drop("node")
+        .withColumn("jaccard", col("common_cnt").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common_cnt")))
+        .orderBy(col("jaccard").desc, col("pa"), col("pb")).limit(20)
+        .count()
+    }
+    // Mann–Whitney at 16× rows per user (same user universe): the
+    // distinct-value cumulative walk must stay USER-bounded because the
+    // per-user decimal sums collapse first — runs the REGISTRY query
+    // against a temp dir holding the replicated events.
+    time("mann_whitney(16x rows/user)", 60) {
+      val tmp = java.nio.file.Files.createTempDirectory("sc_mw").toString
+      bigEvents.drop("replica").write.mode("overwrite")
+        .parquet(s"$tmp/events.parquet")
+      Queries.all("q_mann_whitney")(spark, tmp).count()
+    }
+
     println(s"[scalecheck] all_ok=$allOk")
     spark.stop()
     if (!allOk) sys.exit(1)
