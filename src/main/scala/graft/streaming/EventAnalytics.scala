@@ -242,6 +242,63 @@ object EventAnalytics {
       }
   }
 
+  final case class RateAlert(event_type: String, hour: Long, n: Long,
+                             level_before: Double, ratio: Double)
+  final case class RateState(openHour: Long, openCount: Long,
+                             level: Double, hasLevel: Boolean)
+
+  /**
+   * STATEFUL streaming EWMA rate alerts: per event type, an hour bucket
+   * closes when the first event of a LATER hour arrives; each closed
+   * bucket is compared against the EWMA level of all prior closed
+   * buckets (α = 0.3 — the q_ewma_level recursion, identical op order
+   * l·7e-1 + n·3e-1) and then folded into it. State is ONE
+   * (openHour, openCount, level) triple per type — bounded by the type
+   * universe, the smallest possible rate-monitoring state. The first
+   * closed bucket seeds the level and emits nothing; the final bucket
+   * never closes (streams don't end) — so the batch face, which is this
+   * SAME code run on a static frame, emits exactly hours 2..m−1 of each
+   * series, which is what the q_streaming_rate_alerts recursive-CTE
+   * oracle replays. Cross-batch correctness relies on per-type
+   * nondecreasing hour arrival (chronological sources; a fix for an
+   * already-closed hour is dropped) — the same low-latency contract as
+   * [[geofenceTransitionsStream]]; event-time-perfect closing would be
+   * the watermark-buffered formulation.
+   */
+  def rateAlerts(events: DataFrame): Dataset[RateAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    graft.ingest.Readers.tsToNanos(events)
+      .select(col("event_type").as[String],
+        expr("ts div 3600000000000").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[RateState]) =>
+          val hours = rows.map(_._2).toArray
+          java.util.Arrays.sort(hours)
+          var st = state.getOption.orNull
+          val out = List.newBuilder[RateAlert]
+          for (h <- hours) {
+            if (st == null) st = RateState(h, 1L, 0.0, hasLevel = false)
+            else if (h == st.openHour) st = st.copy(openCount = st.openCount + 1)
+            else if (h > st.openHour) {
+              val n = st.openCount.toDouble
+              if (!st.hasLevel) st = RateState(h, 1L, n, hasLevel = true)
+              else {
+                out += RateAlert(key, st.openHour, st.openCount, st.level,
+                  n / st.level)
+                st = RateState(h, 1L, st.level * 7e-1 + n * 3e-1,
+                  hasLevel = true)
+              }
+            }
+            // h < openHour: late arrival to a closed bucket — dropped
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class ZoneTransition(user_id: Long, ts: Long, event_id: Long,
                                   from_zone: String, to_zone: String)
   /** NOTE: adding lastId (r8) changed the state-store schema — a

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.scalatest.funsuite.AnyFunSuite
@@ -178,6 +180,79 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
     assert(expectedClosed.nonEmpty, "vacuous: no session ever closes in the fixture")
     assert(got == expectedClosed)
+  }
+
+  test("stateful rate alerts: cross-batch EWMA state equals the batch face") {
+    def canon(a: EventAnalytics.RateAlert) =
+      (a.event_type, a.hour, a.n,
+        math.round(a.level_before * 1e6), math.round(a.ratio * 1e6))
+    val batch = EventAnalytics.rateAlerts(spark.read.parquet(eventsFile))
+      .collect().map(canon).toSet
+    assert(batch.nonEmpty)
+
+    // three CHRONOLOGICAL chunks, one micro-batch each
+    // (maxFilesPerTrigger=1, mtimes force processing order): hour
+    // buckets split across a chunk boundary must accumulate in the
+    // carried RateState, and the EWMA level must survive the batches
+    val dir = Files.createTempDirectory("graft-rate-stream")
+    val sorted = spark.read.parquet(eventsFile).orderBy("ts")
+    val rows = sorted.collect()
+    val cut1 = rows.length / 3
+    val cut2 = 2 * rows.length / 3
+    Seq((0, cut1), (cut1, cut2), (cut2, rows.length)).zipWithIndex.foreach {
+      case ((from, until), i) =>
+        val tmp = Files.createTempDirectory(s"graft-rate-chunk$i")
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.slice(from, until).toSeq, 1),
+            sorted.schema)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq.head
+        val dst = dir.resolve(f"chunk$i%02d.parquet")
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+
+    val ckpt = Files.createTempDirectory("graft-rate-ckpt").toString
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = EventAnalytics.rateAlerts(stream)
+      .writeStream.format("memory").queryName("rate_alerts")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("rate_alerts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6), math.round(r.getDouble(4) * 1e6)))
+      .toSet
+    assert(got == batch,
+      s"stream-batch divergence: only-stream=${got -- batch} only-batch=${batch -- got}")
+
+    // independent recomputation: fold the sorted hourly counts directly
+    val series = graft.ingest.Readers.tsToNanos(spark.read.parquet(eventsFile))
+      .withColumn("hour", expr("ts div 3600000000000"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.sortBy(_.getLong(1))
+        .map(r => (r.getLong(1), r.getLong(2))).toList).toMap
+    val expected = series.toSeq.flatMap { case (tpe, buckets) =>
+      var level = 0.0
+      var seeded = false
+      buckets.dropRight(1).zipWithIndex.flatMap { case ((h, n), i) =>
+        if (!seeded) { level = n.toDouble; seeded = true; None }
+        else {
+          val r = (tpe, h, n, math.round(level * 1e6),
+            math.round(n.toDouble / level * 1e6))
+          level = level * 7e-1 + n.toDouble * 3e-1
+          Some(r)
+        }
+      }
+    }.toSet
+    assert(batch == expected)
   }
 
   test("stateful streaming geofence transitions equal the batch operator") {
