@@ -268,27 +268,46 @@ object EventAnalytics {
   def rateAlerts(events: DataFrame): Dataset[RateAlert] = {
     val spark = events.sparkSession
     import spark.implicits._
-    graft.ingest.Readers.tsToNanos(events)
-      .select(col("event_type").as[String],
-        expr("ts div 3600000000000").as[Long])
+    val base = graft.ingest.Readers.tsToNanos(events)
+      .select(col("event_type"), expr("ts div 3600000000000").as("hour"))
+    // The BATCH face pre-aggregates to (type, hour, count) so a group
+    // iterator holds hours, not rows — a type-keyed group over raw
+    // events would materialize a type's whole history in one task at
+    // corpus scale. The streaming face feeds per-event (hour, 1) pairs
+    // (an unwatermarked aggregate can't precede fMGWS in append mode);
+    // its per-micro-batch iterator is batch-bounded. Both drive the
+    // SAME fold, which accumulates counts into the open bucket either
+    // way — emissions are identical by construction.
+    val pairs: Dataset[(String, Long, Long)] =
+      if (events.isStreaming)
+        base.select(col("event_type").as[String], col("hour").as[Long],
+          lit(1L).as[Long])
+      else
+        base.groupBy(col("event_type"), col("hour"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("event_type").as[String], col("hour").as[Long],
+            col("cnt").as[Long])
+    pairs
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[(String, Long)],
+        (key: String, rows: Iterator[(String, Long, Long)],
          state: GroupState[RateState]) =>
-          val hours = rows.map(_._2).toArray
-          java.util.Arrays.sort(hours)
+          val buckets = rows.map(r => (r._2, r._3)).toArray
+          java.util.Arrays.sort(buckets,
+            Ordering.by[(Long, Long), (Long, Long)](identity))
           var st = state.getOption.orNull
           val out = List.newBuilder[RateAlert]
-          for (h <- hours) {
-            if (st == null) st = RateState(h, 1L, 0.0, hasLevel = false)
-            else if (h == st.openHour) st = st.copy(openCount = st.openCount + 1)
+          for ((h, cnt) <- buckets) {
+            if (st == null) st = RateState(h, cnt, 0.0, hasLevel = false)
+            else if (h == st.openHour)
+              st = st.copy(openCount = st.openCount + cnt)
             else if (h > st.openHour) {
               val n = st.openCount.toDouble
-              if (!st.hasLevel) st = RateState(h, 1L, n, hasLevel = true)
+              if (!st.hasLevel) st = RateState(h, cnt, n, hasLevel = true)
               else {
                 out += RateAlert(key, st.openHour, st.openCount, st.level,
                   n / st.level)
-                st = RateState(h, 1L, st.level * 7e-1 + n * 3e-1,
+                st = RateState(h, cnt, st.level * 7e-1 + n * 3e-1,
                   hasLevel = true)
               }
             }
