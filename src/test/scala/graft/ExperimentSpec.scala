@@ -392,6 +392,68 @@ class ExperimentSpec extends AnyFunSuite {
     assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == comp)
   }
 
+  test("sequential z-test: final cumulative day reproduces the ab_test t") {
+    val seq = Queries.all("q_sequential_ztest")(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(seq.nonEmpty)
+    // cumulative counts are non-decreasing per arm
+    val (nas, nbs) = (seq.map(_.getLong(1)), seq.map(_.getLong(2)))
+    assert(nas.zip(nas.tail).forall { case (x, y) => x <= y })
+    assert(nbs.zip(nbs.tail).forall { case (x, y) => x <= y })
+    // the last day folds ALL events — its z IS Welch's t over the table,
+    // i.e. q_ab_test's t_stat (moment-form variance vs var_samp)
+    val t = Queries.all("q_ab_test")(spark, dir).collect()(0).getDouble(4)
+    assert(math.abs(seq.last.getDouble(3) - t) < 1e-4,
+      s"final z ${seq.last.getDouble(3)} vs ab_test t $t")
+  }
+
+  test("quantile treatment effect: deciles are data values, monotone per arm") {
+    val metrics = perUserMetric.toSeq
+      .groupBy { case (u, _) => if (u % 2 == 0) "A" else "B" }
+      .view.mapValues(_.map(_._2.toDouble).toSet).toMap
+    val rows = Queries.all("q_quantile_treatment")(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == (1 to 9).map(_ * 10L))
+    rows.foreach { r =>
+      assert(metrics("A").contains(r.getDouble(1)),
+        s"x_a ${r.getDouble(1)} must be an arm-A metric value")
+      assert(metrics("B").contains(r.getDouble(2)))
+      assert(math.abs(r.getDouble(3) - (r.getDouble(1) - r.getDouble(2)))
+        < 0.006) // qte rounds to 2 dp
+    }
+    val (xas, xbs) = (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+    assert(xas.zip(xas.tail).forall { case (x, y) => x <= y })
+    assert(xbs.zip(xbs.tail).forall { case (x, y) => x <= y })
+  }
+
+  test("covariate balance matches a direct SMD recomputation") {
+    val ev = graft.ingest.Readers.tsToNanos(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("user_id"), col("value"), expr("ts div 3600000000000").as("hour"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val mid = (ev.map(_._3).min + ev.map(_._3).max) / 2
+    val perUser = ev.groupBy(_._1).toSeq.map { case (u, es) =>
+      val pre = es.filter(_._3 < mid)
+      (u, pre.length.toDouble,
+        pre.map(e => BigDecimal(e._2).setScale(2, BigDecimal.RoundingMode.HALF_EVEN))
+          .sum.toDouble)
+    }
+    def smd(sel: ((Long, Double, Double)) => Double): Double = {
+      val (as, bs) = perUser.partition(_._1 % 2 == 0)
+      def mv(xs: Seq[Double]) = {
+        val m = xs.sum / xs.length
+        (m, xs.map(x => math.pow(x - m, 2)).sum / (xs.length - 1))
+      }
+      val (ma, va) = mv(as.map(sel)); val (mb, vb) = mv(bs.map(sel))
+      (ma - mb) / math.sqrt((va + vb) * 0.5)
+    }
+    val rows = Queries.all("q_covariate_balance")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows.keySet == Set("pre_events", "pre_value"))
+    assert(math.abs(rows("pre_events") - smd(_._2)) < 1e-5)
+    assert(math.abs(rows("pre_value") - smd(_._3)) < 1e-5)
+  }
+
   test("freshness audit: newest type has zero lag, spans non-negative") {
     val rows = Queries.all("q_freshness_audit")(spark, dir).collect()
     assert(rows.nonEmpty)
