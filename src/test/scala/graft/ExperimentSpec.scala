@@ -401,7 +401,15 @@ class ExperimentSpec extends AnyFunSuite {
     assert(nas.zip(nas.tail).forall { case (x, y) => x <= y })
     assert(nbs.zip(nbs.tail).forall { case (x, y) => x <= y })
     // the last day folds ALL events — its z IS Welch's t over the table,
-    // i.e. q_ab_test's t_stat (moment-form variance vs var_samp)
+    // i.e. q_ab_test's t_stat (moment-form variance vs var_samp).
+    // Precondition (inner day join): both arms appear on the last day.
+    val lastDay = graft.ingest.Readers.tsToNanos(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+    val globalLast = lastDay.agg(max(col("day"))).collect()(0).getLong(0)
+    val armsOnLast = lastDay.filter(col("day") === globalLast)
+      .select((col("user_id") % 2 === 0).as("a")).distinct().count()
+    assume(armsOnLast == 2, "fixture must have both arms on the last day")
     val t = Queries.all("q_ab_test")(spark, dir).collect()(0).getDouble(4)
     assert(math.abs(seq.last.getDouble(3) - t) < 1e-4,
       s"final z ${seq.last.getDouble(3)} vs ab_test t $t")
@@ -435,7 +443,9 @@ class ExperimentSpec extends AnyFunSuite {
     val perUser = ev.groupBy(_._1).toSeq.map { case (u, es) =>
       val pre = es.filter(_._3 < mid)
       (u, pre.length.toDouble,
-        pre.map(e => BigDecimal(e._2).setScale(2, BigDecimal.RoundingMode.HALF_EVEN))
+        // HALF_UP mirrors Spark's double→decimal cast (HALF_EVEN would
+        // diverge on any future 3-dp fixture value)
+        pre.map(e => BigDecimal(e._2).setScale(2, BigDecimal.RoundingMode.HALF_UP))
           .sum.toDouble)
     }
     def smd(sel: ((Long, Double, Double)) => Double): Double = {
