@@ -464,6 +464,96 @@ class ExperimentSpec extends AnyFunSuite {
     assert(math.abs(rows("pre_value") - smd(_._3)) < 1e-5)
   }
 
+  test("mad anomaly days match a direct modified-z recomputation") {
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else s(n / 2 - 1) + (s(n / 2) - s(n / 2 - 1)) * 0.5
+    }
+    val daily = graft.ingest.Readers.tsToNanos(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .withColumn("day", expr("ts div 86400000000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => r.getLong(1) -> r.getLong(2)).toMap).toMap
+    val rows = Queries.all("q_mad_anomaly_days")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      val counts = daily(tpe)
+      assert(rs.length == counts.size)
+      val med = median(counts.values.map(_.toDouble).toSeq)
+      val mad = median(counts.values.map(v => math.abs(v - med)).toSeq)
+      rs.foreach { r =>
+        val n = counts(r.getLong(1))
+        assert(r.getLong(2) == n)
+        if (mad > 0) {
+          val rz = BigDecimal(0.6745 * (n - med) / mad)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(math.abs(r.getDouble(3) - rz) < 2e-6,
+            s"$tpe day ${r.getLong(1)} rz ${r.getDouble(3)} vs $rz")
+          assert(r.getBoolean(4) == (math.abs(r.getDouble(3)) > 3.5))
+        } else assert(r.isNullAt(3) && !r.getBoolean(4))
+      }
+    }
+  }
+
+  test("forecast backtest matches a direct fold; skill consistent with MAEs") {
+    val rows = Queries.all("q_forecast_backtest")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val xs = hourSeries(r.getString(0)).map(_.toDouble)
+      assert(r.getLong(1) == xs.length - 2)
+      var l = xs(1) * 0.3 + (xs(0) + (xs(1) - xs(0))) * 0.7
+      var b = (l - xs(0)) * 0.1 + (xs(1) - xs(0)) * 0.9
+      var px = xs(1); var seh = 0.0; var sen = 0.0
+      xs.drop(2).foreach { x =>
+        seh += math.abs(l + b - x); sen += math.abs(px - x)
+        val l2 = x * 0.3 + (l + b) * 0.7
+        b = (l2 - l) * 0.1 + b * 0.9; l = l2; px = x
+      }
+      assert(math.abs(r.getDouble(2) - seh / (xs.length - 2)) < 1e-6)
+      assert(math.abs(r.getDouble(3) - sen / (xs.length - 2)) < 1e-6)
+      if (sen > 0)
+        assert(math.abs(r.getDouble(4) - (1 - seh / sen)) < 1e-6)
+    }
+  }
+
+  test("label propagation: census matches a direct 2-round recomputation") {
+    val lp = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .filter(col("pk") % 7 === 0).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = lp.groupBy(_._1).values
+    val edges = byOrder.flatMap { ps =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.toSet
+    val neigh = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = neigh.keySet
+    val seed: Map[Long, Option[Long]] =
+      nodes.map(n => n -> (if (n % 3 == 0) Some(n % 5) else None)).toMap
+    def round(labels: Map[Long, Option[Long]]): Map[Long, Option[Long]] =
+      nodes.map { n =>
+        n -> (seed(n) match {
+          case s @ Some(_) => s
+          case None =>
+            val votes = neigh(n).flatMap(labels(_))
+              .groupBy(identity).view.mapValues(_.size).toSeq
+            if (votes.isEmpty) labels(n)
+            else Some(votes.minBy { case (l, c) => (-c, l) }._1)
+        })
+      }.toMap
+    val l2 = round(round(seed))
+    val expected = l2.values.toSeq.groupBy(identity)
+      .map { case (l, xs) => l -> xs.size.toLong }
+    val rows = Queries.all("q_label_propagation")(spark, dir).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)))
+        -> r.getLong(1)).toMap
+    assert(rows == expected, s"got $rows expected $expected")
+  }
+
   test("freshness audit: newest type has zero lag, spans non-negative") {
     val rows = Queries.all("q_freshness_audit")(spark, dir).collect()
     assert(rows.nonEmpty)
