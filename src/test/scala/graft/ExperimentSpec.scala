@@ -554,6 +554,60 @@ class ExperimentSpec extends AnyFunSuite {
     assert(rows == expected, s"got $rows expected $expected")
   }
 
+  private lazy val presence: Map[Long, Set[Long]] =
+    graft.ingest.Readers.tsToNanos(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct().collect()
+      .groupBy(_.getLong(1))
+      .view.mapValues(_.map(_.getLong(0)).toSet).toMap
+
+  test("new-vs-returning: growth accounting sums, first day all-new") {
+    val rows = Queries.all("q_new_vs_returning")(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length == presence.size)
+    rows.foreach { r =>
+      assert(r.getLong(1) == presence(r.getLong(0)).size)
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3))
+    }
+    // the earliest day has no history: everyone is new
+    assert(rows.head.getLong(2) == rows.head.getLong(1))
+    // Σ n_new over all days = total distinct users (each is new once)
+    assert(rows.map(_.getLong(2)).sum ==
+      presence.values.reduce(_ ++ _).size)
+  }
+
+  test("churn hazard: cohort mass conserved, at-risk telescopes") {
+    val rows = Queries.all("q_churn_hazard")(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    val nUsers = presence.values.reduce(_ ++ _).size
+    assert(rows.head.getLong(1) == nUsers, "week-0 at-risk = all users")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(1) == a.getLong(1) - a.getLong(2) - a.getLong(3),
+          "at-risk must telescope by churned+censored")
+      case _ =>
+    }
+    assert(rows.map(r => r.getLong(2) + r.getLong(3)).sum == nUsers)
+    rows.foreach(r => assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1))
+  }
+
+  test("stickiness matches a direct DAU/WAU recomputation") {
+    val rows = Queries.all("q_stickiness")(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length == presence.size)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val dau = presence(d).size
+      val wau = (d - 6 to d).flatMap(presence.get).reduce(_ ++ _).size
+      assert(r.getLong(1) == dau && r.getLong(2) == wau,
+        s"day $d dau ${r.getLong(1)}/$dau wau ${r.getLong(2)}/$wau")
+      assert(math.abs(r.getDouble(3) - dau.toDouble / wau) < 1e-6)
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1)
+    }
+  }
+
   test("freshness audit: newest type has zero lag, spans non-negative") {
     val rows = Queries.all("q_freshness_audit")(spark, dir).collect()
     assert(rows.nonEmpty)
