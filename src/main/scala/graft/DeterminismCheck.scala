@@ -27,10 +27,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DeterminismCheck {
 
-  /** Gate-equivalent value normalization (tools/check_correctness.py
-    * `norm`): the comparison must be exactly as blind as the gate's —
-    * stricter would flag harmless sub-10-digit ULP noise the gate
-    * accepts, looser would miss real flakes. */
+  /** Value normalization matched to the gate's `norm`
+    * (tools/check_correctness.py): stricter would flag harmless
+    * sub-10-digit ULP noise the gate accepts, looser would miss real
+    * flakes. Scope note (round-9): the DRIVER's gate — the actual
+    * contract — is additionally dtype-sensitive (HUGEINT vs BIGINT
+    * flips its hash even at value equality). That dimension is
+    * structurally invisible here: both runs are the same Spark plan, so
+    * their schemas always agree. Cross-engine TYPE parity is enforced by
+    * the gate's DESCRIBE-level type comparison instead
+    * (tools/check_correctness.py `described_types`) — this check owns
+    * only layout-dependence of VALUES. */
   def norm(v: Any): String = v match {
     case null => "NULL"
     case b: Boolean => if (b) "T" else "F"

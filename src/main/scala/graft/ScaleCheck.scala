@@ -440,10 +440,19 @@ object ScaleCheck {
     // per-user decimal sums collapse first — runs the REGISTRY query
     // against a temp dir holding the replicated events.
     time("mann_whitney(16x rows/user)", 60) {
-      val tmp = java.nio.file.Files.createTempDirectory("sc_mw").toString
-      bigEvents.drop("replica").write.mode("overwrite")
-        .parquet(s"$tmp/events.parquet")
-      Queries.all("q_mann_whitney")(spark, tmp).count()
+      // delete the multi-GB replicated parquet afterwards — leaked temp
+      // dirs accumulate across runs (r8 ADVICE)
+      val tmp = java.nio.file.Files.createTempDirectory("sc_mw")
+      try {
+        bigEvents.drop("replica").write.mode("overwrite")
+          .parquet(s"$tmp/events.parquet")
+        Queries.all("q_mann_whitney")(spark, tmp.toString).count()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }
 
     println(s"[scalecheck] all_ok=$allOk")

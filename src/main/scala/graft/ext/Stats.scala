@@ -191,14 +191,25 @@ object Stats {
                              fracs: Seq[Double], bins: Int = 4096,
                              localLimit: Long = 1L << 20): Array[Double] = {
     require(fracs.nonEmpty && fracs.forall(f => f >= 0 && f <= 1))
+    // persisted: every refinement round re-reads the projection, and at
+    // the 100 TB scale this method is documented for, an uncached __v
+    // costs one extra full input scan per round (r8 ADVICE)
     val vals = df.select(col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try { exactQuantilesFromCached(vals, fracs, bins, localLimit) }
+    finally vals.unpersist(blocking = false)
+  }
+
+  private def exactQuantilesFromCached(vals: DataFrame, fracs: Seq[Double],
+                                       bins: Int,
+                                       localLimit: Long): Array[Double] = {
     val head = vals
       .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
         max(col("__v")).as("hi"))
       .collect()(0)
     val n = head.getLong(0)
-    require(n > 0, s"exactQuantilesScalable: no non-null rows in $valueCol")
+    require(n > 0, "exactQuantilesScalable: no non-null rows in value column")
     val (lo0, hi0) = (head.getDouble(1), head.getDouble(2))
     // global 0-based order-statistic indices the R-7 rule needs
     val ranks = fracs.map { q => (n - 1) * q }
@@ -258,6 +269,196 @@ object Stats {
       val (xlo, xhi) = (found(fl), found(ce))
       if (fl == ce) xlo else xlo + (r - fl) * (xhi - xlo)
     }.toArray
+  }
+
+  /**
+   * GROUP-WISE [[exactQuantilesScalable]] in ONE job graph (r8 VERDICT
+   * item 5): every group advances through the same histogram-refinement
+   * rounds TOGETHER, so group cardinality never serializes the driver —
+   * the sequential per-group form runs G independent job chains, this
+   * form runs one chain of ~log_bins(range) rounds regardless of G.
+   *
+   * Same selection semantics as the ungrouped form, per group: R-7
+   * interpolation over exact order statistics found by histogram-guided
+   * refinement, sub-range membership always recomputed through the SAME
+   * floor-assignment chain that built each histogram (the path arrays in
+   * the broadcast cells frame), so boundary values cannot drift between
+   * passes. Driver state per round is O(active groups × |fracs|): the
+   * per-cell histograms are never collected — each cell's needed order
+   * statistics are routed to their bins IN Spark (per-cell cumulative
+   * window over ≤ `bins` rows, then a broadcast join against the needed
+   * ranks) and only the matched (cell, bin) rows return.
+   *
+   * The group column is read as STRING (grouping keys at this readout
+   * are categorical by contract). Returns one row per group:
+   * (groupCol, q1..q|fracs|), row order sorted by group. NULL group or
+   * value rows are ignored; groups with no non-null values are absent.
+   */
+  def groupedExactQuantiles(df: DataFrame, groupCol: String,
+                            valueCol: String, fracs: Seq[Double],
+                            bins: Int = 4096,
+                            localLimit: Long = 1L << 20): DataFrame = {
+    require(fracs.nonEmpty && fracs.forall(f => f >= 0 && f <= 1))
+    val spark = df.sparkSession
+    val vals = df
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // G rows on the driver — bounded by the result size itself
+      val heads = vals.groupBy(col("__g"))
+        .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
+          max(col("__v")).as("hi"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3)))
+        .sortBy(_._1)
+
+      // a live search cell: one (group, range) slice still holding
+      // needed order statistics; path = the (lo, w, b) floor-assignment
+      // chain that defines membership
+      case class Cell(group: String, path: List[(Double, Double, Long)],
+                      lo: Double, hi: Double, below: Long, cnt: Long,
+                      idxs: Set[Long])
+
+      val found = scala.collection.mutable.Map[(String, Long), Double]()
+      var cells: List[Cell] = heads.toList.map { case (g, n, lo, hi) =>
+        val needed = fracs.flatMap { q =>
+          val r = (n - 1) * q
+          Seq(math.floor(r).toLong, math.ceil(r).toLong)
+        }.toSet
+        Cell(g, Nil, lo, hi, 0L, n, needed)
+      }
+
+      // membership in a cell = every level of its floor-assignment
+      // chain reproduces the recorded bin (same expression that built
+      // the histograms — the no-drift contract). size=0 guarded
+      // explicitly: Spark's sequence(1, 0) runs DESCENDING, not empty.
+      val pathMatch = expr(
+        s"""CASE WHEN size(__los) = 0 THEN true ELSE
+           |  forall(sequence(1, size(__los)), i ->
+           |    least(CAST(floor((__v - element_at(__los, i)) /
+           |      element_at(__ws, i)) AS BIGINT),
+           |      CAST(${bins - 1} AS BIGINT)) = element_at(__bs, i))
+           |END""".stripMargin)
+
+      var depth = 0
+      while (cells.nonEmpty) {
+        // constant-valued spikes (or vanished width) resolve directly
+        val (spikes, rest) = cells.partition(c =>
+          c.lo == c.hi || (c.hi - c.lo) / bins == 0)
+        spikes.foreach(c => c.idxs.foreach(i => found((c.group, i)) = c.lo))
+        val (terminal, active) =
+          rest.partition(c => c.cnt <= localLimit || depth > 64)
+
+        if (terminal.nonEmpty) {
+          // ONE job ranks every terminal cell's candidate rows: window
+          // partitioned per cell, each partition ≤ localLimit rows by
+          // contract (the documented bounded-window exception family)
+          val cellRows = terminal.zipWithIndex.map { case (c, id) =>
+            (id.toLong, c.group, c.path.map(_._1).toArray,
+              c.path.map(_._2).toArray, c.path.map(_._3).toArray,
+              c.idxs.map(_ - c.below).toArray, c.below)
+          }
+          val cellsDf = spark.createDataFrame(cellRows)
+            .toDF("__cid", "__cg", "__los", "__ws", "__bs", "__offs",
+              "__below")
+          val got = vals
+            .join(broadcast(cellsDf), col("__g") === col("__cg"))
+            .filter(pathMatch)
+            .withColumn("__r", row_number().over(
+              Window.partitionBy(col("__cid")).orderBy(col("__v")))
+              .cast("long") - 1)
+            .filter(expr("array_contains(__offs, __r)"))
+            .select(col("__cg"), col("__r"), col("__below"), col("__v"))
+            .collect()
+          got.foreach(r =>
+            found((r.getString(0), r.getLong(1) + r.getLong(2))) =
+              r.getDouble(3))
+        }
+
+        if (active.nonEmpty) {
+          // ONE histogram job over all active cells, then route each
+          // needed index to its bin in Spark — the driver receives only
+          // the matched (cell, bin) rows, never the histograms
+          val cellRows = active.zipWithIndex.map { case (c, id) =>
+            (id.toLong, c.group, c.path.map(_._1).toArray,
+              c.path.map(_._2).toArray, c.path.map(_._3).toArray,
+              c.lo, (c.hi - c.lo) / bins, c.below)
+          }
+          val cellsDf = spark.createDataFrame(cellRows)
+            .toDF("__cid", "__cg", "__los", "__ws", "__bs", "__lo",
+              "__w", "__below")
+          val neededDf = spark.createDataFrame(
+            active.zipWithIndex.flatMap { case (c, id) =>
+              c.idxs.map(i => (id.toLong, i))
+            })
+            .toDF("__nid", "__idx")
+          val hist = vals
+            .join(broadcast(cellsDf), col("__g") === col("__cg"))
+            .filter(pathMatch)
+            .groupBy(col("__cid"),
+              least(floor((col("__v") - col("__lo")) / col("__w"))
+                .cast("long"), lit((bins - 1).toLong)).as("__b"))
+            // per-bin ACTUAL min/max become the child range: an
+            // equal-valued spike inside a bin collapses to lo == hi on
+            // the very next round instead of halving bin bounds for ~64
+            // rounds (membership still goes through the floor chain, so
+            // tightening the range cannot drop rows)
+            .agg(count(lit(1)).as("__c"), first(col("__below")).as("__below"),
+              min(col("__v")).as("__bmin"), max(col("__v")).as("__bmax"))
+          val binWin = Window.partitionBy(col("__cid")).orderBy(col("__b"))
+          val routed = hist
+            .withColumn("__start", col("__below") + coalesce(
+              sum(col("__c")).over(
+                binWin.rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+            .join(broadcast(neededDf),
+              col("__cid") === col("__nid") &&
+                col("__idx") >= col("__start") &&
+                col("__idx") < col("__start") + col("__c"))
+            .select(col("__cid"), col("__b"), col("__start"), col("__c"),
+              col("__idx"), col("__bmin"), col("__bmax"))
+            .collect()
+          val byId = active.zipWithIndex.map(_.swap).map {
+            case (id, c) => id.toLong -> c
+          }.toMap
+          cells = routed
+            .groupBy(r => (r.getLong(0), r.getLong(1)))
+            .toList.sortBy(_._1)
+            .map { case ((cid, b), rows) =>
+              val c = byId(cid)
+              val w = (c.hi - c.lo) / bins
+              Cell(c.group, c.path :+ ((c.lo, w, b)),
+                rows.head.getDouble(5), rows.head.getDouble(6),
+                rows.head.getLong(2), rows.head.getLong(3),
+                rows.map(_.getLong(4)).toSet)
+            }
+        } else cells = Nil
+        depth += 1
+      }
+
+      // assemble (group, q1..qk) on the driver — G-bounded, same size
+      // as the readout itself
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField(groupCol,
+          org.apache.spark.sql.types.StringType) +:
+          fracs.indices.map(i => org.apache.spark.sql.types.StructField(
+            s"q${i + 1}", org.apache.spark.sql.types.DoubleType)))
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          heads.toSeq.map { case (g, n, _, _) =>
+            val qs = fracs.map { q =>
+              val r = (n - 1) * q
+              val (fl, ce) = (math.floor(r).toLong, math.ceil(r).toLong)
+              val (xlo, xhi) = (found((g, fl)), found((g, ce)))
+              if (fl == ce) xlo else xlo + (r - fl) * (xhi - xlo)
+            }
+            org.apache.spark.sql.Row.fromSeq(g +: qs)
+          }).asJava
+      spark.createDataFrame(rows, schema)
+    } finally vals.unpersist(blocking = false)
   }
 
   /** [[equiDepthBins]] with boundaries from the scalable exact-quantile

@@ -95,6 +95,64 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedExactQuantiles equals per-group exactQuantilesScalable " +
+    "and counts jobs independent of group count") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    // 8 groups with per-group adversarial shapes: spikes, dense
+    // clusters, broad tails — each group exercises a different
+    // refinement depth, all must land the same as the sequential form
+    def mkRows(groups: Int) = (0 until groups).flatMap { g =>
+      val base = g % 8 match {
+        case 0 => Seq.fill(50)(3.0) // pure spike: lo==hi short-circuit
+        case 1 => Seq.fill(40)(1.0) ++ Seq.fill(40)(2.0)
+        case m => Seq.fill(120)(rnd.nextDouble() * math.pow(10, m) - m)
+      }
+      base.map(v => (s"g$g", v))
+    }
+    val df = rnd.shuffle(mkRows(8)).toDF("grp", "v")
+    val fracs = Seq(0.1, 0.5, 0.9)
+    // tiny bins + localLimit force multi-round refinement; a job group
+    // (public statusTracker API) counts the jobs each run schedules
+    val sc = spark.sparkContext
+    def countJobs(data: org.apache.spark.sql.DataFrame): Int = {
+      val tag = s"gq-spec-${System.nanoTime()}"
+      sc.setJobGroup(tag, "job-count pin")
+      try Stats.groupedExactQuantiles(data, "grp", "v", fracs,
+        bins = 8, localLimit = 16).collect()
+      finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(tag).length
+    }
+    sc.setJobGroup("grouped-quantiles-spec", "result pin")
+    val got =
+      try Stats.groupedExactQuantiles(df, "grp", "v", fracs,
+        bins = 8, localLimit = 16).collect()
+      finally sc.clearJobGroup()
+    val gotMap = got.map(r => r.getString(0) ->
+      fracs.indices.map(i => r.getDouble(i + 1))).toMap
+    assert(gotMap.keySet == (0 until 8).map(g => s"g$g").toSet)
+    (0 until 8).foreach { g =>
+      val expected = Stats.exactQuantilesScalable(
+        df.filter(col("grp") === s"g$g"), "v", fracs,
+        bins = 8, localLimit = 16)
+      fracs.indices.foreach { i =>
+        assert(math.abs(gotMap(s"g$g")(i) - expected(i)) <=
+          math.ulp(expected(i)) * 4,
+          s"group g$g frac ${fracs(i)}: got ${gotMap(s"g$g")(i)} " +
+            s"want ${expected(i)}")
+      }
+    }
+    // the one-job-graph contract: job count is bounded by refinement
+    // depth (~log_bins(range)), NOT by group count — tripling the group
+    // count over the SAME shapes must not grow the chain (the
+    // sequential form grows linearly: ~3 jobs per extra group)
+    val jobs8 = countJobs(spark.createDataFrame(mkRows(8)).toDF("grp", "v"))
+    val jobs24 = countJobs(spark.createDataFrame(mkRows(24)).toDF("grp", "v"))
+    assert(jobs8 > 0 && jobs24 <= jobs8 + 2,
+      s"grouped quantiles ran $jobs8 jobs at 8 groups but $jobs24 at 24 — " +
+        "group count is leaking into the job graph")
+  }
+
   test("equiDepthBinsScalable matches equiDepthBins on 1..100 deciles") {
     val df = (1 to 100).map(_.toDouble).toDF("v")
     val a = graft.ext.Stats.equiDepthBins(df, "v", k = 10).collect()

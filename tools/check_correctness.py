@@ -1,7 +1,15 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: read each query's
 parquet output from Verify, run its DuckDB oracle over the same testdata
-tables, and compare (rows, schema names, sorted-value hash)."""
+tables, and compare (rows, schema names, COLUMN TYPES, sorted-value hash).
+
+The type check exists because the driver's hash is dtype-sensitive: DuckDB
+sum(BIGINT) returns HUGEINT while Spark writes BIGINT, and the driver's
+pandas conversion renders the two differently even when every value is
+equal (the round-8 16-query red class). We compare DESCRIBE-level DuckDB
+types of the Spark parquet vs the oracle result and fail on ANY divergence
+— including within the signed-int family, which the driver happens to
+render uniformly today but is not contractually bound to."""
 import json
 import math
 import os
@@ -37,6 +45,12 @@ def table_key(rows, cols):
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
 
 
+def described_types(sql):
+    """column name -> DuckDB type string, via DESCRIBE (exact types,
+    unlike cursor.description's coarse codes)."""
+    return {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+
+
 ok = fail = 0
 for name in sorted(oracles):
     qdir = f"{OUT}/{name}"
@@ -57,6 +71,16 @@ for name in sorted(oracles):
     exp_rows = exp.fetchall()
     if sorted(got_cols) != sorted(exp_cols):
         print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+        fail += 1
+        continue
+    got_t = described_types(f"SELECT * FROM '{qdir}/*.parquet'")
+    exp_t = described_types(f"({oracles[name]})")
+    type_diffs = [(c, got_t[c], exp_t[c]) for c in sorted(got_t)
+                  if got_t[c] != exp_t[c]]
+    if type_diffs:
+        print(f"FAIL {name}: column-type divergence "
+              + "; ".join(f"{c}: spark={g} oracle={e}"
+                          for c, g, e in type_diffs))
         fail += 1
         continue
     if len(got_rows) != len(exp_rows):
