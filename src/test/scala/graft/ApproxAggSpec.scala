@@ -28,6 +28,29 @@ class ApproxAggSpec extends AnyFunSuite {
     }
   }
 
+  test("q_approx_agg_md5 twin: HLL estimate and sampled median inside " +
+    "their error envelopes vs the exact aggregates") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val rows = Queries.all("q_approx_agg_md5")(spark, dir)
+      .join(li.groupBy($"l_returnflag").agg(
+        countDistinct($"l_partkey").as("exact_parts"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median")),
+        "l_returnflag")
+      .select($"hll_parts_est", $"exact_parts", $"sample_n",
+        $"sample_median_price", $"exact_median")
+      .as[(Double, Long, Long, Double, Double)].collect()
+    assert(rows.length == 3)
+    for ((est, exact, n, med, exactMed) <- rows) {
+      // m=64 raw HLL: standard error 1.04/sqrt(64) = 13%; allow 3 sigma
+      assert(math.abs(est - exact) / exact < 0.39, s"hll: $est vs $exact")
+      // ~1/16 sample of ~20k rows per flag
+      assert(n > 500, s"sample unexpectedly small: $n")
+      // sampled median of ~1.2k points: generous 10% envelope
+      assert(math.abs(med - exactMed) / exactMed < 0.10,
+        s"median: $med vs $exactMed")
+    }
+  }
+
   test("percentile_approx within the sketch's rank-error bound of the exact median") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     // rank error <= 1/accuracy = 0.1% of the group: compare against the
