@@ -318,6 +318,114 @@ object EventAnalytics {
       }
   }
 
+  final case class ZReadout(day: Long, n_a: Long, n_b: Long, z: Double,
+                            crossed: Boolean)
+  final case class ZMonitorState(openDay: Long,
+                                 oaN: Long, oaS: Long, oaSS: Long,
+                                 obN: Long, obS: Long, obSS: Long,
+                                 caN: Long, caS: Long, caSS: Long,
+                                 cbN: Long, cbS: Long, cbSS: Long)
+
+  /**
+   * STATEFUL streaming sequential z monitor — the live face of the
+   * q_sequential_ztest daily-peeking readout: a day closes when the
+   * first event of a LATER day arrives, and each closed day emits the
+   * cumulative Welch z (and the |z| > 2.5 boundary flag) an
+   * experimenter's dashboard would show for it. State is ONE flat tuple
+   * of exact integer moments — open-day and closed-cumulative
+   * (n, Σcents, Σcents²) per arm — so within-day accumulation is
+   * LONG addition (commutative: per-event streaming arrival order and
+   * the batch face's pre-aggregation reach identical state bit-for-bit)
+   * and the only floating-point runs once per emission, in the same op
+   * sequence the DuckDB oracle replays (cents→double is one correctly
+   * rounded division, not a decimal cast, on both faces). Exactness
+   * bound: Σcents² per arm must stay under 2^63 (~9e10 events at
+   * O(100)-unit values) — one experiment's metric stream, not a corpus.
+   *
+   * Emission rule (mirrored in the oracle): a closed day emits only if
+   * BOTH arms observed it (a one-arm day has no comparable readout —
+   * its moments still fold into the cumulative) and both cumulative
+   * counts exceed 1 (Welch variance needs n ≥ 2). The final open day
+   * never closes — streams don't end — so the batch face (this SAME
+   * fold on the static frame) emits exactly the days before the last.
+   * Keyed by the experiment (one constant key here: a monitor watches
+   * one experiment; a multi-experiment deployment keys by experiment id
+   * and parallelizes across them). Late arrivals to a closed day are
+   * dropped — the chronological-source contract of [[rateAlerts]].
+   */
+  def zMonitor(events: DataFrame): Dataset[ZReadout] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = graft.ingest.Readers.tsToNanos(events)
+      .select(expr("ts div 86400000000000").as("day"),
+        expr("CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END").as("variant"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    // batch face pre-aggregates to per-(day, arm) moments (group
+    // iterator holds days, not rows); the streaming face feeds
+    // per-event singletons — integer addition makes both reach the
+    // same state regardless of order
+    val pairs: Dataset[(Long, String, Long, Long, Long)] =
+      if (events.isStreaming)
+        base.select(col("day").as[Long], col("variant").as[String],
+          lit(1L).as[Long], col("cents").as[Long],
+          (col("cents") * col("cents")).as[Long])
+      else
+        base.groupBy(col("day"), col("variant"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+            sum(col("cents") * col("cents")).as("ss"))
+          .select(col("day").as[Long], col("variant").as[String],
+            col("n").as[Long], col("s").as[Long], col("ss").as[Long])
+    pairs
+      .groupByKey(_ => "exp")
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String, Long, Long, Long)],
+         state: GroupState[ZMonitorState]) =>
+          val buckets = rows.toArray
+          // close ordering needs day order; within a day, addition
+          // commutes, but a stable total order keeps iteration honest
+          java.util.Arrays.sort(buckets,
+            Ordering.by[(Long, String, Long, Long, Long), (Long, String)](
+              r => (r._1, r._2)))
+          var st = state.getOption.orNull
+          val out = List.newBuilder[ZReadout]
+          def close(s: ZMonitorState): ZMonitorState = {
+            val caN = s.caN + s.oaN; val caS = s.caS + s.oaS
+            val caSS = s.caSS + s.oaSS
+            val cbN = s.cbN + s.obN; val cbS = s.cbS + s.obS
+            val cbSS = s.cbSS + s.obSS
+            if (s.oaN > 0 && s.obN > 0 && caN > 1 && cbN > 1) {
+              // the oracle's op sequence, verbatim
+              val csA = caS.toDouble / 1e2; val cssA = caSS.toDouble / 1e4
+              val csB = cbS.toDouble / 1e2; val cssB = cbSS.toDouble / 1e4
+              val z = (csA / caN - csB / cbN) /
+                math.sqrt(((cssA - csA * csA / caN) / (caN - 1)) / caN +
+                  ((cssB - csB * csB / cbN) / (cbN - 1)) / cbN)
+              out += ZReadout(s.openDay, caN, cbN, z, math.abs(z) > 25e-1)
+            }
+            ZMonitorState(s.openDay, 0L, 0L, 0L, 0L, 0L, 0L,
+              caN, caS, caSS, cbN, cbS, cbSS)
+          }
+          for ((day, variant, n, s, ss) <- buckets) {
+            if (st == null)
+              st = ZMonitorState(day, 0L, 0L, 0L, 0L, 0L, 0L,
+                0L, 0L, 0L, 0L, 0L, 0L)
+            else if (day > st.openDay)
+              st = close(st).copy(openDay = day)
+            if (st.openDay == day) {
+              st =
+                if (variant == "A")
+                  st.copy(oaN = st.oaN + n, oaS = st.oaS + s,
+                    oaSS = st.oaSS + ss)
+                else
+                  st.copy(obN = st.obN + n, obS = st.obS + s,
+                    obSS = st.obSS + ss)
+            } // day < openDay: late arrival to a closed day — dropped
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class ZoneTransition(user_id: Long, ts: Long, event_id: Long,
                                   from_zone: String, to_zone: String)
   /** NOTE: adding lastId (r8) changed the state-store schema — a

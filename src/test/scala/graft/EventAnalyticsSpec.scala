@@ -255,6 +255,83 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(batch == expected)
   }
 
+  test("stateful z monitor: cross-batch cumulative moments equal the " +
+    "batch face and a direct fold") {
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6), r.getBoolean(4))
+    val batch = EventAnalytics.zMonitor(spark.read.parquet(eventsFile))
+      .toDF().collect().map(canon).toSet
+    assert(batch.nonEmpty, "vacuous: no day ever closes in the fixture")
+
+    // three CHRONOLOGICAL chunks, one micro-batch each: a day split
+    // across a chunk boundary must accumulate in the carried open-day
+    // moments, and the closed cumulative must survive the batches
+    val dir = Files.createTempDirectory("graft-zmon-stream")
+    val sorted = spark.read.parquet(eventsFile).orderBy("ts")
+    val rows = sorted.collect()
+    val cut1 = rows.length / 3
+    val cut2 = 2 * rows.length / 3
+    Seq((0, cut1), (cut1, cut2), (cut2, rows.length)).zipWithIndex.foreach {
+      case ((from, until), i) =>
+        val tmp = Files.createTempDirectory(s"graft-zmon-chunk$i")
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.slice(from, until).toSeq, 1),
+            sorted.schema)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq.head
+        val dst = dir.resolve(f"chunk$i%02d.parquet")
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val ckpt = Files.createTempDirectory("graft-zmon-ckpt").toString
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = EventAnalytics.zMonitor(stream)
+      .writeStream.format("memory").queryName("z_monitor")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("z_monitor").collect().map(canon).toSet
+    assert(got == batch,
+      s"stream-batch divergence: only-stream=${got -- batch} only-batch=${batch -- got}")
+
+    // independent recomputation: fold the day-sorted exact cents
+    // moments directly, replaying the emission rule by hand
+    val cents = graft.ingest.Readers.tsToNanos(spark.read.parquet(eventsFile))
+      .select(expr("ts div 86400000000000").as("day"),
+        expr("CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END").as("variant"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .groupBy(col("day"), col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(r => (r._1, r._2))
+    val lastDay = cents.map(_._1).max
+    var (caN, caS, caSS, cbN, cbS, cbSS) = (0L, 0L, 0L, 0L, 0L, 0L)
+    val expected = cents.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (day, arms) =>
+        val a = arms.find(_._2 == "A")
+        val b = arms.find(_._2 == "B")
+        a.foreach(x => { caN += x._3; caS += x._4; caSS += x._5 })
+        b.foreach(x => { cbN += x._3; cbS += x._4; cbSS += x._5 })
+        if (day < lastDay && a.nonEmpty && b.nonEmpty && caN > 1 && cbN > 1) {
+          val csA = caS.toDouble / 1e2; val cssA = caSS.toDouble / 1e4
+          val csB = cbS.toDouble / 1e2; val cssB = cbSS.toDouble / 1e4
+          val z = (csA / caN - csB / cbN) /
+            math.sqrt(((cssA - csA * csA / caN) / (caN - 1)) / caN +
+              ((cssB - csB * csB / cbN) / (cbN - 1)) / cbN)
+          Some((day, caN, cbN, math.round(z * 1e6), math.abs(z) > 25e-1))
+        } else None
+    }.toSet
+    assert(batch == expected)
+  }
+
   test("stateful streaming geofence transitions equal the batch operator") {
     // a thin lon strip whose edges cut through the per-event jitter
     // range, so vehicles cross in and out between consecutive fixes
