@@ -40,6 +40,27 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Exchange rangepartitioning") == 0)
   }
 
+  test("q_tpch_q3: all three filters pushed, dims broadcast, top-10 is TakeOrdered") {
+    val p = plan("q_tpch_q3")
+    assert(p.contains("GreaterThan(l_shipdate"))
+    assert(p.contains("LessThan(o_orderdate"))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"))
+    assert(count(p, "BroadcastHashJoin") == 2)
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(count(p, "Exchange rangepartitioning") == 0, "top-10 must not global-sort")
+    // one exchange: the groupBy(orderkey, ...) partial agg — none per join
+    assert(count(p, "Exchange hashpartitioning") == 1)
+  }
+
+  test("q_tpch_q5: six-table chain — lineitem never shuffles for a join") {
+    val p = plan("q_tpch_q5")
+    assert(p.contains("EqualTo(r_name,ASIA)"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"))
+    assert(count(p, "BroadcastHashJoin") == 5)
+    assert(count(p, "SortMergeJoin") == 0)
+    assert(count(p, "Exchange hashpartitioning") == 1) // final groupBy only
+  }
+
   test("q_ode_field_validations: zero exchanges — validation is partition-parallel") {
     val p = plan("q_ode_field_validations")
     assert(count(p, "Exchange ") == 0)
