@@ -439,20 +439,62 @@ object ScaleCheck {
     // distinct-value cumulative walk must stay USER-bounded because the
     // per-user decimal sums collapse first — runs the REGISTRY query
     // against a temp dir holding the replicated events.
-    time("mann_whitney(16x rows/user)", 60) {
-      // delete the multi-GB replicated parquet afterwards — leaked temp
-      // dirs accumulate across runs (r8 ADVICE)
-      val tmp = java.nio.file.Files.createTempDirectory("sc_mw")
-      try {
-        bigEvents.drop("replica").write.mode("overwrite")
-          .parquet(s"$tmp/events.parquet")
-        Queries.all("q_mann_whitney")(spark, tmp.toString).count()
-      } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    // ---- REGISTRY queries at 16×: one shared temp dir of replicated
+    // tables, deleted afterwards — leaked temp dirs accumulate across
+    // runs (r8 ADVICE)
+    val regDir = java.nio.file.Files.createTempDirectory("sc_registry")
+    try {
+      bigEvents.drop("replica").write.mode("overwrite")
+        .parquet(s"$regDir/events.parquet")
+      big.write.mode("overwrite").parquet(s"$regDir/documents.parquet")
+      // lineitem + orders replicated with a CONSISTENT orderkey shift
+      // (the fact-fact join key must survive replication); dims copied
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+      (0 until mult).map(i => li.withColumn("l_orderkey",
+          col("l_orderkey") + lit(i.toLong * 1000000000L)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$regDir/lineitem.parquet")
+      (0 until mult).map(i => ord.withColumn("o_orderkey",
+          col("o_orderkey") + lit(i.toLong * 1000000000L)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$regDir/orders.parquet")
+      for (t <- Seq("customer", "supplier", "nation", "region"))
+        spark.read.parquet(s"$dir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$regDir/$t.parquet")
+
+      time("mann_whitney(16x rows/user)", 60) {
+        Queries.all("q_mann_whitney")(spark, regDir.toString).count()
       }
+      // r9: grouped scalable quantiles — one job graph over all groups
+      time("quantile_bands_grouped(16x)", 60) {
+        Queries.all("q_quantile_bands")(spark, regDir.toString).count()
+      }
+      // r9: classical decomposition — windows stay 25-bounded per type
+      time("stl_decompose(16x rows/hour)", 60) {
+        Queries.all("q_stl_decompose")(spark, regDir.toString).count()
+      }
+      // r9: stateful monitor batch faces — pre-aggregated fold input
+      // stays days-bounded no matter the row count
+      time("z_monitor+srm(16x rows/day)", 60) {
+        Queries.all("q_streaming_z_monitor")(spark, regDir.toString).count() +
+          Queries.all("q_streaming_srm")(spark, regDir.toString).count()
+      }
+      // r9: six-table chain at 16× facts — dims broadcast, the
+      // fact-fact join shuffles on the (replication-consistent) key
+      time("tpch_q5(16x facts)", 90) {
+        Queries.all("q_tpch_q5")(spark, regDir.toString).count()
+      }
+      // r9: KMV sketches — 16× scan, but pairing still sees only
+      // sources² · k sketch rows
+      time("kmv_set_ops(16x docs)", 60) {
+        Queries.all("q_kmv_set_ops")(spark, regDir.toString).count()
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(regDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
 
     println(s"[scalecheck] all_ok=$allOk")

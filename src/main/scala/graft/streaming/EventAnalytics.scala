@@ -426,6 +426,75 @@ object EventAnalytics {
       }
   }
 
+  final case class SrmAlert(day: Long, n_a: Long, n_b: Long,
+                            chi2: Double, mismatch: Boolean)
+  final case class SrmState(openDay: Long, oaN: Long, obN: Long,
+                            caN: Long, cbN: Long)
+
+  /**
+   * STATEFUL streaming sample-ratio-mismatch guardrail — the third
+   * member of the live experiment-monitor family ([[rateAlerts]],
+   * [[zMonitor]]): on each day close, the cumulative A/B assignment
+   * counts are tested against the designed 50/50 split with the
+   * two-cell chi-square χ² = (n_a − n_b)²/(n_a + n_b); χ² > 3.84 (the
+   * 5% point of χ²₁) flags a randomization bug before anyone reads the
+   * metric readout. State is FOUR longs (open-day + cumulative counts
+   * per arm) — pure integer addition, so streaming arrival order and
+   * the batch face's pre-aggregation agree bit-for-bit, and the single
+   * double division per emission replays identically in the oracle.
+   * Day-close / final-open-day / late-arrival semantics are
+   * [[zMonitor]]'s (chronological-source contract).
+   */
+  def srmMonitor(events: DataFrame): Dataset[SrmAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = graft.ingest.Readers.tsToNanos(events)
+      .select(expr("ts div 86400000000000").as("day"),
+        expr("CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END").as("variant"))
+    val pairs: Dataset[(Long, String, Long)] =
+      if (events.isStreaming)
+        base.select(col("day").as[Long], col("variant").as[String],
+          lit(1L).as[Long])
+      else
+        base.groupBy(col("day"), col("variant"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("day").as[Long], col("variant").as[String],
+            col("n").as[Long])
+    pairs
+      .groupByKey(_ => "exp")
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String, Long)],
+         state: GroupState[SrmState]) =>
+          val buckets = rows.toArray
+          java.util.Arrays.sort(buckets,
+            Ordering.by[(Long, String, Long), (Long, String)](
+              r => (r._1, r._2)))
+          var st = state.getOption.orNull
+          val out = List.newBuilder[SrmAlert]
+          def close(s: SrmState): SrmState = {
+            val caN = s.caN + s.oaN
+            val cbN = s.cbN + s.obN
+            if (caN + cbN > 0) {
+              val d = (caN - cbN).toDouble
+              val chi2 = d * d / (caN + cbN)
+              out += SrmAlert(s.openDay, caN, cbN, chi2, chi2 > 384e-2)
+            }
+            SrmState(s.openDay, 0L, 0L, caN, cbN)
+          }
+          for ((day, variant, n) <- buckets) {
+            if (st == null) st = SrmState(day, 0L, 0L, 0L, 0L)
+            else if (day > st.openDay) st = close(st).copy(openDay = day)
+            if (st.openDay == day) {
+              st =
+                if (variant == "A") st.copy(oaN = st.oaN + n)
+                else st.copy(obN = st.obN + n)
+            } // day < openDay: late arrival to a closed day — dropped
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class ZoneTransition(user_id: Long, ts: Long, event_id: Long,
                                   from_zone: String, to_zone: String)
   /** NOTE: adding lastId (r8) changed the state-store schema — a

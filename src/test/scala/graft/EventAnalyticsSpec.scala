@@ -32,6 +32,51 @@ class EventAnalyticsSpec extends AnyFunSuite {
     dir.toString
   }
 
+  /** Three CHRONOLOGICAL chunks of the events fixture, one file each
+    * with forced mtimes so maxFilesPerTrigger=1 processes them in order
+    * — the shared harness for every cross-micro-batch state-carry test
+    * (a time bucket split across a chunk boundary must accumulate in
+    * the carried state). Built once, reused by all consumers. */
+  private lazy val chunkedEventsDir: String = {
+    val dir = Files.createTempDirectory("graft-events-chunks")
+    val sorted = spark.read.parquet(eventsFile).orderBy("ts")
+    val rows = sorted.collect()
+    val cut1 = rows.length / 3
+    val cut2 = 2 * rows.length / 3
+    Seq((0, cut1), (cut1, cut2), (cut2, rows.length)).zipWithIndex.foreach {
+      case ((from, until), i) =>
+        val tmp = Files.createTempDirectory(s"graft-events-chunk$i")
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.slice(from, until).toSeq, 1),
+            sorted.schema)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq.head
+        val dst = dir.resolve(f"chunk$i%02d.parquet")
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    dir.toString
+  }
+
+  /** Runs a stateful operator over [[chunkedEventsDir]] one file per
+    * micro-batch and returns the appended rows. */
+  private def runChunkedStream(queryName: String)(
+      op: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Dataset[_]): Array[org.apache.spark.sql.Row] = {
+    val ckpt = Files.createTempDirectory(s"graft-$queryName-ckpt").toString
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(chunkedEventsDir)
+    val q = op(stream)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName).collect()
+  }
+
   test("streaming windowed counts equal batch over the same files") {
     val batchDf = graft.ingest.Readers.tsToNanos(spark.read.parquet(eventsFile))
     val expected = EventAnalytics.windowedCounts(batchDf, 60)
@@ -190,41 +235,9 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .collect().map(canon).toSet
     assert(batch.nonEmpty)
 
-    // three CHRONOLOGICAL chunks, one micro-batch each
-    // (maxFilesPerTrigger=1, mtimes force processing order): hour
-    // buckets split across a chunk boundary must accumulate in the
+    // hour buckets split across a chunk boundary must accumulate in the
     // carried RateState, and the EWMA level must survive the batches
-    val dir = Files.createTempDirectory("graft-rate-stream")
-    val sorted = spark.read.parquet(eventsFile).orderBy("ts")
-    val rows = sorted.collect()
-    val cut1 = rows.length / 3
-    val cut2 = 2 * rows.length / 3
-    Seq((0, cut1), (cut1, cut2), (cut2, rows.length)).zipWithIndex.foreach {
-      case ((from, until), i) =>
-        val tmp = Files.createTempDirectory(s"graft-rate-chunk$i")
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(rows.slice(from, until).toSeq, 1),
-            sorted.schema)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp).iterator().asScala
-          .filter(_.toString.endsWith(".parquet")).toSeq.head
-        val dst = dir.resolve(f"chunk$i%02d.parquet")
-        Files.move(part, dst)
-        Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-    }
-
-    val ckpt = Files.createTempDirectory("graft-rate-ckpt").toString
-    val stream = spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
-    val q = EventAnalytics.rateAlerts(stream)
-      .writeStream.format("memory").queryName("rate_alerts")
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-
-    val got = spark.table("rate_alerts").collect()
+    val got = runChunkedStream("rate_alerts")(EventAnalytics.rateAlerts)
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         math.round(r.getDouble(3) * 1e6), math.round(r.getDouble(4) * 1e6)))
       .toSet
@@ -264,38 +277,11 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .toDF().collect().map(canon).toSet
     assert(batch.nonEmpty, "vacuous: no day ever closes in the fixture")
 
-    // three CHRONOLOGICAL chunks, one micro-batch each: a day split
-    // across a chunk boundary must accumulate in the carried open-day
-    // moments, and the closed cumulative must survive the batches
-    val dir = Files.createTempDirectory("graft-zmon-stream")
-    val sorted = spark.read.parquet(eventsFile).orderBy("ts")
-    val rows = sorted.collect()
-    val cut1 = rows.length / 3
-    val cut2 = 2 * rows.length / 3
-    Seq((0, cut1), (cut1, cut2), (cut2, rows.length)).zipWithIndex.foreach {
-      case ((from, until), i) =>
-        val tmp = Files.createTempDirectory(s"graft-zmon-chunk$i")
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(rows.slice(from, until).toSeq, 1),
-            sorted.schema)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp).iterator().asScala
-          .filter(_.toString.endsWith(".parquet")).toSeq.head
-        val dst = dir.resolve(f"chunk$i%02d.parquet")
-        Files.move(part, dst)
-        Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-    }
-    val ckpt = Files.createTempDirectory("graft-zmon-ckpt").toString
-    val stream = spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
-    val q = EventAnalytics.zMonitor(stream)
-      .writeStream.format("memory").queryName("z_monitor")
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val got = spark.table("z_monitor").collect().map(canon).toSet
+    // a day split across a chunk boundary must accumulate in the
+    // carried open-day moments, and the closed cumulative must survive
+    // the batches
+    val got = runChunkedStream("z_monitor")(EventAnalytics.zMonitor)
+      .map(canon).toSet
     assert(got == batch,
       s"stream-batch divergence: only-stream=${got -- batch} only-batch=${batch -- got}")
 
@@ -328,6 +314,40 @@ class EventAnalyticsSpec extends AnyFunSuite {
               ((cssB - csB * csB / cbN) / (cbN - 1)) / cbN)
           Some((day, caN, cbN, math.round(z * 1e6), math.abs(z) > 25e-1))
         } else None
+    }.toSet
+    assert(batch == expected)
+  }
+
+  test("stateful SRM guardrail: cross-batch assignment counts equal the " +
+    "batch face and a direct fold") {
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6), r.getBoolean(4))
+    val batch = EventAnalytics.srmMonitor(spark.read.parquet(eventsFile))
+      .toDF().collect().map(canon).toSet
+    assert(batch.nonEmpty, "vacuous: no day ever closes in the fixture")
+    val got = runChunkedStream("srm_monitor")(EventAnalytics.srmMonitor)
+      .map(canon).toSet
+    assert(got == batch,
+      s"stream-batch divergence: only-stream=${got -- batch} only-batch=${batch -- got}")
+
+    // direct fold over day-sorted assignment counts
+    val daily = graft.ingest.Readers.tsToNanos(spark.read.parquet(eventsFile))
+      .select(expr("ts div 86400000000000").as("day"),
+        expr("CASE WHEN user_id % 2 = 0 THEN 1L ELSE 0L END").as("a"))
+      .groupBy(col("day"))
+      .agg(sum(col("a")).as("na"), sum(lit(1L) - col("a")).as("nb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val lastDay = daily.map(_._1).max
+    var (ca, cb) = (0L, 0L)
+    val expected = daily.flatMap { case (day, na, nb) =>
+      ca += na; cb += nb
+      if (day < lastDay) {
+        val d = (ca - cb).toDouble
+        val chi2 = d * d / (ca + cb)
+        Some((day, ca, cb, math.round(chi2 * 1e6), chi2 > 384e-2))
+      } else None
     }.toSet
     assert(batch == expected)
   }
