@@ -490,12 +490,7 @@ object ScaleCheck {
       time("kmv_set_ops(16x docs)", 60) {
         Queries.all("q_kmv_set_ops")(spark, regDir.toString).count()
       }
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(regDir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally graft.util.Fs.deleteRecursively(regDir)
 
     println(s"[scalecheck] all_ok=$allOk")
     spark.stop()

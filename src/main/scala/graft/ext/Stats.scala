@@ -225,12 +225,22 @@ object Stats {
     def refine(pred: org.apache.spark.sql.Column, lo: Double, hi: Double,
                below: Long, cnt: Long, idxs: Set[Long], depth: Int): Unit = {
       if (idxs.isEmpty) return
+      // Unreachable by the geometry (each child range is the ACTUAL
+      // min/max of a bin, so width shrinks by ≥ bins× per round and a
+      // single-valued bin collapses to lo == hi — ~180 rounds cover the
+      // entire double exponent range), but a hard failure beats a
+      // silent unbounded window if the invariant is ever broken.
+      require(depth <= 256,
+        "exactQuantilesScalable: refinement failed to converge")
       val w = (hi - lo) / bins
-      if (lo == hi || w == 0 || depth > 64 || cnt <= localLimit) {
-        // terminal: rank the candidate rows (≤ localLimit by contract;
-        // the lo==hi spike degenerates to a constant) and read the
-        // exact order statistics. The unpartitioned window is bounded
-        // by localLimit — the documented exception family.
+      if (lo == hi || w == 0 || cnt <= localLimit) {
+        // terminal: rank the candidate rows (≤ localLimit by the
+        // convergence argument above; the lo==hi spike degenerates to a
+        // constant) and read the exact order statistics. The
+        // unpartitioned window is bounded by localLimit — the
+        // documented exception family. (w == 0 with lo < hi needs the
+        // subnormal regime AND > localLimit rows inside a
+        // bins·MinSubnormal-wide range — not a reachable data shape.)
         if (lo == hi) { idxs.foreach(i => found(i) = lo); return }
         val offsets = idxs.map(_ - below)
         val got = vals.filter(pred)
@@ -241,25 +251,31 @@ object Stats {
         got.foreach(r => found(r.getLong(1) + below) = r.getDouble(0))
         return
       }
+      // per-bin ACTUAL min/max become the child range (the r9 grouped
+      // form's convergence trick, applied here too): an equal-valued
+      // spike inside a bin collapses to lo == hi on the next round
+      // instead of bin-bound halving past the depth cap — membership
+      // still goes through the floor chain, so tightening cannot drop
+      // rows
       val hist = vals.filter(pred)
         .groupBy(binExpr(lo, w).as("__b"))
-        .agg(count(lit(1)).as("__c"))
+        .agg(count(lit(1)).as("__c"), min(col("__v")).as("__bmin"),
+          max(col("__v")).as("__bmax"))
         .collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+          r.getDouble(3)))).toMap
       // cumulative counts in bin order route each index to its bin
       val sortedBins = hist.keys.toArray.sorted
       var cum = below
       val perBin = sortedBins.map { b =>
-        val start = cum; cum += hist(b); (b, start, hist(b))
+        val (c, bmin, bmax) = hist(b)
+        val start = cum; cum += c; (b, start, c, bmin, bmax)
       }
-      for ((b, start, c) <- perBin) {
+      for ((b, start, c, bmin, bmax) <- perBin) {
         val mine = idxs.filter(i => i >= start && i < start + c)
-        if (mine.nonEmpty) {
-          val (bLo, bHi) =
-            (lo + b * w, if (b == bins - 1) hi else lo + (b + 1) * w)
-          refine(pred && binExpr(lo, w) === b, bLo, bHi, start, c, mine,
+        if (mine.nonEmpty)
+          refine(pred && binExpr(lo, w) === b, bmin, bmax, start, c, mine,
             depth + 1)
-        }
       }
     }
     refine(lit(true), lo0, hi0, 0L, n, needed, 0)
@@ -345,12 +361,16 @@ object Stats {
 
       var depth = 0
       while (cells.nonEmpty) {
+        // same unreachable-by-geometry hard cap as the sequential form:
+        // actual per-bin min/max child ranges shrink width ≥ bins× per
+        // round, so convergence is guaranteed long before this fires
+        require(depth <= 256,
+          "groupedExactQuantiles: refinement failed to converge")
         // constant-valued spikes (or vanished width) resolve directly
         val (spikes, rest) = cells.partition(c =>
           c.lo == c.hi || (c.hi - c.lo) / bins == 0)
         spikes.foreach(c => c.idxs.foreach(i => found((c.group, i)) = c.lo))
-        val (terminal, active) =
-          rest.partition(c => c.cnt <= localLimit || depth > 64)
+        val (terminal, active) = rest.partition(_.cnt <= localLimit)
 
         if (terminal.nonEmpty) {
           // ONE job ranks every terminal cell's candidate rows: window

@@ -318,6 +318,55 @@ object EventAnalytics {
       }
   }
 
+  /** ONE day-close state machine for the experiment-monitor family
+    * ([[zMonitor]], [[srmMonitor]]): sort the micro-batch by (day,
+    * arm), a later day closes the open one (emit + fold into the
+    * cumulative), same-day rows accumulate, late arrivals to a closed
+    * day are dropped, the final open day never closes. The monitors
+    * exist to agree bit-for-bit with their oracles — two inline copies
+    * of this skeleton could drift on exactly these semantics (r9
+    * review), so they are defined once and parameterized by
+    * (empty, add, close). Keyed by the experiment: one constant key
+    * here, experiment-id in a multi-experiment deployment. */
+  private def dayCloseFold[I, S, O](
+      pairs: Dataset[I],
+      day: I => Long,
+      sortKey: I => (Long, String),
+      empty: Long => S,
+      openDay: S => Long,
+      withOpenDay: (S, Long) => S,
+      add: (S, I) => S,
+      close: S => (Iterable[O], S))(
+      implicit es: org.apache.spark.sql.Encoder[S],
+      eo: org.apache.spark.sql.Encoder[O]): Dataset[O] = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .groupByKey(_ => "exp")
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[I], state: GroupState[S]) =>
+          val sorted = rows.toIndexedSeq.sortBy(sortKey)
+          var st: Option[S] = state.getOption
+          val out = List.newBuilder[O]
+          for (i <- sorted) {
+            val d = day(i)
+            st match {
+              case None => st = Some(empty(d))
+              case Some(s0) if d > openDay(s0) =>
+                val (emitted, closed) = close(s0)
+                out ++= emitted
+                st = Some(withOpenDay(closed, d))
+              case _ => ()
+            }
+            st match {
+              case Some(s0) if openDay(s0) == d => st = Some(add(s0, i))
+              case _ => () // late arrival to a closed day — dropped
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   final case class ZReadout(day: Long, n_a: Long, n_b: Long, z: Double,
                             crossed: Boolean)
   final case class ZMonitorState(openDay: Long,
@@ -356,7 +405,12 @@ object EventAnalytics {
   def zMonitor(events: DataFrame): Dataset[ZReadout] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // NULL metrics are dropped on BOTH faces: the batch pre-aggregation
+    // would otherwise count a row whose moments are absent while the
+    // streaming encoder rejects the null outright — divergent by
+    // construction (r9 review). A null-valued event carries no metric.
     val base = graft.ingest.Readers.tsToNanos(events)
+      .filter(col("value").isNotNull)
       .select(expr("ts div 86400000000000").as("day"),
         expr("CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END").as("variant"),
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
@@ -375,55 +429,39 @@ object EventAnalytics {
             sum(col("cents") * col("cents")).as("ss"))
           .select(col("day").as[Long], col("variant").as[String],
             col("n").as[Long], col("s").as[Long], col("ss").as[Long])
-    pairs
-      .groupByKey(_ => "exp")
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[(Long, String, Long, Long, Long)],
-         state: GroupState[ZMonitorState]) =>
-          val buckets = rows.toArray
-          // close ordering needs day order; within a day, addition
-          // commutes, but a stable total order keeps iteration honest
-          java.util.Arrays.sort(buckets,
-            Ordering.by[(Long, String, Long, Long, Long), (Long, String)](
-              r => (r._1, r._2)))
-          var st = state.getOption.orNull
-          val out = List.newBuilder[ZReadout]
-          def close(s: ZMonitorState): ZMonitorState = {
-            val caN = s.caN + s.oaN; val caS = s.caS + s.oaS
-            val caSS = s.caSS + s.oaSS
-            val cbN = s.cbN + s.obN; val cbS = s.cbS + s.obS
-            val cbSS = s.cbSS + s.obSS
-            if (s.oaN > 0 && s.obN > 0 && caN > 1 && cbN > 1) {
-              // the oracle's op sequence, verbatim
-              val csA = caS.toDouble / 1e2; val cssA = caSS.toDouble / 1e4
-              val csB = cbS.toDouble / 1e2; val cssB = cbSS.toDouble / 1e4
-              val z = (csA / caN - csB / cbN) /
-                math.sqrt(((cssA - csA * csA / caN) / (caN - 1)) / caN +
-                  ((cssB - csB * csB / cbN) / (cbN - 1)) / cbN)
-              out += ZReadout(s.openDay, caN, cbN, z, math.abs(z) > 25e-1)
-            }
-            ZMonitorState(s.openDay, 0L, 0L, 0L, 0L, 0L, 0L,
-              caN, caS, caSS, cbN, cbS, cbSS)
-          }
-          for ((day, variant, n, s, ss) <- buckets) {
-            if (st == null)
-              st = ZMonitorState(day, 0L, 0L, 0L, 0L, 0L, 0L,
-                0L, 0L, 0L, 0L, 0L, 0L)
-            else if (day > st.openDay)
-              st = close(st).copy(openDay = day)
-            if (st.openDay == day) {
-              st =
-                if (variant == "A")
-                  st.copy(oaN = st.oaN + n, oaS = st.oaS + s,
-                    oaSS = st.oaSS + ss)
-                else
-                  st.copy(obN = st.obN + n, obS = st.obS + s,
-                    obSS = st.obSS + ss)
-            } // day < openDay: late arrival to a closed day — dropped
-          }
-          if (st != null) state.update(st)
-          out.result().iterator
-      }
+    dayCloseFold[(Long, String, Long, Long, Long), ZMonitorState, ZReadout](
+      pairs,
+      day = _._1,
+      sortKey = r => (r._1, r._2),
+      empty = d => ZMonitorState(d, 0L, 0L, 0L, 0L, 0L, 0L,
+        0L, 0L, 0L, 0L, 0L, 0L),
+      openDay = _.openDay,
+      withOpenDay = (s, d) => s.copy(openDay = d),
+      add = (st, r) => {
+        val (_, variant, n, s, ss) = r
+        if (variant == "A")
+          st.copy(oaN = st.oaN + n, oaS = st.oaS + s, oaSS = st.oaSS + ss)
+        else
+          st.copy(obN = st.obN + n, obS = st.obS + s, obSS = st.obSS + ss)
+      },
+      close = s => {
+        val caN = s.caN + s.oaN; val caS = s.caS + s.oaS
+        val caSS = s.caSS + s.oaSS
+        val cbN = s.cbN + s.obN; val cbS = s.cbS + s.obS
+        val cbSS = s.cbSS + s.obSS
+        val emitted =
+          if (s.oaN > 0 && s.obN > 0 && caN > 1 && cbN > 1) {
+            // the oracle's op sequence, verbatim
+            val csA = caS.toDouble / 1e2; val cssA = caSS.toDouble / 1e4
+            val csB = cbS.toDouble / 1e2; val cssB = cbSS.toDouble / 1e4
+            val z = (csA / caN - csB / cbN) /
+              math.sqrt(((cssA - csA * csA / caN) / (caN - 1)) / caN +
+                ((cssB - csB * csB / cbN) / (cbN - 1)) / cbN)
+            Some(ZReadout(s.openDay, caN, cbN, z, math.abs(z) > 25e-1))
+          } else None
+        (emitted, ZMonitorState(s.openDay, 0L, 0L, 0L, 0L, 0L, 0L,
+          caN, caS, caSS, cbN, cbS, cbSS))
+      })
   }
 
   final case class SrmAlert(day: Long, n_a: Long, n_b: Long,
@@ -460,39 +498,27 @@ object EventAnalytics {
           .agg(count(lit(1)).as("n"))
           .select(col("day").as[Long], col("variant").as[String],
             col("n").as[Long])
-    pairs
-      .groupByKey(_ => "exp")
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[(Long, String, Long)],
-         state: GroupState[SrmState]) =>
-          val buckets = rows.toArray
-          java.util.Arrays.sort(buckets,
-            Ordering.by[(Long, String, Long), (Long, String)](
-              r => (r._1, r._2)))
-          var st = state.getOption.orNull
-          val out = List.newBuilder[SrmAlert]
-          def close(s: SrmState): SrmState = {
-            val caN = s.caN + s.oaN
-            val cbN = s.cbN + s.obN
-            if (caN + cbN > 0) {
-              val d = (caN - cbN).toDouble
-              val chi2 = d * d / (caN + cbN)
-              out += SrmAlert(s.openDay, caN, cbN, chi2, chi2 > 384e-2)
-            }
-            SrmState(s.openDay, 0L, 0L, caN, cbN)
-          }
-          for ((day, variant, n) <- buckets) {
-            if (st == null) st = SrmState(day, 0L, 0L, 0L, 0L)
-            else if (day > st.openDay) st = close(st).copy(openDay = day)
-            if (st.openDay == day) {
-              st =
-                if (variant == "A") st.copy(oaN = st.oaN + n)
-                else st.copy(obN = st.obN + n)
-            } // day < openDay: late arrival to a closed day — dropped
-          }
-          if (st != null) state.update(st)
-          out.result().iterator
-      }
+    dayCloseFold[(Long, String, Long), SrmState, SrmAlert](
+      pairs,
+      day = _._1,
+      sortKey = r => (r._1, r._2),
+      empty = d => SrmState(d, 0L, 0L, 0L, 0L),
+      openDay = _.openDay,
+      withOpenDay = (s, d) => s.copy(openDay = d),
+      add = (st, r) =>
+        if (r._2 == "A") st.copy(oaN = st.oaN + r._3)
+        else st.copy(obN = st.obN + r._3),
+      close = s => {
+        val caN = s.caN + s.oaN
+        val cbN = s.cbN + s.obN
+        val emitted =
+          if (caN + cbN > 0) {
+            val d = (caN - cbN).toDouble
+            val chi2 = d * d / (caN + cbN)
+            Some(SrmAlert(s.openDay, caN, cbN, chi2, chi2 > 384e-2))
+          } else None
+        (emitted, SrmState(s.openDay, 0L, 0L, caN, cbN))
+      })
   }
 
   final case class ZoneTransition(user_id: Long, ts: Long, event_id: Long,

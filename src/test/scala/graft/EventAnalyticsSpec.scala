@@ -12,11 +12,25 @@ import graft.streaming.EventAnalytics
 
 /** §2.8 widening: the watermarked streaming runs must agree with the
   * batch (DuckDB-oracled) formulations of the same operators. */
-class EventAnalyticsSpec extends AnyFunSuite {
+class EventAnalyticsSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
   private val eventsFile = "/root/testdata/sf0.001/events.parquet"
+
+  /** Every temp dir this suite creates, deleted in afterAll — streaming
+    * tests otherwise leak chunk/staging/checkpoint parquet on every run
+    * (the r8-ADVICE leak class, r9 review). */
+  private val tempDirs =
+    scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+  private def tempDir(prefix: String): java.nio.file.Path = {
+    val d = Files.createTempDirectory(prefix)
+    tempDirs.synchronized { tempDirs += d }
+    d
+  }
+  override def afterAll(): Unit =
+    tempDirs.foreach(graft.util.Fs.deleteRecursively)
 
   /** RAW file schema for stream sources — the operators normalize `ts`
     * themselves (Readers.tsToNanos); handing them the normalized LONG
@@ -26,7 +40,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
   /** File stream sources need a DIRECTORY: expose the single parquet file
     * through a temp dir symlink (testdata stays untouched). */
   private lazy val eventsPath: String = {
-    val dir = Files.createTempDirectory("graft-events-stream")
+    val dir = tempDir("graft-events-stream")
     Files.createSymbolicLink(dir.resolve("events.parquet"),
       java.nio.file.Paths.get(eventsFile))
     dir.toString
@@ -38,14 +52,14 @@ class EventAnalyticsSpec extends AnyFunSuite {
     * (a time bucket split across a chunk boundary must accumulate in
     * the carried state). Built once, reused by all consumers. */
   private lazy val chunkedEventsDir: String = {
-    val dir = Files.createTempDirectory("graft-events-chunks")
+    val dir = tempDir("graft-events-chunks")
     val sorted = spark.read.parquet(eventsFile).orderBy("ts")
     val rows = sorted.collect()
     val cut1 = rows.length / 3
     val cut2 = 2 * rows.length / 3
     Seq((0, cut1), (cut1, cut2), (cut2, rows.length)).zipWithIndex.foreach {
       case ((from, until), i) =>
-        val tmp = Files.createTempDirectory(s"graft-events-chunk$i")
+        val tmp = tempDir(s"graft-events-chunk$i")
         spark.createDataFrame(
             spark.sparkContext.parallelize(rows.slice(from, until).toSeq, 1),
             sorted.schema)
@@ -65,7 +79,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
   private def runChunkedStream(queryName: String)(
       op: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.Dataset[_]): Array[org.apache.spark.sql.Row] = {
-    val ckpt = Files.createTempDirectory(s"graft-$queryName-ckpt").toString
+    val ckpt = tempDir(s"graft-$queryName-ckpt").toString
     val stream = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", 1).parquet(chunkedEventsDir)
     val q = op(stream)
@@ -100,7 +114,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .select("user_id", "event_type", "day")
       .collect().map(_.toString).sorted.toSeq
 
-    val ckpt = Files.createTempDirectory("graft-dedup").toString
+    val ckpt = tempDir("graft-dedup").toString
     val stream = spark.readStream.schema(rawSchema).parquet(eventsPath)
     // watermark (2 days) covers any same-day duplicate spread, so the
     // bounded-state dedup emits exactly the batch-distinct key set
@@ -124,7 +138,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val expected = EventAnalytics.enrichedEvents(batchDf, dim, "c_custkey")
       .collect().map(_.toString).sorted.toSeq
 
-    val ckpt = Files.createTempDirectory("graft-ssdim").toString
+    val ckpt = tempDir("graft-ssdim").toString
     val stream = spark.readStream.schema(rawSchema).parquet(eventsPath)
     val q = EventAnalytics.enrichedEvents(stream, dim, "c_custkey")
       .writeStream.format("memory").queryName("ssdim_out")
@@ -146,7 +160,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
         purchases(batchDf), views(batchDf), hours = 6)
       .collect().map(_.toString).sorted.toSeq
 
-    val ckpt = Files.createTempDirectory("graft-ssjoin").toString
+    val ckpt = tempDir("graft-ssjoin").toString
     val s1 = spark.readStream.schema(rawSchema).parquet(eventsPath)
     val s2 = spark.readStream.schema(rawSchema).parquet(eventsPath)
     val q = EventAnalytics.attributedPurchases(
@@ -179,7 +193,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .head().getTimestamp(0).getTime
     val expectedClosed = batchAll.filter(_._3.getTime < maxMs - 10L * 60 * 1000)
 
-    val ckpt = Files.createTempDirectory("graft-sesswin").toString
+    val ckpt = tempDir("graft-sesswin").toString
     val stream = spark.readStream.schema(rawSchema).parquet(eventsPath)
     val q = agg(stream)
       .writeStream.format("memory").queryName("sesswin_out")
@@ -212,7 +226,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val openTails = tails.filter(s => s._3.getTime + gapMs >= maxMs - delayMs)
     val expectedClosed = batchSessions -- openTails
 
-    val ckpt = Files.createTempDirectory("graft-sessions").toString
+    val ckpt = tempDir("graft-sessions").toString
     val stream = spark.readStream.schema(rawSchema).parquet(eventsPath)
     val q = EventAnalytics.sessionizeStream(stream, gapMinutes = 30, watermark = "10 minutes")
       .writeStream.format("memory").queryName("sessions_out")
@@ -371,7 +385,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         Option(r.getString(3)), Option(r.getString(4)))).toSet
 
-    val ckpt = Files.createTempDirectory("graft-geofence-stream").toString
+    val ckpt = tempDir("graft-geofence-stream").toString
     val stream = spark.readStream.schema(rawSchema).parquet(eventsPath)
     val q = EventAnalytics.geofenceTransitionsStream(pts(stream), zones)
       .writeStream.format("memory").queryName("zone_transitions")

@@ -38,12 +38,7 @@ class R9OpsSpec extends AnyFunSuite {
       // matches/k is Binomial(k, J): SE = sqrt(J(1-J)/k) ~ 0.026; 4 sigma
       assert(math.abs(estJ - exactJ) < 0.11, s"jaccard est $estJ vs $exactJ")
       assert(math.abs(estI - 1000.0) / 1000.0 < 0.35, s"intersection est $estI")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally graft.util.Fs.deleteRecursively(tmp)
   }
 
   test("STL decomposition: trend + seasonal + remainder reconstructs n, " +
