@@ -62,6 +62,39 @@ class R9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL merge is lossless and linear attribution conserves credit mass") {
+    val hll = Queries.all("q_hll_merge_daily")(spark, dir).collect()
+    assert(hll.length == 1 && hll(0).getBoolean(2),
+      s"daily-register merge diverged from direct: ${hll(0)}")
+
+    // conservation: summed credited conversions == purchase count, and
+    // summed credited value == exact purchase value (each purchase
+    // distributes exactly 1.0 of itself across its channels)
+    val att = Queries.all("q_linear_attribution")(spark, dir).collect()
+    val events = graft.ingest.Readers.tsToNanos(
+      spark.read.parquet(s"$dir/events.parquet"))
+      .filter(col("event_type") === "purchase")
+    val purchases = events.count()
+    val value = events
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+      .collect()(0).getDouble(0)
+    val creditedC = att.map(_.getDouble(1)).sum
+    val creditedV = att.map(_.getDouble(2)).sum
+    assert(math.abs(creditedC - purchases) < 1e-3,
+      s"conversion credit $creditedC != $purchases purchases")
+    assert(math.abs(creditedV - value) < 0.05 * att.length,
+      s"value credit $creditedV != $value")
+  }
+
+  test("market share sums to 1 within every order year") {
+    val rows = Queries.all("q_market_share")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getInt(0)).foreach { case (year, rs) =>
+      val total = rs.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 1e-4, s"year $year shares sum to $total")
+    }
+  }
+
   test("TPC-H Q3/Q5: revenue definitions agree with a direct recomputation") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val ord = spark.read.parquet(s"$dir/orders.parquet")
