@@ -366,6 +366,47 @@ class EventAnalyticsSpec extends AnyFunSuite
     assert(batch == expected)
   }
 
+  test("z monitor state RESTORES from its checkpoint across query restarts") {
+    // the stronger recovery claim than one AvailableNow pass: run chunk
+    // 0 in process-1, tear the query down, then start a FRESH query on
+    // the same checkpoint with chunks 1-2 added — the open-day moments
+    // and the closed cumulative must come back from the state store,
+    // and the combined emissions must equal the batch face
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6), r.getBoolean(4))
+    val batch = EventAnalytics.zMonitor(spark.read.parquet(eventsFile))
+      .toDF().collect().map(canon).toSet
+
+    val src = tempDir("graft-zrestart-src")
+    val ckpt = tempDir("graft-zrestart-ckpt").toString
+    // the memory sink cannot recover from a checkpoint — the FILE sink
+    // is the real-deployment shape and supports restart
+    val out = tempDir("graft-zrestart-out").toString
+    val chunks = Files.list(java.nio.file.Paths.get(chunkedEventsDir))
+      .iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+    def runPass(): Unit = {
+      val q = EventAnalytics.zMonitor(
+          spark.readStream.schema(rawSchema)
+            .option("maxFilesPerTrigger", 1).parquet(src.toString))
+        .toDF()
+        .writeStream.format("parquet").option("path", out)
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Files.copy(chunks(0), src.resolve(chunks(0).getFileName))
+    runPass()
+    val afterFirst = spark.read.parquet(out).count()
+    chunks.drop(1).foreach(c => Files.copy(c, src.resolve(c.getFileName)))
+    runPass()
+    val got = spark.read.parquet(out).collect().map(canon).toSet
+    assert(got.size > afterFirst, "vacuous: restart pass emitted nothing")
+    assert(got == batch,
+      s"restart divergence: only-stream=${got -- batch} only-batch=${batch -- got}")
+  }
+
   test("stateful streaming geofence transitions equal the batch operator") {
     // a thin lon strip whose edges cut through the per-event jitter
     // range, so vehicles cross in and out between consecutive fixes
