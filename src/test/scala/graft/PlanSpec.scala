@@ -61,6 +61,16 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Exchange hashpartitioning") == 1) // final groupBy only
   }
 
+  test("q_tpch_q18: fact reduces BEFORE any join; filtered keys broadcast back") {
+    val p = plan("q_tpch_q18")
+    // the HAVING-filtered per-order aggregate is the build side — the
+    // big tables never join each other unfiltered
+    assert(count(p, "BroadcastHashJoin") == 2)
+    assert(count(p, "SortMergeJoin") == 0)
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(count(p, "Exchange rangepartitioning") == 0)
+  }
+
   test("q_ode_field_validations: zero exchanges — validation is partition-parallel") {
     val p = plan("q_ode_field_validations")
     assert(count(p, "Exchange ") == 0)
