@@ -407,6 +407,56 @@ class EventAnalyticsSpec extends AnyFunSuite
       s"restart divergence: only-stream=${got -- batch} only-batch=${batch -- got}")
   }
 
+  test("foreachBatch streaming upsert maintains the latest-per-key snapshot") {
+    // the standard warehouse-merge deployment shape: each micro-batch
+    // reduces to its per-key latest and merges into the running
+    // snapshot via Upsert.latestSnapshot (versioned parquet dirs — a
+    // batch must not overwrite the snapshot it is reading). Converges
+    // to the batch latest-per-key regardless of chunking. (user_id,
+    // event_type, ts) is tie-free in the fixture, so version = ts is a
+    // total order per key.
+    import org.apache.spark.sql.DataFrame
+    val keys = Seq("user_id", "event_type")
+    def latestPerKey(df: DataFrame): DataFrame =
+      df.groupBy(keys.map(col): _*)
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("event_type"),
+          col("m.ts").as("ts"), col("m.event_id").as("event_id"),
+          col("m.value").as("value"))
+    val expected = latestPerKey(graft.ingest.Readers.tsToNanos(
+        spark.read.parquet(eventsFile)))
+      .collect().map(_.toString).sorted.toSeq
+
+    val snapRoot = tempDir("graft-fb-snap")
+    @volatile var current: Option[String] = None
+    val ckpt = tempDir("graft-fb-ckpt").toString
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(chunkedEventsDir)
+    val q = graft.ingest.Readers.tsToNanos(stream)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val reduced = latestPerKey(batch)
+        val merged = current match {
+          case None => reduced
+          case Some(p) => graft.ext.Upsert.latestSnapshot(
+            batch.sparkSession.read.parquet(p), reduced, keys, "ts")
+        }
+        val out = s"$snapRoot/v$id"
+        merged.write.mode("overwrite").parquet(out)
+        current = Some(out)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(current.nonEmpty, "foreachBatch never ran")
+    val got = spark.read.parquet(current.get)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("stateful streaming geofence transitions equal the batch operator") {
     // a thin lon strip whose edges cut through the per-event jitter
     // range, so vehicles cross in and out between consecutive fixes
