@@ -95,6 +95,98 @@ class R9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("peak concurrency equals a direct global sweep, covers every " +
+    "spanned day, and never understates the carry") {
+    val got = Queries.all("q_peak_concurrency")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    // direct recomputation: one global in-memory sweep over session
+    // endpoints (starts before ends at equal t), tracking the running
+    // level and each day's max INCLUDING the level carried in
+    val dayNs = 86400L * 1000000000L
+    val gapNs = 1800L * 1000000000L
+    val events = graft.ingest.Readers.tsToNanos(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    val sessions = events.groupBy(_._1).values.flatMap { evs =>
+      val ts = evs.map(_._2).sorted
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var start = ts.head; var last = ts.head
+      for (t <- ts.tail) {
+        if (t - last > gapNs) { out += ((start, last)); start = t }
+        last = t
+      }
+      out += ((start, last)); out
+    }.toSeq
+    val endpoints = sessions.flatMap { case (a, b) => Seq((a, 1), (b, -1)) }
+      .sortBy { case (t, d) => (t, -d) }
+    var level = 0L
+    val dayPeaks = scala.collection.mutable.Map[Long, Long]()
+    val d0 = endpoints.map(_._1 / dayNs).min
+    val d1 = endpoints.map(_._1 / dayNs).max
+    var prevDay = d0
+    for ((t, d) <- endpoints) {
+      val day = t / dayNs
+      // days crossed without endpoints hold the carried level
+      ((prevDay + 1) until day).foreach(dd =>
+        dayPeaks(dd) = math.max(dayPeaks.getOrElse(dd, 0L), level))
+      dayPeaks(day) = math.max(dayPeaks.getOrElse(day, level), level)
+      level += d
+      dayPeaks(day) = math.max(dayPeaks(day), level)
+      prevDay = math.max(prevDay, day)
+    }
+    val expected = (d0 to d1).map(dd =>
+      dd -> dayPeaks.getOrElse(dd, 0L)).toMap
+    assert(got == expected,
+      s"sweep divergence: ${(got.toSet -- expected.toSet).take(3)} vs " +
+        s"${(expected.toSet -- got.toSet).take(3)}")
+  }
+
+  test("cohort LTV conserves purchase mass and is monotone per cohort") {
+    val rows = Queries.all("q_cohort_ltv")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // last-week cumulative per cohort sums to total purchase revenue
+    val lastCum = rows.groupBy(_._1).values.map(_.maxBy(_._2)._4).sum
+    val total = graft.ingest.Readers.tsToNanos(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")))
+      .collect()(0).getLong(0) / 1e2
+    assert(math.abs(lastCum - total) < 1e-6 * total,
+      s"LTV mass $lastCum != purchases $total")
+    rows.groupBy(_._1).values.foreach { c =>
+      val sorted = c.sortBy(_._2).map(_._4)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => b >= a },
+        "cumulative revenue must be monotone")
+    }
+  }
+
+  test("amount reconciliation partitions every order; curve and filter " +
+    "matrix are structurally complete") {
+    val rec = Queries.all("q_amount_reconciliation")(spark, dir).collect()
+    val nOrders = spark.read.parquet(s"$dir/orders.parquet").count()
+    assert(rec.map(_.getLong(1)).sum == nOrders)
+    rec.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+
+    val curve = Queries.all("q_dedup_threshold_curve")(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(curve.length == 3, "every threshold must appear, even at zero")
+    // monotone non-increasing in the cut
+    assert(curve.zip(curve.tail).forall { case (a, b) =>
+      b._2 <= a._2 && b._3 <= a._3 })
+
+    val m = Queries.all("q_filter_overlap")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(0)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(m.size == 10, s"4 filters -> 10 matrix rows, got ${m.size}")
+    m.foreach { case ((a, b), (na, nb, both, j)) =>
+      assert(both <= math.min(na, nb))
+      if (a == b) assert(both == na && (j == 1.0 || na == 0L))
+    }
+  }
+
   test("TPC-H Q3/Q5: revenue definitions agree with a direct recomputation") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val ord = spark.read.parquet(s"$dir/orders.parquet")
