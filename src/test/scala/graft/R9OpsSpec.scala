@@ -187,6 +187,35 @@ class R9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonality strength matches variances recomputed from the STL rows") {
+    val strength = Queries.all("q_seasonality_strength")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(strength.nonEmpty)
+    // independent recomputation from the decomposition output itself:
+    // detrended = n - trend, remainder column directly
+    val stl = Queries.all("q_stl_decompose")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2).toDouble - r.getDouble(3),
+        r.getDouble(5)))
+    stl.groupBy(_._1).foreach { case (tpe, rows) =>
+      def popVar(xs: Seq[Double]): Double = {
+        val m = xs.sum / xs.length
+        xs.map(x => (x - m) * (x - m)).sum / xs.length
+      }
+      val vd = popVar(rows.map(_._2).toSeq)
+      val vr = popVar(rows.map(_._3).toSeq)
+      val (gotVd, gotVr, gotS) = strength(tpe)
+      assert(math.abs(gotVd - vd) < 1e-3, s"$tpe var_d $gotVd vs $vd")
+      assert(math.abs(gotVr - vr) < 1e-3, s"$tpe var_r $gotVr vs $vr")
+      assert(gotS >= 0.0 && gotS <= 1.0)
+      assert(gotVr <= gotVd + 1e-9,
+        "removing the seasonal mean can only shrink variance")
+      val expS = math.max(0.0, 1.0 - vr / vd)
+      assert(math.abs(gotS - expS) < 1e-3, s"$tpe strength $gotS vs $expS")
+    }
+  }
+
   test("TPC-H Q3/Q5: revenue definitions agree with a direct recomputation") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val ord = spark.read.parquet(s"$dir/orders.parquet")
