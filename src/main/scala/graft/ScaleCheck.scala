@@ -448,15 +448,20 @@ object ScaleCheck {
         .parquet(s"$regDir/events.parquet")
       big.write.mode("overwrite").parquet(s"$regDir/documents.parquet")
       // lineitem + orders replicated with a CONSISTENT orderkey shift
-      // (the fact-fact join key must survive replication); dims copied
+      // (the fact-fact join key must survive replication); dims copied.
+      // The shift is derived from the ACTUAL key range — a fixed 1e9
+      // shift would silently collide keys (over-joined fact-fact rows,
+      // wrong timings with no error) if a larger source SF ever pushed
+      // o_orderkey past it (r9 ADVICE).
       val li = spark.read.parquet(s"$dir/lineitem.parquet")
       val ord = spark.read.parquet(s"$dir/orders.parquet")
+      val keyShift = ord.agg(max(col("o_orderkey"))).collect()(0).getLong(0) + 1L
       (0 until mult).map(i => li.withColumn("l_orderkey",
-          col("l_orderkey") + lit(i.toLong * 1000000000L)))
+          col("l_orderkey") + lit(i.toLong * keyShift)))
         .reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$regDir/lineitem.parquet")
       (0 until mult).map(i => ord.withColumn("o_orderkey",
-          col("o_orderkey") + lit(i.toLong * 1000000000L)))
+          col("o_orderkey") + lit(i.toLong * keyShift)))
         .reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$regDir/orders.parquet")
       for (t <- Seq("customer", "supplier", "nation", "region"))

@@ -366,11 +366,14 @@ object Stats {
         // round, so convergence is guaranteed long before this fires
         require(depth <= 256,
           "groupedExactQuantiles: refinement failed to converge")
-        // constant-valued spikes (or vanished width) resolve directly
-        val (spikes, rest) = cells.partition(c =>
-          c.lo == c.hi || (c.hi - c.lo) / bins == 0)
+        // constant-valued spikes resolve directly; vanished width with
+        // lo < hi (the subnormal regime) goes through the terminal
+        // RANKING arm like the sequential form — assigning lo there
+        // could return lo for an index whose true order statistic is hi
+        val (spikes, rest) = cells.partition(c => c.lo == c.hi)
         spikes.foreach(c => c.idxs.foreach(i => found((c.group, i)) = c.lo))
-        val (terminal, active) = rest.partition(_.cnt <= localLimit)
+        val (terminal, active) = rest.partition(c =>
+          c.cnt <= localLimit || (c.hi - c.lo) / bins == 0)
 
         if (terminal.nonEmpty) {
           // ONE job ranks every terminal cell's candidate rows: window

@@ -124,4 +124,23 @@ class ConfigSpec extends AnyFunSuite {
       SuiteLoader.fromString("[x]\nType = string\n")
     }
   }
+
+  test("config2 corpus path is overridable (-Dgraft.config2.ini) and the override loads") {
+    // r9 verdict item 6: the engine must run outside this sandbox — the
+    // rule-corpus path is a configurable default, not a hard-coded one.
+    assert(Queries.config2IniPath == s"$ref/config_2.ini")
+    val alt = java.nio.file.Files.createTempDirectory("graft-ini")
+      .resolve("alt.ini")
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$ref/config_2.ini"), alt)
+      sys.props("graft.config2.ini") = alt.toString
+      assert(Queries.config2IniPath == alt.toString)
+      val suite = SuiteLoader.fromFile(Queries.config2IniPath)
+      assert(suite.rules.size == config2.rules.size)
+    } finally {
+      sys.props.remove("graft.config2.ini")
+      graft.util.Fs.deleteRecursively(alt.getParent)
+    }
+  }
 }

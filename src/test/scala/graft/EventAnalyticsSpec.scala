@@ -208,6 +208,40 @@ class EventAnalyticsSpec extends AnyFunSuite
     assert(got == expectedClosed)
   }
 
+  test("dynamic-gap session_window boundary: t2 == t1 + gap MERGES (oracle's > rule)") {
+    // The fixture can't hit the measure-zero start == running-max-end
+    // boundary, so pin Spark's session_window merge semantics on it
+    // directly (r9 ADVICE). Measured here: Spark MERGES an event that
+    // starts exactly where the session ends — so the oracle's islands
+    // rule must be `epoch_us(et) > max_end` (strictly after), never >=.
+    val gapExpr = expr(
+      """CASE WHEN event_type = 'view' THEN '10 minutes'
+        |  ELSE '30 minutes' END""".stripMargin)
+    def sess(rows: Seq[(Long, String, String)]) = rows
+      .toDF("user_id", "t", "event_type")
+      .withColumn("event_time", to_timestamp($"t"))
+      .groupBy($"user_id", session_window($"event_time", gapExpr))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"session_window.start".as("s"), $"session_window.end".as("e"),
+        $"n_events")
+      .orderBy($"s")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSeq
+    // t2 == t1 + gap: ONE merged session, end extended to t2 + gap(t2)
+    val touching = sess(Seq(
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-01 00:10:00", "view")))
+    assert(touching.map(_._3) == Seq(2L),
+      s"sessions touching at the boundary merge in Spark: $touching")
+    assert(touching.head._2.toString == "2024-01-01 00:20:00.0")
+    // one microsecond past the boundary: TWO sessions — the
+    // complementary pin that the merge window is closed, not padded
+    val past = sess(Seq(
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-01 00:10:00.000001", "view")))
+    assert(past.map(_._3) == Seq(1L, 1L),
+      s"an event strictly past the session end opens a new session: $past")
+  }
+
   test("flatMapGroupsWithState sessionization: closed sessions equal batch minus open tails") {
     val batchDf = graft.ingest.Readers.tsToNanos(spark.read.parquet(eventsFile))
     val batchSessions = EventAnalytics.sessionsBatch(batchDf, gapMinutes = 30)
