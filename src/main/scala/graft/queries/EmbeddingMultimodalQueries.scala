@@ -1,0 +1,1069 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.aggregate.FileAggregates
+import graft.config.SuiteLoader
+import graft.ext.{Bpe, Dedup, Events, LanguageModel, Multimodal, Packing, Retrieval, Sampling, Similarity, Stats, TextAnalysis}
+import graft.ingest.{Metadata, Readers}
+import graft.pipeline.{OdeSchema, Routing, ValidationPipeline}
+import graft.plans.AsOf
+import graft.rules.RuleCompiler
+import graft.sequential.SequentialChecks
+/** Ext: embeddings/ANN/PQ + multimodal structure walks. Split out of the monolithic registry
+  * (r9 verdict item 5); every member keeps resolving
+  * unqualified through the `Queries.type` self-type. */
+private[graft] trait EmbeddingMultimodalQueries { this: Queries.type =>
+  private[graft] def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDuplicates(
+      embs(s, dir).filter(col("vec_id") < 400), "vec_id", "embedding", 0.3)
+
+  private[graft] val embedNearDupOracle =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+      |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos_sim
+      |  FROM e a, e b WHERE a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3""".stripMargin
+
+  /** Embedding near-dup, LSH-bucketed scale path — rows-only (approx
+   *  recall by design); DedupRecallSpec pins ≥90% of the exact pairs
+   *  found (measured 97.7% at sf0.01 with these params). */
+  private[graft] def embedNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    // widened: 24 tables × 4 hyperplane dot-products per vector fuse
+    // into the one-task scan otherwise (−0.8 s)
+    Similarity.embeddingNearDuplicatesLSH(widenForCompute(embs(s, dir)),
+      "vec_id", "embedding", 0.3, planes = 4, tables = 24)
+
+  /** CCNet-style in-domain LM quality score: add-1-smoothed bigram model
+   *  trained on the corpus itself, mean ln P per document. */
+  private[graft] def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    LanguageModel.score(d, "text", "doc_id", d, "text")
+  }
+
+  /** The 100 TB posture of the LM scorer: model pruned to the top-2000
+   *  counts (TakeOrderedAndProject) and broadcast — pruned bigrams
+   *  smooth as unseen. Value-checked: DuckDB reproduces the same
+   *  deterministic top-K cut. */
+  private[graft] def lmScoreTopK(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    LanguageModel.score(d, "text", "doc_id", d, "text", topK = 2000)
+  }
+
+  private[graft] val lmScoreOracle =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ws
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+      |    i -> ws[i] || ' ' || ws[i+1]) AS bs FROM w),
+      |ex AS (SELECT doc_id, unnest(bs) AS bigram FROM bi),
+      |c12 AS (SELECT bigram, count(*) AS c12 FROM ex GROUP BY 1),
+      |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c1 FROM ex GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS V FROM (SELECT unnest(ws) AS tok FROM w)),
+      |scored AS (
+      |  SELECT e.doc_id, ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.V)) AS logp
+      |  FROM ex e
+      |  JOIN c12 USING (bigram)
+      |  JOIN c1 ON split_part(e.bigram, ' ', 1) = c1.w1
+      |  CROSS JOIN v)
+      |SELECT doc_id AS id, count(*) AS n_bigrams,
+      |       round(avg(logp), 6) AS avg_logp
+      |FROM scored GROUP BY 1""".stripMargin
+
+  private[graft] val lmScoreTopKOracle =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ws
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+      |    i -> ws[i] || ' ' || ws[i+1]) AS bs FROM w),
+      |ex AS (SELECT doc_id, unnest(bs) AS bigram FROM bi),
+      |c12 AS (SELECT bigram, count(*) AS c12 FROM ex GROUP BY 1
+      |        ORDER BY c12 DESC, bigram LIMIT 2000),
+      |c1 AS (SELECT w1, c1 FROM (
+      |         SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c1
+      |         FROM ex GROUP BY 1)
+      |       ORDER BY c1 DESC, w1 LIMIT 2000),
+      |v AS (SELECT count(DISTINCT tok) AS V FROM (SELECT unnest(ws) AS tok FROM w)),
+      |scored AS (
+      |  SELECT e.doc_id,
+      |    ln((coalesce(c12.c12, 0) + 1.0) / (coalesce(c1.c1, 0) + 1.0 * v.V)) AS logp
+      |  FROM ex e
+      |  LEFT JOIN c12 USING (bigram)
+      |  LEFT JOIN c1 ON split_part(e.bigram, ' ', 1) = c1.w1
+      |  CROSS JOIN v)
+      |SELECT doc_id AS id, count(*) AS n_bigrams,
+      |       round(avg(logp), 6) AS avg_logp
+      |FROM scored GROUP BY 1""".stripMargin
+
+  /** TRUE transfer scoring — the LM API's main contract: train on one
+   *  corpus (every source but src0), score another (src0). Unseen eval
+   *  bigrams must smooth via the LEFT joins, which self-scoring never
+   *  exercises end-to-end. */
+  private[graft] def lmTransfer(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    LanguageModel.score(d.filter(col("source") === "src0"), "text", "doc_id",
+      d.filter(col("source") =!= "src0"), "text")
+  }
+
+  private[graft] val lmTransferOracle =
+    """WITH wt AS (
+      |  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ws
+      |  FROM documents WHERE source <> 'src0'),
+      |bt AS (
+      |  SELECT list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+      |    i -> ws[i] || ' ' || ws[i+1]) AS bs FROM wt),
+      |ext AS (SELECT unnest(bs) AS bigram FROM bt),
+      |c12 AS (SELECT bigram, count(*) AS c12 FROM ext GROUP BY 1),
+      |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c1 FROM ext GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS V FROM (SELECT unnest(ws) AS tok FROM wt)),
+      |we AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ws
+      |  FROM documents WHERE source = 'src0'),
+      |be AS (
+      |  SELECT doc_id, list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+      |    i -> ws[i] || ' ' || ws[i+1]) AS bs FROM we),
+      |exe AS (SELECT doc_id, unnest(bs) AS bigram FROM be),
+      |scored AS (
+      |  SELECT e.doc_id,
+      |    ln((coalesce(c12.c12, 0) + 1.0) / (coalesce(c1.c1, 0) + 1.0 * v.V)) AS logp
+      |  FROM exe e
+      |  LEFT JOIN c12 USING (bigram)
+      |  LEFT JOIN c1 ON split_part(e.bigram, ' ', 1) = c1.w1
+      |  CROSS JOIN v)
+      |SELECT doc_id AS id, count(*) AS n_bigrams,
+      |       round(avg(logp), 6) AS avg_logp
+      |FROM scored GROUP BY 1""".stripMargin
+
+  private[graft] def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+
+  private[graft] val textFingerprintOracle =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(
+      |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'),
+      |      x -> length(x) > 0))), ' ')) AS fingerprint
+      |FROM documents""".stripMargin
+
+  /** Canonical text normalization (lowercase, whitespace collapse, trim)
+   *  — hashed so the oracle compares exact values with a short output. */
+  private[graft] def textNormalize(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      md5(TextAnalysis.normalizeText(col("text"))).as("norm_md5"),
+      length(TextAnalysis.normalizeText(col("text"))).as("norm_len"))
+
+  private[graft] val textNormalizeOracle =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_md5,
+      |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS INT) AS norm_len
+      |FROM documents""".stripMargin
+
+  /** PII redaction: documents salted with deterministic synthetic
+   *  emails/IPs/phones (the corpus itself has none), then scrubbed; output
+   *  is per-category hit counts + md5 of the redacted text, both exactly
+   *  reproduced by the RE2-shared patterns in the DuckDB oracle. */
+  private[graft] def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val salted = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or 10.0."),
+      pmod(col("doc_id"), lit(256)), lit(".1 tel +1 (555) 010-"),
+      pmod(col("doc_id"), lit(10000)))
+    val counts = TextAnalysis.piiCounts(salted).map { case (n, c) => c.as(n) }
+    docs(s, dir).select(
+      Seq(col("doc_id"),
+        md5(TextAnalysis.redactPii(salted)).as("redacted_md5")) ++ counts: _*)
+  }
+
+  private[graft] val piiRedactOracle = {
+    val salted = "text || ' contact user' || doc_id || '@example.com or 10.0.' || " +
+      "(doc_id % 256) || '.1 tel +1 (555) 010-' || (doc_id % 10000)"
+    val redacted = TextAnalysis.piiPatterns.foldLeft(salted) {
+      case (e, (_, pat, repl)) =>
+        s"regexp_replace($e, '$pat', '$repl', 'g')"
+    }
+    val counts = TextAnalysis.piiPatterns.map { case (name, pat, _) =>
+      s"CAST(length(regexp_split_to_array($salted, '$pat')) - 1 AS BIGINT) AS n_$name"
+    }.mkString(", ")
+    s"SELECT doc_id, md5($redacted) AS redacted_md5, $counts FROM documents"
+  }
+
+  /** Latest-wins merge (CDC compaction): orders upserted with a bumped
+   *  price for every 7th key and tombstoned for every 13th — ONE hash
+   *  exchange on the key (Upsert.latestSnapshot), QUALIFY oracle. */
+  private[graft] def upsertLatest(s: SparkSession, dir: String): DataFrame = {
+    val base = s.read.parquet(t(dir, "orders"))
+      .select(col("o_orderkey"), col("o_totalprice"), lit(0).as("version"))
+    val updates = s.read.parquet(t(dir, "orders"))
+      .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") * 1.1).as("o_totalprice"), lit(1).as("version"),
+        (pmod(col("o_orderkey"), lit(13)) === 0).as("deleted"))
+    ext.Upsert.latestSnapshot(base, updates, Seq("o_orderkey"), "version",
+      deleteCol = Some("deleted"))
+  }
+
+  private[graft] val upsertLatestOracle =
+    """WITH up AS (
+      |  SELECT o_orderkey, o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+      |         1 AS version, (o_orderkey % 13 = 0) AS deleted, 1 AS src
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |), allr AS (
+      |  SELECT o_orderkey, o_totalprice, 0 AS version, false AS deleted, 0 AS src
+      |  FROM orders
+      |  UNION ALL SELECT * FROM up)
+      |SELECT o_orderkey, o_totalprice, version FROM allr
+      |QUALIFY row_number() OVER (PARTITION BY o_orderkey
+      |                           ORDER BY version DESC, src DESC) = 1
+      |  AND NOT deleted""".stripMargin
+
+  /** ANN brute-force baseline: exact cosine top-k (query side broadcast). */
+  private[graft] def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+  }
+
+  private[graft] val annBruteForceOracle =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+      |pairs AS (
+      |  SELECT qid, cid,
+      |    list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS sim
+      |  FROM q, c WHERE qid <> cid)
+      |SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS INT) AS rank FROM (
+      |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      |  FROM pairs) WHERE rn <= 5""".stripMargin
+
+  /** ANN scale path: multi-table hyperplane-LSH bucketed top-k —
+   *  rows-only; DedupRecallSpec pins ≥85% of brute-force top-5 found
+   *  (measured 97.5% at sf0.01 with these params). */
+  private[graft] def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.lshTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5,
+      planes = 6, probeBits = 1, tables = 16)
+  }
+
+  /** DuckDB replica of one md5-family hyperplane bucket: per plane, a
+   *  left-associative literal-weight dot product (the same weights the
+   *  Spark plan embeds — see [[Similarity.md5PlaneWeightBits]]), sign →
+   *  '0'/'1' char, concatenated into the bucket string. */
+  private[graft] def md5BucketSql(vecExpr: String, dims: Int, planes: Int, t: Int): String =
+    (0 until planes).map { p =>
+      val dot = (0 until dims).map { d =>
+        val u = Similarity.md5PlaneWeightBits(t, p, d)
+        s"CAST($vecExpr[${d + 1}] AS DOUBLE)*($u/2147483648.0 - 1.0)"
+      }.mkString(" + ")
+      s"(CASE WHEN $dot >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  /** Embedding near-dup LSH under the md5 hyperplane family — oracle-mode
+   *  twin of q_embed_neardup_lsh: bucket strings, candidate join, and
+   *  verified cosines are all value-checked by DuckDB. */
+  private[graft] def embedNearDupLshMd5(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDuplicatesLSHMd5(embs(s, dir), "vec_id", "embedding",
+      threshold = 0.3, dims = 64, planes = 4, tables = 2)
+
+  // lazy: depends on cosSql, which is declared later in this object
+  private[graft] lazy val embedNearDupLshMd5Oracle = {
+    val sigSelect =
+      (0 until 2).map(t =>
+        s"SELECT vec_id, embedding AS v, $t AS t, ${md5BucketSql("embedding", 64, 4, t)} AS b FROM embeddings")
+        .mkString(" UNION ALL ")
+    s"""WITH sig AS ($sigSelect),
+       |cand AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos_sim
+       |  FROM sig a JOIN sig b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id)
+       |SELECT DISTINCT id_a, id_b, cos_sim FROM cand WHERE cos_sim >= 0.3""".stripMargin
+  }
+
+  /** ANN LSH top-k under the md5 hyperplane family — oracle-mode twin of
+   *  q_ann_lsh (single-bit probing, exact-cosine rerank). */
+  private[graft] def annLshMd5(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.lshTopKMd5(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 8), "vec_id", "embedding",
+      k = 5, dims = 64, planes = 4, tables = 2)
+  }
+
+  // lazy: depends on cosSql, which is declared later in this object
+  private[graft] lazy val annLshMd5Oracle = {
+    def corpusSig =
+      (0 until 2).map(t =>
+        s"SELECT vec_id AS nid, v, $t AS t, ${md5BucketSql("v", 64, 4, t)} AS b FROM e")
+        .mkString(" UNION ALL ")
+    def querySig =
+      (0 until 2).map(t =>
+        s"SELECT qid, qv, $t AS t, ${md5BucketSql("qv", 64, 4, t)} AS b FROM q")
+        .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |cs AS ($corpusSig),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |qt AS ($querySig),
+       |probes AS (
+       |  SELECT qid, qv, t, b FROM qt
+       |  UNION ALL
+       |  SELECT qid, qv, t,
+       |    substr(b, 1, p) || (CASE WHEN substr(b, p + 1, 1) = '1' THEN '0' ELSE '1' END) || substr(b, p + 2, 4) AS b
+       |  FROM qt, generate_series(0, 3) g(p)),
+       |cand AS (
+       |  SELECT p.qid, c.nid, max(${cosSql("c.v", "p.qv")}) AS sim
+       |  FROM cs c JOIN probes p ON c.t = p.t AND c.b = p.b AND p.qid <> c.nid
+       |  GROUP BY p.qid, c.nid)
+       |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INT) AS rank FROM (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |  FROM cand) WHERE rn <= 5""".stripMargin
+  }
+
+  /** IVF coarse assignment: nearest of 4 sampled centroids per vector. */
+  private[graft] def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.assignToCentroids(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 4), "vec_id", "embedding")
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
+  private[graft] val cosSql = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    (a: String, b: String) =>
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  private[graft] val ivfAssignOracle =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings)
+       |SELECT vec_id, cid AS centroid_id FROM (
+       |  SELECT e.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cid) AS rn
+       |  FROM e CROSS JOIN c) WHERE rn = 1""".stripMargin
+
+  /** IVF search: probe the 2 nearest cells per query, exact top-k inside. */
+  private[graft] def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.ivfTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 8), "vec_id", "embedding",
+      e.filter(col("vec_id") < 4), "vec_id", "embedding",
+      k = 5, nProbe = 2)
+  }
+
+  /** IVF over TRAINED centroids (Lloyd's k-means in DataFrame algebra).
+   *  Value-checked two ways: SimilaritySpec pins the training against an
+   *  independent in-memory k-means (exact centroid equality), and
+   *  [[ivfTrainedOracle]] replays the whole computation — sample, seeds,
+   *  2 unrolled Lloyd iterations, probe, search — in DuckDB SQL. */
+  private[graft] def ivfTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    // materialize the k trained centroids once as a LocalRelation: ivfTopK
+    // consumes the centroid table twice (cell assignment + query probes),
+    // and without this the whole 2-iteration training lineage executes
+    // twice; k rows on the driver is the definition of broadcast-small
+    // Lloyd iterations over a bounded 256-row (md5, id)-ordered sample —
+    // the corpus is only scanned once, by the IVF cell-assignment encode
+    val trained = Similarity.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 2,
+      trainSampleSize = 256)
+    val centroids = s.createDataFrame(
+      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+    Similarity.ivfTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 8), "vec_id", "embedding",
+      centroids, "centroid_id", "centroid",
+      // nProbe=4 of 8: near-uniform synthetic embeddings prune poorly, so
+      // honest ≥85% recall (SimilaritySpec) needs half the cells probed
+      k = 5, nProbe = 4)
+  }
+
+  /** DuckDB replica of the ENTIRE q_ivf_trained computation — the Lloyd
+   *  iterations unrolled as chained CTEs: the same (md5, id)-ordered
+   *  256-row training sample, the same lowest-8-id seeds, per-iteration
+   *  cosine argmax assignment + per-(cell, dim) means + empty-cell
+   *  carry-over, then the full IVF probe/search over the trained
+   *  centroids. Float summation order differs between engines only at
+   *  ~1e-15 relative (the gate compares 10 significant digits, and the
+   *  output is integer ranks — magnitudes only shift results at exact
+   *  decision-boundary ties). */
+  /** Shared DuckDB replica of the trained-centroid pipeline (the Lloyd
+   *  iterations unrolled as chained CTEs): the (md5, id)-ordered 256-row
+   *  training sample, the lowest-8-id seeds, 2 iterations of cosine
+   *  argmax assignment + per-(cell, dim) means + empty-cell carry-over,
+   *  then the FULL-corpus argmax assignment. Produces CTEs `c2` (the 8
+   *  trained centroids) and `assign(nid, nv, cid)` — the common prefix
+   *  of the q_ivf_trained and q_semantic_dedup oracles. */
+  private[graft] lazy val lloydReplicaCtes: String = {
+    def assignSql(src: String, cents: String) =
+      s"""SELECT vec_id, v, cid FROM (
+         |    SELECT s.vec_id, s.v, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${cosSql("s.v", "c.c")} DESC, c.cid) AS rn
+         |    FROM $src s CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+    def meansSql(assigned: String) =
+      s"""SELECT cid, list(mu ORDER BY dim) AS c FROM (
+         |    SELECT cid, dim, avg(CAST(v[dim] AS DOUBLE)) AS mu
+         |    FROM $assigned, (SELECT unnest(generate_series(1, 64)) AS dim)
+         |    GROUP BY cid, dim) GROUP BY cid""".stripMargin
+    def stepSql(prev: String, next: String, i: Int) =
+      s"""a$i AS (${assignSql("samp", prev)}),
+         |m$i AS (${meansSql(s"a$i")}),
+         |$next AS (SELECT * FROM m$i UNION ALL
+         |  SELECT cid, c FROM $prev WHERE cid NOT IN (SELECT cid FROM m$i))""".stripMargin
+    s"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |samp AS (SELECT vec_id, v FROM e
+       |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+       |              list_transform(v, x -> CAST(x AS DOUBLE)) AS c
+       |       FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT 8)),
+       |${stepSql("c0", "c1", 0)},
+       |${stepSql("c1", "c2", 1)},
+       |assign AS (SELECT vec_id AS nid, v AS nv, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.v", "c.c")} DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
+  }
+
+  private[graft] lazy val ivfTrainedOracle = {
+    s"""WITH $lloydReplicaCtes,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+       |probes AS (SELECT qid, qv, cid FROM (
+       |    SELECT q.qid, q.qv, c.cid,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cosSql("q.qv", "c.c")} DESC, c.cid) AS pr
+       |    FROM q CROSS JOIN c2 c) WHERE pr <= 4),
+       |cand AS (SELECT p.qid, a.nid, ${cosSql("a.nv", "p.qv")} AS sim
+       |         FROM assign a JOIN probes p USING (cid) WHERE p.qid <> a.nid)
+       |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INT) AS rank FROM (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, nid) AS rn FROM cand)
+       |WHERE rn <= 5""".stripMargin
+  }
+
+  /** Product-quantization ANN — rows-only (per-subspace k-means codebooks
+   *  have no tractable DuckDB SQL); SimilaritySpec pins >=85% recall@5
+   *  against the exact brute-force baseline. */
+  private[graft] def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.pqTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 8), "vec_id", "embedding",
+      dims = 64, m = 16, codes = 16, iters = 3, k = 5, overfetch = 8,
+      trainSampleSize = 512)
+  }
+
+  /** PQ ANN under the md5 codebook family — oracle-mode twin of
+   *  q_pq_topk. Fixed md5-derived codebooks (no training) are embedded as
+   *  literals in BOTH engines, so the subspace split → L2 encode → ADC
+   *  scoring → overfetch → exact-cosine rerank mechanism is value-checked
+   *  end-to-end by DuckDB; the k-means-trained production path keeps its
+   *  ≥85% recall gate in SimilaritySpec. */
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): trained k-means cells
+   *  → within-cell cosine near-dup pairs → greedy min-id keep. Same
+   *  training parameters as q_ivf_trained, so the oracle replays the
+   *  identical Lloyd CTEs ([[lloydReplicaCtes]]) and then the pair/keep
+   *  logic — the whole pipeline is value-checked. */
+  private[graft] def semanticDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val trained = Similarity.trainCentroids(e, "vec_id", "embedding",
+      k = 8, iters = 2, trainSampleSize = 256)
+    val centroids = s.createDataFrame(
+      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+    Similarity.semanticDedup(e, "vec_id", "embedding",
+      centroids, "centroid_id", "centroid", threshold = 0.4)
+  }
+
+  private[graft] lazy val semanticDedupOracle =
+    s"""WITH $lloydReplicaCtes,
+       |pairs AS (
+       |  SELECT b.nid AS id_b
+       |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.nid < b.nid
+       |  WHERE ${cosSql("a.nv", "b.nv")} >= CAST(0.4 AS DOUBLE)),
+       |dropped AS (SELECT DISTINCT id_b FROM pairs)
+       |SELECT a.nid AS vec_id, CAST(a.cid AS INT) AS centroid_id,
+       |  a.nid NOT IN (SELECT id_b FROM dropped) AS is_kept
+       |FROM assign a""".stripMargin
+
+  private[graft] def pqTopKMd5(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.pqTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 8), "vec_id", "embedding",
+      dims = 64, m = 8, codes = 8, iters = 0, k = 5, overfetch = 12,
+      fixedCodebooks = Some(Similarity.md5Codebooks(s, m = 8, codes = 8, subDim = 8)))
+  }
+
+  // lazy: depends on cosSql, declared later in this object
+  private[graft] lazy val pqTopKMd5Oracle = {
+    // codebook literals: Double.toString round-trips exactly, and CAST(..
+    // AS DOUBLE) keeps DuckDB from inferring DECIMAL for the literals
+    val cbRows = (for (j <- 0 until 8; c <- 0 until 8) yield {
+      val cent = (0 until 8)
+        .map(d => s"CAST(${Similarity.md5CodebookWeight(j, c, d)} AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      s"($j, $c, $cent)"
+    }).mkString(", ")
+    // index-order dot products — the same IEEE accumulation order as the
+    // native DotProduct loop on the Spark side
+    def dotN(a: String, b: String, n: Int) =
+      s"list_sum(list_transform(generate_series(1, $n), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"""WITH cb(subspace, code, centroid) AS (VALUES $cbRows),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |js AS (SELECT unnest(generate_series(0, 7)) AS subspace),
+       |subs AS (
+       |  SELECT e.vec_id AS id, js.subspace,
+       |    list_transform(generate_series(1, 8),
+       |      i -> CAST(e.v[js.subspace * 8 + i] AS DOUBLE)) AS sv
+       |  FROM e CROSS JOIN js),
+       |enc AS (
+       |  SELECT id AS neighbor_id, subspace, code FROM (
+       |    SELECT s.id, s.subspace, cb.code,
+       |      row_number() OVER (PARTITION BY s.id, s.subspace
+       |        ORDER BY -(${dotN("s.sv", "s.sv", 8)} - 2 * ${dotN("s.sv", "cb.centroid", 8)}
+       |                   + ${dotN("cb.centroid", "cb.centroid", 8)}) DESC, cb.code) AS rn
+       |    FROM subs s JOIN cb USING (subspace)) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv,
+       |        sqrt(${dotN("embedding", "embedding", 64)}) AS qnorm
+       |      FROM embeddings WHERE vec_id < 8),
+       |dt AS (
+       |  SELECT q.query_id, q.qnorm, cb.subspace, cb.code,
+       |    list_sum(list_transform(generate_series(1, 8),
+       |      i -> CAST(q.qv[cb.subspace * 8 + i] AS DOUBLE) * cb.centroid[i])) AS pdot,
+       |    ${dotN("cb.centroid", "cb.centroid", 8)} AS cnorm2
+       |  FROM q CROSS JOIN cb),
+       |adc AS (
+       |  SELECT dt.query_id, enc.neighbor_id,
+       |    round(sum(pdot) / (sqrt(sum(cnorm2)) * any_value(qnorm)), 6) AS adc_sim
+       |  FROM enc JOIN dt USING (subspace, code)
+       |  WHERE dt.query_id <> enc.neighbor_id
+       |  GROUP BY dt.query_id, enc.neighbor_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc_sim DESC, neighbor_id) AS ar
+       |  FROM adc) WHERE ar <= 60),
+       |rer AS (
+       |  SELECT c.query_id, c.neighbor_id, ${cosSql("ev.v", "qq.qv")} AS sim
+       |  FROM cand c JOIN e ev ON ev.vec_id = c.neighbor_id
+       |              JOIN q qq ON qq.query_id = c.query_id)
+       |SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM rer) WHERE rn <= 5""".stripMargin
+  }
+
+  private[graft] val ivfTopKOracle =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id AS nid, v AS nv, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT qid, qv, cid FROM (
+       |    SELECT q.qid, q.qv, c.cid,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cid) AS prank
+       |    FROM q CROSS JOIN c) WHERE prank <= 2),
+       |cand AS (
+       |  SELECT p.qid, a.nid, ${cosSql("a.nv", "p.qv")} AS sim
+       |  FROM assign a JOIN probes p USING (cid) WHERE p.qid <> a.nid)
+       |SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS INT) AS rank FROM (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |  FROM cand) WHERE rank <= 5""".stripMargin
+
+  /** Leading principal component ([[Similarity.pcaTopComponent]]):
+   *  distributed covariance + 3 power iterations; oracle unrolls the
+   *  iterations as chained CTEs over the 9-dp-rounded covariance. */
+  private[graft] def pcaTopQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.pcaTopComponent(embs(s, dir), "vec_id", "embedding", iters = 3)
+
+  private[graft] val pcaTopOracle =
+    """WITH c0 AS (
+      |  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+      |m AS (SELECT dim, avg(v) AS m FROM c0 GROUP BY 1),
+      |x AS (SELECT vec_id, c0.dim, v - m.m AS x FROM c0 JOIN m USING (dim)),
+      |n AS (SELECT count(*) AS n FROM embeddings),
+      |cov AS (
+      |  SELECT a.dim AS i, b.dim AS j,
+      |    round(sum(a.x * b.x) / (n.n - 1), 9) AS c
+      |  FROM x a JOIN x b USING (vec_id) CROSS JOIN n GROUP BY 1, 2, n.n),
+      |v0 AS (SELECT dim, CAST(1.0 AS DOUBLE) / sqrt(CAST(64.0 AS DOUBLE)) AS vv FROM m),
+      |w1 AS (SELECT cov.i, sum(cov.c * v0.vv) AS w FROM cov JOIN v0 ON cov.j = v0.dim GROUP BY 1),
+      |n1 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w1),
+      |v1 AS (SELECT i AS dim, w / n1.nrm AS vv FROM w1 CROSS JOIN n1),
+      |w2 AS (SELECT cov.i, sum(cov.c * v1.vv) AS w FROM cov JOIN v1 ON cov.j = v1.dim GROUP BY 1),
+      |n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w2),
+      |v2 AS (SELECT i AS dim, w / n2.nrm AS vv FROM w2 CROSS JOIN n2),
+      |w3 AS (SELECT cov.i, sum(cov.c * v2.vv) AS w FROM cov JOIN v2 ON cov.j = v2.dim GROUP BY 1),
+      |n3 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w3),
+      |v3 AS (SELECT i AS dim, w / n3.nrm AS vv FROM w3 CROSS JOIN n3),
+      |w4 AS (SELECT cov.i, sum(cov.c * v3.vv) AS w FROM cov JOIN v3 ON cov.j = v3.dim GROUP BY 1),
+      |lam AS (SELECT sum(w4.w * v3.vv) AS lambda FROM w4 JOIN v3 ON w4.i = v3.dim),
+      |tr AS (SELECT sum(c) AS trace FROM cov WHERE i = j)
+      |SELECT CAST(v3.dim AS INTEGER) AS dim, round(v3.vv, 6) AS loading,
+      |  round(lam.lambda, 6) AS eigenvalue,
+      |  round(lam.lambda / tr.trace, 6) AS var_ratio
+      |FROM v3 CROSS JOIN lam CROSS JOIN tr""".stripMargin
+
+  /** Embedding outliers ([[Similarity.embeddingOutliers]]): per-cell
+   *  cosine z-scores against the 4 fixed centroids (the ivf_assign
+   *  cells); z ≤ −2 flags off-manifold vectors. */
+  private[graft] def embedOutliersQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.embeddingOutliers(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 4), "vec_id", "embedding")
+  }
+
+  private[graft] lazy val embedOutliersOracle =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |assign AS (
+       |  SELECT vec_id, cid AS centroid_id, sim AS cos_sim FROM (
+       |    SELECT e.vec_id, c.cid, ${cosSql("e.v", "c.cv")} AS sim,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN c) WHERE rn = 1),
+       |st AS (
+       |  SELECT vec_id, centroid_id, cos_sim,
+       |    avg(cos_sim) OVER (PARTITION BY centroid_id) AS mu,
+       |    avg(cos_sim * cos_sim) OVER (PARTITION BY centroid_id)
+       |      - avg(cos_sim) OVER (PARTITION BY centroid_id)
+       |        * avg(cos_sim) OVER (PARTITION BY centroid_id) AS var
+       |  FROM assign),
+       |z AS (
+       |  SELECT vec_id, centroid_id, cos_sim,
+       |    CASE WHEN var > 0 THEN (cos_sim - mu) / sqrt(var)
+       |         ELSE CAST(0.0 AS DOUBLE) END AS z
+       |  FROM st)
+       |SELECT vec_id, centroid_id, round(cos_sim, 6) AS cos_sim,
+       |  round(z, 6) AS z, z <= CAST(-2.0 AS DOUBLE) AS is_outlier
+       |FROM z""".stripMargin
+
+  /** Int8 scalar quantization calibration ([[Similarity
+   *  .int8QuantizationError]]): per-vector reconstruction error under
+   *  the per-dimension min/max grid — the 4× compression safety check. */
+  private[graft] def int8QuantQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.int8QuantizationError(embs(s, dir), "vec_id", "embedding")
+
+  private[graft] val int8QuantOracle =
+    """WITH c AS (
+      |  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+      |g AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM c GROUP BY 1),
+      |s AS (
+      |  SELECT c.vec_id, c.v,
+      |    CASE WHEN g.hi > g.lo
+      |         THEN round((c.v - g.lo) / (g.hi - g.lo) * CAST(255.0 AS DOUBLE), 0)
+      |         ELSE CAST(0.0 AS DOUBLE) END AS code,
+      |    g.lo, g.hi
+      |  FROM c JOIN g USING (dim)),
+      |e AS (
+      |  SELECT vec_id, v - (CASE WHEN hi > lo
+      |    THEN lo + code / CAST(255.0 AS DOUBLE) * (hi - lo) ELSE v END) AS err
+      |  FROM s)
+      |SELECT vec_id, round(avg(err * err), 9) AS mse,
+      |       round(max(abs(err)), 6) AS max_abs_err
+      |FROM e GROUP BY 1""".stripMargin
+
+  /** Retrieval evaluation ([[Similarity.recallAtK]]): recall@5 + MRR of
+   *  the IVF search against the brute-force ground truth — BOTH sides
+   *  DuckDB-replicable, so the metric itself is value-checked (the
+   *  oracle composes the two queries' oracles as CTEs). */
+  private[graft] def ivfRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val truth = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+    val res = Similarity.ivfTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 8), "vec_id", "embedding",
+      e.filter(col("vec_id") < 4), "vec_id", "embedding",
+      k = 5, nProbe = 2)
+    Similarity.recallAtK(res, truth)
+  }
+
+  private[graft] lazy val ivfRecallOracle =
+    s"""WITH res AS ($ivfTopKOracle),
+       |tru AS ($annBruteForceOracle),
+       |tc AS (SELECT query_id, count(*) AS n_truth FROM tru GROUP BY 1),
+       |h AS (
+       |  SELECT r.query_id, count(*) AS n_hits, min(r.rank) AS fr
+       |  FROM res r JOIN tru t
+       |    ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+       |  GROUP BY 1)
+       |SELECT tc.query_id, coalesce(h.n_hits, 0) AS n_hits, tc.n_truth,
+       |  round(coalesce(h.n_hits, 0) / CAST(tc.n_truth AS DOUBLE), 6) AS recall,
+       |  round(coalesce(CAST(1.0 AS DOUBLE) / h.fr, CAST(0.0 AS DOUBLE)), 6) AS mrr
+       |FROM tc LEFT JOIN h USING (query_id)""".stripMargin
+
+  /** Multimodal plumbing: opaque binary + typed metadata (byte lengths are
+   *  oracle-checkable; pixel stats are clearly-marked stubs). */
+  private[graft] def multimodalBytes(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromText(docs(s, dir), "doc_id", "text")
+    Multimodal.decodeImageStats(media).select(col("item_id"), col("n_bytes"))
+  }
+
+  private[graft] val multimodalBytesOracle =
+    "SELECT doc_id AS item_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents"
+
+  /** Multimodal frame sampling: per-item frame counts derive only from
+   *  byte length — oracle-checkable. */
+  private[graft] def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromText(docs(s, dir).filter(col("doc_id") < 50), "doc_id", "text")
+    Multimodal.sampleFrames(media, everyNth = 64, maxFrames = 4)
+      .groupBy(col("item_id")).agg(count(lit(1)).as("n_frames"))
+  }
+
+  private[graft] val multimodalFramesOracle =
+    """SELECT doc_id AS item_id,
+      |  CAST(least(greatest(octet_length(encode(text)) // 64, 1), 4) AS BIGINT) AS n_frames
+      |FROM documents WHERE doc_id < 50""".stripMargin
+
+  /** Training-data export: deterministic shard manifest under the "mult"
+   *  hash family (exact BIGINT arithmetic both engines reproduce — the
+   *  oracle-checkable twin of the xxhash64 production default). */
+  private[graft] def shardExport(s: SparkSession, dir: String): DataFrame =
+    Packing.shardManifest(
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("toks")),
+      "doc_id", "toks", nShards = 8, family = "mult")
+
+  private[graft] val shardExportOracle =
+    """WITH d AS (SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks
+      |  FROM documents)
+      |SELECT (((doc_id % 2147483648) * 2654435761) % 4294967296 * 8) // 4294967296 AS shard,
+      |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM d GROUP BY 1""".stripMargin
+
+  /** Concat-then-chunk sequence packing into 512-token training
+   *  sequences across 4 shards — per-sequence manifest (doc count +
+   *  token total), window-cumsum per shard, no global sort. */
+  private[graft] def sequencePack(s: SparkSession, dir: String): DataFrame =
+    Packing.packingSummary(
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("toks")),
+      "doc_id", "toks", budget = 512, nShards = 4, family = "mult")
+
+  private[graft] val sequencePackOracle =
+    """WITH d AS (SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks
+      |  FROM documents),
+      |sh AS (SELECT doc_id, toks,
+      |  (((doc_id % 2147483648) * 2654435761) % 4294967296 * 4) // 4294967296 AS shard FROM d),
+      |c AS (SELECT shard, doc_id, toks,
+      |  sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+      |                  ROWS UNBOUNDED PRECEDING) - toks AS start_offset
+      |  FROM sh)
+      |SELECT shard, CAST(start_offset // 512 AS BIGINT) AS seq_id,
+      |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS seq_tokens
+      |FROM c GROUP BY 1, 2""".stripMargin
+
+  /** RAG-prep chunking ([[Packing.chunkDocuments]]): 12-word windows
+   *  every 5 words, case-preserved, chunk content as md5 — a pure
+   *  higher-order-function projection, zero shuffles. */
+  private[graft] def docChunksQ(s: SparkSession, dir: String): DataFrame =
+    Packing.chunkDocuments(docs(s, dir), "text", "doc_id",
+      window = 12, stride = 5)
+
+  private[graft] val docChunksOracle =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, ws,
+      |    unnest(generate_series(0, len(ws) - 1, 5)) AS start_word
+      |  FROM w)
+      |SELECT doc_id,
+      |  start_word // 5 AS chunk_id,
+      |  start_word,
+      |  least(12, len(ws) - start_word) AS n_words,
+      |  md5(array_to_string(ws[start_word + 1 : start_word + 12], ' ')) AS chunk_md5
+      |FROM s""".stripMargin
+
+  /** REAL video decode: deterministic Y4M containers are BUILT per doc
+   *  (an independent YUV4MPEG2 writer) and decoded back with the real
+   *  parser — geometry, frame rate, frame count, duration, mean luma all
+   *  value-checked by a pure-SQL oracle that predicts them from doc_id.
+   *  Narrow mapPartitions both ways: no shuffle. */
+  private[graft] def videoStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val frames = (0 to (id % 4).toInt).map { f =>
+          Array.fill(16 * 8)(((id * 31 + f * 7) % 256).toByte)
+        }
+        (id, Multimodal.y4mBytes(16, 8, 25, 1, frames))
+      }).toDF("item_id", "content")
+    Multimodal.decodeVideoStats(media).toDF()
+  }
+
+  private[graft] val videoStatsOracle =
+    """SELECT doc_id AS item_id, 16 AS width, 8 AS height,
+      |  25 AS fps_num, 1 AS fps_den,
+      |  CAST(doc_id % 4 + 1 AS INT) AS n_frames,
+      |  CAST((doc_id % 4 + 1) * 40 AS BIGINT) AS duration_ms,
+      |  list_avg(list_transform(generate_series(0, CAST(doc_id % 4 AS BIGINT)),
+      |    f -> CAST((doc_id * 31 + f * 7) % 256 AS DOUBLE))) AS mean_luma
+      |FROM documents WHERE doc_id < 200""".stripMargin
+
+  /** REAL frame sampling out of the decoded Y4M stream: every 2nd frame,
+   *  at most 2 — one row per sampled frame with its luma-plane mean. */
+  private[graft] def videoFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val frames = (0 to (id % 4).toInt).map { f =>
+          Array.fill(16 * 8)(((id * 31 + f * 7) % 256).toByte)
+        }
+        (id, Multimodal.y4mBytes(16, 8, 25, 1, frames))
+      }).toDF("item_id", "content")
+    Multimodal.sampleVideoFrames(media, everyNth = 2, maxFrames = 2).toDF()
+  }
+
+  private[graft] val videoFramesOracle =
+    """SELECT doc_id AS item_id, CAST(f AS INT) AS frame_idx,
+      |  16 AS width, 8 AS height,
+      |  CAST((doc_id * 31 + f * 7) % 256 AS DOUBLE) AS mean_luma
+      |FROM (SELECT doc_id, unnest(generate_series(0, CAST(doc_id % 4 AS BIGINT), 2)) AS f
+      |      FROM documents WHERE doc_id < 200)""".stripMargin
+
+  /** REAL image perceptual-hash dedup: deterministic 8×8 grayscale PNGs
+   *  are BUILT per doc (pattern = doc_id % 40), round-tripped through
+   *  the real ImageIO encode/decode, aHashed, and grouped — the
+   *  multimodal counterpart of text near-dup. NB the groups are COARSER
+   *  than the 40 patterns: p ≤ 11 never wraps mod 256 inside the grid,
+   *  so those patterns are pure brightness shifts of each other and
+   *  merge into ONE aHash group (aHash's threshold-against-the-mean is
+   *  deliberately shift-invariant — MultimodalSpec pins exactly this);
+   *  wrapping patterns split structurally. The oracle recomputes the
+   *  hash in pure SQL from the pixel formula (PNG is lossless; block
+   *  size 1 at 8×8, so pooling is identity and the 64-int grid mean is
+   *  exact in both engines) and agrees on the merged grouping. */
+  private[graft] def imageDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val p = (id % 40).toInt
+        (id, Multimodal.grayPng(8, 8, (x, y) => (p * 17 + x * 3 + y * 5) % 256))
+      }).toDF("item_id", "content")
+    Multimodal.perceptualHashGroups(media)
+  }
+
+  private[graft] val imageDedupOracle =
+    """WITH px AS (
+      |  SELECT doc_id, list_transform(generate_series(0, 63),
+      |    i -> CAST(((doc_id % 40) * 17 + (i % 8) * 3 + (i // 8) * 5) % 256 AS DOUBLE)) AS g
+      |  FROM documents WHERE doc_id < 200),
+      |h AS (
+      |  SELECT doc_id AS item_id,
+      |    array_to_string(list_transform(generate_series(1, 64),
+      |      i -> CASE WHEN g[i] > list_avg(g) THEN '1' ELSE '0' END), '') AS ahash
+      |  FROM px)
+      |SELECT item_id, ahash,
+      |  min(item_id) OVER (PARTITION BY ahash) AS canonical_id
+      |FROM h""".stripMargin
+
+  /** REAL **JPEG** perceptual-hash dedup — same seam as [[imageDedup]]
+   *  but through the LOSSY codec every real image corpus actually uses:
+   *  deterministic 64×64 grayscale JPEGs (quality 0.85) are encoded per
+   *  doc from a 64-bit block mask (8×8 cells, each all-0 or all-255),
+   *  round-tripped through the real `javax.imageio` JPEG decode, aHashed
+   *  and grouped. The oracle is quantization-TOLERANT by construction:
+   *  with 32 bright cells the grid mean sits at ≈127.5, a 127-gray
+   *  margin to every cell mean, so DCT error (±~30 worst-case at q0.85
+   *  on block edges) cannot flip a bit — the expected hash IS the mask,
+   *  recomputed in pure integer SQL. Mask bit i of pattern p:
+   *  (p·7 + i·13) mod 64 < 32 (13 ⊥ 64 ⇒ exactly 32 ones, balanced;
+   *  7 ⊥ 64 ⇒ the 32 patterns are distinct masks). */
+  private[graft] def imageDedupJpeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val p = (id % 32).toInt
+        (id, Multimodal.grayJpeg(64, 64, 0.85f, (x, y) =>
+          if ((p * 7 + ((y / 8) * 8 + x / 8) * 13) % 64 < 32) 255 else 0))
+      }).toDF("item_id", "content")
+    Multimodal.perceptualHashGroups(media)
+  }
+
+  private[graft] val imageDedupJpegOracle =
+    """WITH h AS (
+      |  SELECT doc_id AS item_id,
+      |    array_to_string(list_transform(generate_series(0, 63),
+      |      i -> CASE WHEN ((doc_id % 32) * 7 + i * 13) % 64 < 32
+      |           THEN '1' ELSE '0' END), '') AS ahash
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT item_id, ahash,
+      |  min(item_id) OVER (PARTITION BY ahash) AS canonical_id
+      |FROM h""".stripMargin
+
+  /** REAL video-signature dedup — the fourth leg of the dedup family
+   *  (text, image, audio, video): per-frame mean-luma sequence out of
+   *  the real Y4M decode, md5'd into a signature, grouped. Constant-fill
+   *  frames make each luma an exact integer, so the signature string is
+   *  bit-identical cross-engine and the oracle recomputes it in pure
+   *  SQL. Re-encoded copies of the same frames share the signature. */
+  private[graft] def videoDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val p = (id % 30).toInt
+        val frames = (0 to p % 4).map { f =>
+          Array.fill(16 * 8)(((p * 31 + f * 7) % 256).toByte)
+        }
+        (id, Multimodal.y4mBytes(16, 8, 25, 1, frames))
+      }).toDF("item_id", "content")
+    Multimodal.videoSignatureGroups(media)
+  }
+
+  private[graft] val videoDedupOracle =
+    """WITH f AS (
+      |  SELECT doc_id AS item_id,
+      |    md5(array_to_string(list_transform(
+      |      generate_series(0, CAST(doc_id % 30 AS BIGINT) % 4),
+      |      f -> CAST(((doc_id % 30) * 31 + f * 7) % 256 AS VARCHAR)), '|')) AS vsig
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT item_id, vsig, min(item_id) OVER (PARTITION BY vsig) AS canonical_id
+      |FROM f""".stripMargin
+
+  /** MP3 bitstream STRUCTURE stats — the header-walk tier of the
+   *  compressed-audio pipeline (sample decode stays stubbed: no codec
+   *  libs in the container, and none are needed for duration/bitrate):
+   *  structurally-valid MPEG-1 Layer III streams are synthesized per doc
+   *  (real frame headers, fill payloads — indistinguishable from a bit
+   *  reservoir to a header walk), walked frame by frame, and the stats
+   *  recomputed closed-form by the oracle. */
+  private[graft] def mp3StructureQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val srIdx = (id % 3).toInt
+        val brIdx = (id % 14).toInt + 1
+        val pad = (id % 2).toInt
+        val n = (id % 5).toInt + 1
+        (id, Multimodal.mp3Bytes(srIdx, Seq.fill(n)((brIdx, pad))))
+      }).toDF("item_id", "content")
+    Multimodal.mp3Structure(media).toDF()
+  }
+
+  private[graft] val mp3StructureOracle =
+    """SELECT doc_id AS item_id,
+      |  CAST(doc_id % 5 + 1 AS INT) AS n_frames,
+      |  CAST(([44100, 48000, 32000])[CAST(doc_id % 3 AS INT) + 1] AS INT) AS sample_rate,
+      |  round(CAST(([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(doc_id % 14 AS INT) + 1] AS DOUBLE), 6) AS avg_bitrate_kbps,
+      |  CAST(round((doc_id % 5 + 1) * 1152.0 * 1000 /
+      |    ([44100, 48000, 32000])[CAST(doc_id % 3 AS INT) + 1]) AS BIGINT) AS duration_ms
+      |FROM documents WHERE doc_id < 200""".stripMargin
+
+  /** H.264 Annex-B NAL census — the bitstream-structure tier of the
+   *  compressed-video pipeline (pixel decode stays stubbed): per doc a
+   *  GOP-shaped NAL sequence (SPS, PPS, one IDR, n−1 non-IDR slices) is
+   *  synthesized with real start codes and NAL headers, scanned, and the
+   *  census (incl. keyframe ratio, the curation filter signal)
+   *  recomputed closed-form by the oracle. */
+  private[graft] def h264StructureQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val slices = (id % 4).toInt + 1
+        (id, Multimodal.h264Bytes(Seq(7, 8) ++ Seq(5) ++ Seq.fill(slices - 1)(1)))
+      }).toDF("item_id", "content")
+    Multimodal.h264Structure(media).toDF()
+  }
+
+  private[graft] val h264StructureOracle =
+    """SELECT doc_id AS item_id,
+      |  CAST(doc_id % 4 + 3 AS INT) AS n_nals,
+      |  CAST(1 AS INT) AS n_sps, CAST(1 AS INT) AS n_pps,
+      |  CAST(1 AS INT) AS n_idr,
+      |  CAST(doc_id % 4 + 1 AS INT) AS n_slices,
+      |  round(CAST(1.0 AS DOUBLE) / (doc_id % 4 + 1), 6) AS keyframe_ratio
+      |FROM documents WHERE doc_id < 200""".stripMargin
+
+  /** GIF block-structure census — the no-decode tier for the web's
+   *  animation format (LZW pixel decode is not needed for the curation
+   *  signals: screen size, palette depth, frame count — animated vs
+   *  static — and payload volume). Streams are synthesized with real
+   *  headers/descriptors and fill LZW payloads, walked block by block,
+   *  and the census recomputed closed-form by the oracle. */
+  private[graft] def gifStructureQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val frames = (id % 4).toInt + 1
+        (id, Multimodal.gifBytes(16 + (id % 32).toInt, 9 + (id % 16).toInt,
+          (id % 3).toInt, Seq.fill(frames)((id % 7).toInt + 1)))
+      }).toDF("item_id", "content")
+    Multimodal.gifStructure(media).toDF()
+  }
+
+  private[graft] val gifStructureOracle =
+    """SELECT doc_id AS item_id,
+      |  CAST(16 + doc_id % 32 AS INT) AS width,
+      |  CAST(9 + doc_id % 16 AS INT) AS height,
+      |  CAST(2 * power(2, doc_id % 3) AS INT) AS gct_colors,
+      |  CAST(doc_id % 4 + 1 AS INT) AS n_frames,
+      |  CAST(doc_id % 4 + 1 AS INT) AS n_extensions,
+      |  (doc_id % 4 + 1) * (doc_id % 7 + 1) AS data_bytes
+      |FROM documents WHERE doc_id < 200""".stripMargin
+
+  /** REAL audio fingerprint dedup: deterministic square-wave WAVs are
+   *  BUILT per doc (period and amplitude from doc_id), round-tripped
+   *  through the JRE's real WAV encode/decode, fingerprinted by
+   *  (zero-crossing count, integer RMS) and grouped. A square wave makes
+   *  the whole fingerprint closed-form: flips = ⌊1999/half⌋ and RMS = A
+   *  exactly (n·A² / n = A² is exact in double for A ≤ 2¹⁴), so the
+   *  oracle is pure integer SQL. */
+  private[graft] def audioDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val half = 4 + (id % 20).toInt
+        val amp = (8192 + (id % 3) * 4096).toShort
+        val samples = Array.tabulate(2000)(i =>
+          if ((i / half) % 2 == 0) amp else (-amp).toShort)
+        (id, Multimodal.pcmWav(8000f, samples))
+      }).toDF("item_id", "content")
+    Multimodal.audioDedupGroups(media)
+  }
+
+  private[graft] val audioDedupOracle =
+    """WITH p AS (
+      |  SELECT doc_id AS item_id, 4 + doc_id % 20 AS half,
+      |         8192 + (doc_id % 3) * 4096 AS amp
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT item_id, CAST((2000 - 1) // half AS BIGINT) AS n_sign_flips,
+      |  CAST(amp AS BIGINT) AS amp,
+      |  min(item_id) OVER (PARTITION BY (2000 - 1) // half, amp) AS canonical_id
+      |FROM p""".stripMargin
+}

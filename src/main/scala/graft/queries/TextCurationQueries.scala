@@ -1,0 +1,1329 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.aggregate.FileAggregates
+import graft.config.SuiteLoader
+import graft.ext.{Bpe, Dedup, Events, LanguageModel, Multimodal, Packing, Retrieval, Sampling, Similarity, Stats, TextAnalysis}
+import graft.ingest.{Metadata, Readers}
+import graft.pipeline.{OdeSchema, Routing, ValidationPipeline}
+import graft.plans.AsOf
+import graft.rules.RuleCompiler
+import graft.sequential.SequentialChecks
+/** Ext: corpus curation, retrieval, sampling, text analysis. Split out of the monolithic registry
+  * (r9 verdict item 5); every member keeps resolving
+  * unqualified through the `Queries.type` self-type. */
+private[graft] trait TextCurationQueries { this: Queries.type =>
+  private[graft] def corpusCuration(s: SparkSession, dir: String): DataFrame = {
+    val deduped = Dedup.dropExactDuplicates(docs(s, dir), "text", "doc_id")
+    val scored = deduped.select(col("doc_id"), col("text"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.languageId(col("text")).as("lang_id"),
+      TextAnalysis.tokenCount(col("text")).as("tokens"))
+    // the gate fans out to BOTH the pair generation and the survivor join
+    // (and its lang/tokens feed the final agg): without materialization
+    // each consumer re-runs the scan + quality/lang projection. Eager
+    // localCheckpoint = one evaluation, lineage truncated — at cluster
+    // scale this is the cached curated slice every downstream stage reads.
+    val kept = scored.filter(col("quality") >= 0.5 && col("lang_id") =!= "und")
+      .localCheckpoint(true)
+    val pairs = Dedup.ngramJaccardPairs(kept, "text", "doc_id",
+      n = 3, threshold = 0.05, maxDocFreq = 1000000L)
+    Dedup.nearDupSurvivors(kept, "doc_id", pairs)
+      .filter(col("is_survivor"))
+      .groupBy(col("lang_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("total_tokens"))
+  }
+
+  /** The SCALE-PATH twin of [[corpusCuration]]: identical composite with
+   *  the one substitution a 100 TB run makes — MinHash-LSH candidate
+   *  pairs in place of the exact shingle self-join (both emit the
+   *  (id_a, id_b, jaccard) contract, so [[Dedup.nearDupSurvivors]] is
+   *  agnostic). Measured at 16× sf0.1 with clone-cluster duplicates:
+   *  31.8 s vs 290 s end-to-end, survivor counts within LSH recall of
+   *  the exact run (4336 vs 4170). Rows-only gate (xxhash64 family has
+   *  no DuckDB replay); value coverage comes from the exact twin's full
+   *  SQL replica plus DedupRecallSpec's ≥90% recall pin. */
+  private[graft] def corpusCurationLsh(s: SparkSession, dir: String): DataFrame = {
+    val deduped = Dedup.dropExactDuplicates(docs(s, dir), "text", "doc_id")
+    val scored = deduped.select(col("doc_id"), col("text"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.languageId(col("text")).as("lang_id"),
+      TextAnalysis.tokenCount(col("text")).as("tokens"))
+    val kept = scored.filter(col("quality") >= 0.5 && col("lang_id") =!= "und")
+      .localCheckpoint(true)
+    val pairs = Dedup.minhashNearDuplicates(kept, "text", "doc_id",
+      n = 3, k = 64, bands = 16, threshold = 0.05)
+    Dedup.nearDupSurvivors(kept, "doc_id", pairs)
+      .filter(col("is_survivor"))
+      .groupBy(col("lang_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("total_tokens"))
+  }
+
+  /** The ORACLE-MODE twin of [[corpusCurationLsh]] — the same composite
+   *  under the md5 MinHash family ([[Dedup.minhashNearDuplicatesMd5]]),
+   *  the pattern that closed minhash/simhash/ann/pq: every intermediate
+   *  (slot mins, band hashes, candidate buckets, verified Jaccard,
+   *  connected components, survivor set) is replayed by DuckDB, so the
+   *  LSH curation path's SURVIVOR SET is hash-checked per doc — not
+   *  just recall-gated. Emits the per-doc survivors (stronger than the
+   *  language aggregate). doc_id < 1000 bounds the k×-md5 replay cost
+   *  (same bound as q_minhash_pairs_md5); the production xxhash64 twin
+   *  q_corpus_curation_lsh carries the full-corpus benchmark. */
+  private[graft] def corpusCurationLshMd5(s: SparkSession, dir: String): DataFrame = {
+    val deduped = Dedup.dropExactDuplicates(
+      docs(s, dir).filter(col("doc_id") < 1000), "text", "doc_id")
+    val scored = deduped.select(col("doc_id"), col("text"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.languageId(col("text")).as("lang_id"),
+      TextAnalysis.tokenCount(col("text")).as("tokens"))
+    val kept = scored.filter(col("quality") >= 0.5 && col("lang_id") =!= "und")
+      .localCheckpoint(true)
+    val pairs = Dedup.minhashNearDuplicatesMd5(kept, "text", "doc_id",
+      n = 3, k = 64, bands = 16, threshold = 0.05)
+    Dedup.nearDupSurvivors(kept, "doc_id", pairs)
+      .filter(col("is_survivor"))
+      .select(col("doc_id"), col("lang_id"), col("tokens").cast("long").as("tokens"))
+  }
+
+  private[graft] val corpusCurationOracle = {
+    def stopLit(lang: String) =
+      "[" + TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ") + "]"
+    s"""WITH dedup AS (
+       |  SELECT doc_id, text FROM documents
+       |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+       |), w AS (
+       |  SELECT doc_id, text,
+       |         regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |         list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dw
+       |  FROM dedup
+       |), hits AS (
+       |  SELECT doc_id, text,
+       |    len(list_intersect(dw, ${stopLit("de")})) AS h_de,
+       |    len(list_intersect(dw, ${stopLit("en")})) AS h_en,
+       |    len(list_intersect(dw, ${stopLit("es")})) AS h_es,
+       |    len(list_intersect(dw, ${stopLit("fr")})) AS h_fr,
+       |    len(list_intersect(dw, ${stopLit("zh")})) AS h_zh,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS tokens,
+       |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS pr,
+       |    CAST(len(list_intersect(dw, ${stopLit("en")})) AS DOUBLE) / len(dw) AS sw_en
+       |  FROM w
+       |), scored AS (
+       |  SELECT doc_id, text, tokens,
+       |    CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+       |         WHEN h_zh = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+       |         WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+       |         WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+       |         WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+       |         ELSE 'de' END AS lang_id,
+       |    round(
+       |      CAST(CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1.0
+       |            WHEN length(text) BETWEEN 20 AND 99 THEN 0.5 ELSE 0.1 END AS DOUBLE) * CAST(0.4 AS DOUBLE) +
+       |      CAST(CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.3 END AS DOUBLE) * CAST(0.2 AS DOUBLE) +
+       |      CAST(CASE WHEN tokens > 0 AND CAST(length(text) AS DOUBLE) / tokens BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.4 END AS DOUBLE) * CAST(0.2 AS DOUBLE) +
+       |      CAST(CASE WHEN sw_en >= 0.01 THEN 1.0 ELSE 0.6 END AS DOUBLE) * CAST(0.2 AS DOUBLE),
+       |      6) AS quality
+       |  FROM hits
+       |), kept AS (
+       |  SELECT doc_id, text, tokens, lang_id FROM scored
+       |  WHERE quality >= 0.5 AND lang_id <> 'und'
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 0)),
+       |    i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\\s+'))[i:i+2], ' '))) AS shingles
+       |  FROM kept
+       |), sized AS (SELECT doc_id, shingles, len(shingles) AS set_size FROM sh),
+       |ex AS (SELECT doc_id, set_size, unnest(shingles) AS shingle FROM sized),
+       |p0 AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.set_size AS sa,
+       |         b.set_size AS sb, count(*) AS common
+       |  FROM ex a JOIN ex b USING (shingle)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM p0
+       |  WHERE CAST(common AS DOUBLE) / (sa + sb - common) >= 0.05),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |comp AS (
+       |  -- component = min label reachable from each paired vertex
+       |  WITH RECURSIVE r(id, label) AS (
+       |    SELECT src, src FROM edges
+       |    UNION
+       |    SELECT e.src, r.label FROM edges e JOIN r ON e.dst = r.id)
+       |  SELECT id, min(label) AS canonical_id FROM r GROUP BY id)
+       |SELECT lang_id, count(*) AS n_docs,
+       |       CAST(sum(tokens) AS BIGINT) AS total_tokens
+       |FROM kept LEFT JOIN comp ON kept.doc_id = comp.id
+       |WHERE canonical_id IS NULL OR canonical_id = doc_id
+       |GROUP BY lang_id""".stripMargin
+  }
+
+  /** DuckDB replica of the FULL md5-LSH curation composite: exact dedup →
+   *  quality/lang gate → md5-MinHash slots → band buckets → candidates →
+   *  exact-Jaccard verify → recursive-CTE components → survivor set. */
+  private[graft] val corpusCurationLshMd5Oracle = {
+    def stopLit(lang: String) =
+      "[" + TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ") + "]"
+    s"""WITH dedup AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 1000
+       |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+       |), w AS (
+       |  SELECT doc_id, text,
+       |         regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |         list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dw
+       |  FROM dedup
+       |), hits AS (
+       |  SELECT doc_id, text,
+       |    len(list_intersect(dw, ${stopLit("de")})) AS h_de,
+       |    len(list_intersect(dw, ${stopLit("en")})) AS h_en,
+       |    len(list_intersect(dw, ${stopLit("es")})) AS h_es,
+       |    len(list_intersect(dw, ${stopLit("fr")})) AS h_fr,
+       |    len(list_intersect(dw, ${stopLit("zh")})) AS h_zh,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS tokens,
+       |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS pr,
+       |    CAST(len(list_intersect(dw, ${stopLit("en")})) AS DOUBLE) / len(dw) AS sw_en
+       |  FROM w
+       |), scored AS (
+       |  SELECT doc_id, text, tokens,
+       |    CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+       |         WHEN h_zh = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+       |         WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+       |         WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+       |         WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+       |         ELSE 'de' END AS lang_id,
+       |    round(
+       |      CAST(CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1.0
+       |            WHEN length(text) BETWEEN 20 AND 99 THEN 0.5 ELSE 0.1 END AS DOUBLE) * CAST(0.4 AS DOUBLE) +
+       |      CAST(CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.3 END AS DOUBLE) * CAST(0.2 AS DOUBLE) +
+       |      CAST(CASE WHEN tokens > 0 AND CAST(length(text) AS DOUBLE) / tokens BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.4 END AS DOUBLE) * CAST(0.2 AS DOUBLE) +
+       |      CAST(CASE WHEN sw_en >= 0.01 THEN 1.0 ELSE 0.6 END AS DOUBLE) * CAST(0.2 AS DOUBLE),
+       |      6) AS quality
+       |  FROM hits
+       |), kept AS (
+       |  SELECT doc_id, text, tokens, lang_id FROM scored
+       |  WHERE quality >= 0.5 AND lang_id <> 'und'
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 0)),
+       |    i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\\s+'))[i:i+2], ' '))) AS shingles
+       |  FROM kept
+       |), ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |slots AS (
+       |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS slot
+       |  FROM ex, generate_series(0, 63) g(i)
+       |  GROUP BY doc_id, i),
+       |banded AS (
+       |  SELECT doc_id, i // 4 AS band, md5(string_agg(slot, ',' ORDER BY i)) AS band_hash
+       |  FROM slots GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b USING (band, band_hash)
+       |  WHERE a.doc_id < b.doc_id),
+       |sized AS (SELECT doc_id, shingles, len(shingles) AS set_size FROM sh),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT c.id_a, c.id_b,
+       |      CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+       |        (a.set_size + b.set_size - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+       |    FROM cand c JOIN sized a ON c.id_a = a.doc_id JOIN sized b ON c.id_b = b.doc_id)
+       |  WHERE jaccard >= 0.05),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |comp AS (
+       |  WITH RECURSIVE r(id, label) AS (
+       |    SELECT src, src FROM edges
+       |    UNION
+       |    SELECT e.src, r.label FROM edges e JOIN r ON e.dst = r.id)
+       |  SELECT id, min(label) AS canonical_id FROM r GROUP BY id)
+       |SELECT kept.doc_id, lang_id, CAST(tokens AS BIGINT) AS tokens
+       |FROM kept LEFT JOIN comp ON kept.doc_id = comp.id
+       |WHERE canonical_id IS NULL OR canonical_id = doc_id""".stripMargin
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing ≥5 word 3-grams
+   *  with the "eval set" (every 97th doc) — eval shingles broadcast, the
+   *  corpus never shuffles by shingle. */
+  private[graft] def decontaminate(s: SparkSession, dir: String): DataFrame =
+    Dedup.decontaminate(docs(s, dir),
+        docs(s, dir).filter(pmod(col("doc_id"), lit(97)) === 0),
+        "text", "doc_id", n = 3, minOverlap = 5)
+      .select(col("id").as("doc_id"), col("n_overlap"), col("contaminated"))
+
+  private[graft] val decontaminateOracle =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2, 0)),
+      |    i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[i:i+2], ' '))) AS shingles
+      |  FROM documents
+      |), ev AS (
+      |  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0
+      |), ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |ov AS (
+      |  SELECT doc_id, count(*) AS n_overlap
+      |  FROM ex JOIN ev USING (shingle) GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(o.n_overlap, 0) AS n_overlap,
+      |       coalesce(o.n_overlap, 0) >= 5 AS contaminated
+      |FROM documents d LEFT JOIN ov o USING (doc_id)""".stripMargin
+
+  /** Bloom-filter decontamination — same contamination question as
+   *  q_decontaminate but via [[Dedup.bloomDecontaminate]]'s fixed 64 Kbit
+   *  bitset: the corpus side is a pure narrow projection (no join), and
+   *  the deterministic md5 hash family lets the DuckDB oracle rebuild the
+   *  exact bitset, so even the false positives are value-checked. */
+  private[graft] def bloomDecontaminateQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.bloomDecontaminate(docs(s, dir),
+        docs(s, dir).filter(pmod(col("doc_id"), lit(97)) === 0),
+        "text", "doc_id", n = 3, minOverlap = 5)
+      .select(col("id").as("doc_id"), col("n_flagged"), col("contaminated"))
+
+  /** DuckDB replica of the Bloom pipeline: eval shingles → 4 md5-derived
+   *  16-bit positions each → set-bit table; a corpus shingle hits when all
+   *  4 of its positions are set. */
+  private[graft] val bloomDecontaminateOracle =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2, 0)),
+      |    i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[i:i+2], ' '))) AS shingles
+      |  FROM documents
+      |), ev AS (
+      |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0
+      |), bits AS (
+      |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 4) AS INTEGER) AS p
+      |  FROM ev, generate_series(0, 3) g(i)
+      |), ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |hits AS (
+      |  SELECT doc_id, s
+      |  FROM ex, generate_series(0, 3) g(i), bits
+      |  WHERE bits.p =
+      |    CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 4) AS INTEGER)
+      |  GROUP BY doc_id, s HAVING count(*) = 4),
+      |ov AS (SELECT doc_id, count(*) AS n_flagged FROM hits GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(o.n_flagged, 0) AS n_flagged,
+      |       coalesce(o.n_flagged, 0) >= 5 AS contaminated
+      |FROM documents d LEFT JOIN ov o USING (doc_id)""".stripMargin
+
+  /** BM25 lexical top-k over the corpus for a fixed query-term bag —
+   *  [[Retrieval.bm25TopK]]: one single-row stats pass broadcast back,
+   *  per-doc tf as pure Column algebra (no (doc, term) explode), top-k as
+   *  TakeOrderedAndProject. Score rounded to 6 dp before the cut. */
+  private[graft] def bm25TopKQ(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(docs(s, dir), "text", "doc_id",
+      Seq("spark", "vector", "stream"), k = 20)
+
+  /** Arithmetic-exact DuckDB mirror of the BM25 score: every constant is
+   *  CAST AS DOUBLE (DuckDB would otherwise parse decimals as DECIMAL and
+   *  change the arithmetic), association order matches the Column tree. */
+  private[graft] val bm25TopKOracle = {
+    val terms = Seq("spark", "vector", "stream")
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN list_contains(words, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+    }.mkString(",\n      |    ")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(words, x -> x = '$t')) AS DOUBLE) AS tf_$i"
+    }.mkString(",\n      |    ")
+    val contribs = terms.indices.map { i =>
+      s"""ln((n_docs - df_$i + CAST(0.5 AS DOUBLE)) / (df_$i + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+         | * (tf_$i * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         | / (tf_$i + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl))"""
+        .stripMargin.replace("\n", " ")
+    }.mkString(" + ")
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS words
+       |  FROM documents),
+       |d AS (SELECT doc_id, words, CAST(len(words) AS DOUBLE) AS dl FROM w),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+       |    $dfCols
+       |  FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl,
+       |    $tfCols
+       |  FROM d),
+       |scored AS (
+       |  SELECT doc_id, round($contribs, 6) AS bm25 FROM tf, stats)
+       |SELECT doc_id, bm25 FROM scored WHERE bm25 > CAST(0.0 AS DOUBLE)
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** TF-IDF sparse document vectors over the full corpus — narrow
+   *  term-count shape, no self-join, scales to the whole table. */
+  /** c-TF-IDF per-source keywords ([[Retrieval.classTfidf]]): top-5
+   *  terms per source by class-based TF-IDF — cluster labeling /
+   *  vocabulary-drift monitoring. */
+  private[graft] def classTfidfQ(s: SparkSession, dir: String): DataFrame =
+    Retrieval.classTfidf(docs(s, dir), "text", "source", k = 5)
+
+  private[graft] val classTfidfOracle =
+    """WITH t AS (
+      |  SELECT source AS class,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |tfc AS (SELECT class, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      |a AS (SELECT sum(tf) / CAST(count(DISTINCT class) AS DOUBLE) AS A FROM tfc),
+      |ft AS (SELECT term, sum(tf) AS ft FROM tfc GROUP BY 1),
+      |sc AS (
+      |  SELECT tfc.class, tfc.term, tfc.tf,
+      |    round(tfc.tf * ln(CAST(1.0 AS DOUBLE) + a.A / ft.ft), 6) AS score
+      |  FROM tfc JOIN ft USING (term) CROSS JOIN a),
+      |r AS (
+      |  SELECT class, term, tf, score,
+      |    row_number() OVER (PARTITION BY class ORDER BY score DESC, term) AS rank
+      |  FROM sc)
+      |SELECT class, term, tf, score, rank FROM r WHERE rank <= 5""".stripMargin
+
+  private[graft] def tfidfVectorsQ(s: SparkSession, dir: String): DataFrame =
+    Retrieval.tfidfVectors(docs(s, dir), "text", "doc_id")
+
+  private[graft] val tfidfVectorsOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM documents),
+      |wtd AS (
+      |  SELECT doc_id, term, tf,
+      |    CAST(tf AS DOUBLE) * (ln((N + CAST(1.0 AS DOUBLE)) / (df + CAST(1.0 AS DOUBLE))) + CAST(1.0 AS DOUBLE)) AS w
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+      |SELECT doc_id, term, tf,
+      |  round(w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)), 6) AS weight
+      |FROM wtd""".stripMargin
+
+  /** Sparse all-pairs cosine over TF-IDF vectors, df-cut at 250 docs
+   *  (exercises the Bayardo hot-term guard for real: the corpus slice is
+   *  300 docs, so terms in >250 of them are cut). Bounded to doc_id<300 —
+   *  all-pairs on a 31-word shared vocabulary is inherently quadratic;
+   *  the corpus-scale paths are the LSH/ANN family. */
+  private[graft] def tfidfCosinePairsQ(s: SparkSession, dir: String): DataFrame =
+    Retrieval.tfidfCosinePairs(docs(s, dir).filter(col("doc_id") < 300),
+      "text", "doc_id", threshold = 0.9, maxDocFreq = 250L)
+
+  private[graft] val tfidfCosinePairsOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS term
+      |  FROM documents WHERE doc_id < 300),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM documents WHERE doc_id < 300),
+      |wtd AS (
+      |  SELECT doc_id, term, df,
+      |    CAST(tf AS DOUBLE) * (ln((N + CAST(1.0 AS DOUBLE)) / (df + CAST(1.0 AS DOUBLE))) + CAST(1.0 AS DOUBLE)) AS w
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      |unit AS (
+      |  SELECT doc_id, term, df,
+      |    w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)) AS wn
+      |  FROM wtd),
+      |pruned AS (SELECT doc_id, term, wn FROM unit WHERE df <= 250),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    round(sum(a.wn * b.wn), 6) AS cosine
+      |  FROM pruned a JOIN pruned b USING (term)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b, cosine FROM pairs
+      |WHERE cosine >= CAST(0.9 AS DOUBLE)""".stripMargin
+
+  /** Per-source vocabulary richness: tokens, types, type–token ratio,
+   *  and hapax-legomena share (types occurring once / types) — the
+   *  corpus-linguistics health panel; generated/templated sources show
+   *  depressed TTR and hapax share. One (source, word) partial
+   *  aggregate; everything else is source-bounded. */
+  private[graft] def vocabRichnessQ(s: SparkSession, dir: String): DataFrame = {
+    val wc = docs(s, dir).select(col("source"),
+        explode(graft.functions.GraftFunctions.graftWordNgrams(col("text"), 1)).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    wc.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("type_token_ratio"),
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6)
+          .as("hapax_share"))
+  }
+
+  private[graft] val vocabRichnessOracle =
+    """WITH t AS (
+      |  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |  FROM documents),
+      |wc AS (SELECT source, w, count(*) AS c FROM t GROUP BY 1, 2)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_types,
+      |  round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio,
+      |  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+      |    AS hapax_share
+      |FROM wc GROUP BY 1""".stripMargin
+
+  /** A-priori 2-itemset mining ([[LanguageModel.frequentItemPairs]]):
+   *  document-level word co-occurrence with confidence and lift —
+   *  top-50 by lift among pairs in ≥ 20 docs. */
+  private[graft] def itemsetPairsQ(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.frequentItemPairs(docs(s, dir), "text", "doc_id",
+      minSupport = 20L, k = 50)
+
+  private[graft] val itemsetPairsOracle =
+    """WITH dw AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |  FROM documents),
+      |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM dw),
+      |f AS (SELECT w, count(*) AS c FROM dw GROUP BY 1 HAVING count(*) >= 20),
+      |fw AS (SELECT dw.doc_id, dw.w, f.c FROM dw JOIN f USING (w)),
+      |p AS (
+      |  SELECT a.w AS w1, b.w AS w2, a.c AS c1, b.c AS c2, count(*) AS c12
+      |  FROM fw a JOIN fw b ON a.doc_id = b.doc_id AND a.w < b.w
+      |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 20)
+      |SELECT w1, w2, c12 AS support,
+      |  round(c12 / CAST(c1 AS DOUBLE), 6) AS conf_w1_w2,
+      |  round(c12 / CAST(c2 AS DOUBLE), 6) AS conf_w2_w1,
+      |  round(nd.n * c12 / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)), 6) AS lift
+      |FROM p CROSS JOIN nd
+      |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin
+
+  /** Corpus predictability ([[LanguageModel.bigramConditionalEntropy]]):
+   *  H(w₂|w₁), H(w), and their difference (the mutual information of
+   *  adjacent words) — template mass drives H(w₂|w₁) → 0. */
+  private[graft] def bigramEntropyQ(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.bigramConditionalEntropy(docs(s, dir), "text")
+
+  private[graft] val bigramEntropyOracle =
+    """WITH w AS (
+      |  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ws
+      |  FROM documents),
+      |bi AS (
+      |  SELECT unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+      |    i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM w),
+      |bg AS (SELECT bigram, count(*) AS c12 FROM bi GROUP BY 1),
+      |un AS (SELECT unnest(ws) AS w FROM w),
+      |ug AS (SELECT w, count(*) AS c1 FROM un GROUP BY 1),
+      |nb AS (SELECT CAST(sum(c12) AS DOUBLE) AS nb FROM bg),
+      |nw AS (SELECT CAST(sum(c1) AS DOUBLE) AS nw FROM ug),
+      |hc AS (
+      |  SELECT -sum((bg.c12 / nb.nb) * ln(bg.c12 / ug.c1)) AS h_cond
+      |  FROM bg JOIN ug ON split_part(bg.bigram, ' ', 1) = ug.w CROSS JOIN nb),
+      |hu AS (SELECT -sum((c1 / nw.nw) * ln(c1 / nw.nw)) AS h_uni FROM ug CROSS JOIN nw)
+      |SELECT round(hc.h_cond, 6) AS h_bigram_cond,
+      |  round(hu.h_uni, 6) AS h_unigram,
+      |  round(hu.h_uni - hc.h_cond, 6) AS mutual_information
+      |FROM hc CROSS JOIN hu""".stripMargin
+
+  /** Source-divergence matrix ([[LanguageModel.jsDivergenceMatrix]]):
+   *  pairwise Jensen–Shannon divergence between per-source hashed token
+   *  distributions — redundancy / drift analytics over the mixture. */
+  private[graft] def sourceDivergenceQ(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.jsDivergenceMatrix(docs(s, dir), "text", "source",
+      buckets = 256, alpha = 0.5)
+
+  private[graft] val sourceDivergenceOracle =
+    """WITH t AS (
+      |  SELECT source AS grp,
+      |    CAST('0x' || substr(md5(unnest(regexp_split_to_array(trim(lower(text)), '\s+'))), 1, 8) AS BIGINT)
+      |      % 256 AS bucket
+      |  FROM documents),
+      |c AS (SELECT grp, bucket, count(*) AS c FROM t GROUP BY 1, 2),
+      |sup AS (SELECT DISTINCT bucket FROM c),
+      |n AS (SELECT grp, sum(c) AS n FROM c GROUP BY 1),
+      |d AS (
+      |  SELECT n.grp, sup.bucket,
+      |    (coalesce(c.c, 0) + CAST(0.5 AS DOUBLE))
+      |      / (n.n + CAST(128.0 AS DOUBLE)) AS p
+      |  FROM n CROSS JOIN sup
+      |  LEFT JOIN c ON c.grp = n.grp AND c.bucket = sup.bucket)
+      |SELECT a.grp AS src_a, b.grp AS src_b,
+      |  round(CAST(0.5 AS DOUBLE) * sum(a.p * ln(a.p / ((a.p + b.p) / CAST(2.0 AS DOUBLE))))
+      |      + CAST(0.5 AS DOUBLE) * sum(b.p * ln(b.p / ((a.p + b.p) / CAST(2.0 AS DOUBLE)))), 6)
+      |    AS js_divergence
+      |FROM d a JOIN d b USING (bucket)
+      |WHERE a.grp < b.grp
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Corpus drift over ingestion order: [[LanguageModel
+   *  .jsDivergenceMatrix]] reused with 100-doc id buckets as the
+   *  groups, keeping only ADJACENT bucket pairs — the
+   *  distribution-shift trace a streaming ingestion pipeline watches
+   *  (a spike = the corpus changed character at that point). */
+  private[graft] def corpusDriftQ(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.jsDivergenceMatrix(
+      docs(s, dir).withColumn("bucket", expr("doc_id div 100")),
+      "text", "bucket", buckets = 256, alpha = 0.5)
+      .filter(col("src_b") === col("src_a") + 1)
+      .select(col("src_a").as("bucket_a"), col("src_b").as("bucket_b"),
+        col("js_divergence"))
+
+  private[graft] val corpusDriftOracle =
+    """WITH t AS (
+      |  SELECT doc_id // 100 AS grp,
+      |    CAST('0x' || substr(md5(unnest(regexp_split_to_array(trim(lower(text)), '\s+'))), 1, 8) AS BIGINT)
+      |      % 256 AS bucket
+      |  FROM documents),
+      |c AS (SELECT grp, bucket, count(*) AS c FROM t GROUP BY 1, 2),
+      |sup AS (SELECT DISTINCT bucket FROM c),
+      |n AS (SELECT grp, sum(c) AS n FROM c GROUP BY 1),
+      |d AS (
+      |  SELECT n.grp, sup.bucket,
+      |    (coalesce(c.c, 0) + CAST(0.5 AS DOUBLE))
+      |      / (n.n + CAST(128.0 AS DOUBLE)) AS p
+      |  FROM n CROSS JOIN sup
+      |  LEFT JOIN c ON c.grp = n.grp AND c.bucket = sup.bucket)
+      |SELECT a.grp AS bucket_a, b.grp AS bucket_b,
+      |  round(CAST(0.5 AS DOUBLE) * sum(a.p * ln(a.p / ((a.p + b.p) / CAST(2.0 AS DOUBLE))))
+      |      + CAST(0.5 AS DOUBLE) * sum(b.p * ln(b.p / ((a.p + b.p) / CAST(2.0 AS DOUBLE)))), 6)
+      |    AS js_divergence
+      |FROM d a JOIN d b USING (bucket)
+      |WHERE b.grp = a.grp + 1
+      |GROUP BY 1, 2""".stripMargin
+
+  /** TextRank keywords ([[graft.ext.Graph.textRank]]): weighted PageRank
+   *  over the word co-occurrence graph, 3 fixed iterations, top-20. The
+   *  oracle unrolls the iterations as chained CTEs (the q_ivf_trained
+   *  pattern) and reproduces Spark's exact (1.0 − d) double arithmetic. */
+  private[graft] def textRankQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.textRank(docs(s, dir), "text",
+      damping = 0.85, iters = 3, k = 20)
+
+  private[graft] val textRankOracle =
+    """WITH w AS (
+      |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+      |    i -> array_to_string(ws[i:i+1], ' '))) AS gram FROM w),
+      |p AS (
+      |  SELECT split_part(gram, ' ', 1) AS a, split_part(gram, ' ', 2) AS b
+      |  FROM g WHERE split_part(gram, ' ', 1) <> split_part(gram, ' ', 2)),
+      |e AS (
+      |  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+      |    SELECT a AS src, b AS dst FROM p
+      |    UNION ALL SELECT b AS src, a AS dst FROM p) u
+      |  GROUP BY 1, 2),
+      |d AS (SELECT src, sum(w) AS wd FROM e GROUP BY 1),
+      |ne AS (SELECT e.src, e.dst, e.w / d.wd AS nw FROM e JOIN d USING (src)),
+      |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS score FROM d),
+      |r1 AS (
+      |  SELECT ne.dst AS node,
+      |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+      |      + CAST(0.85 AS DOUBLE) * sum(ne.nw * r0.score) AS score
+      |  FROM ne JOIN r0 ON ne.src = r0.node GROUP BY 1),
+      |r2 AS (
+      |  SELECT ne.dst AS node,
+      |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+      |      + CAST(0.85 AS DOUBLE) * sum(ne.nw * r1.score) AS score
+      |  FROM ne JOIN r1 ON ne.src = r1.node GROUP BY 1),
+      |r3 AS (
+      |  SELECT ne.dst AS node,
+      |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+      |      + CAST(0.85 AS DOUBLE) * sum(ne.nw * r2.score) AS score
+      |  FROM ne JOIN r2 ON ne.src = r2.node GROUP BY 1)
+      |SELECT node AS word, round(score, 6) AS score FROM r3
+      |ORDER BY score DESC, word LIMIT 20""".stripMargin
+
+  /** PMI collocations: top-50 bigrams by pointwise mutual information
+   *  (count ≥ 5) — phrase/MWE detection over the corpus. */
+  private[graft] def pmiCollocationsQ(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.pmiCollocations(docs(s, dir), "text", minCount = 5L, k = 50)
+
+  private[graft] val pmiCollocationsOracle =
+    """WITH w AS (
+      |  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ws
+      |  FROM documents),
+      |bi AS (
+      |  SELECT list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+      |    i -> ws[i] || ' ' || ws[i+1]) AS bs FROM w),
+      |c12 AS (SELECT unnest(bs) AS bigram FROM bi),
+      |c12g AS (SELECT bigram, count(*) AS c12 FROM c12 GROUP BY 1),
+      |c1 AS (SELECT unnest(ws) AS word FROM w),
+      |c1g AS (SELECT word, count(*) AS c FROM c1 GROUP BY 1),
+      |nb AS (SELECT CAST(sum(c12) AS DOUBLE) AS Nb FROM c12g),
+      |nw AS (SELECT CAST(sum(c) AS DOUBLE) AS Nw FROM c1g)
+      |SELECT bigram, c12,
+      |  round(ln((CAST(c12 AS DOUBLE) / Nb) /
+      |    ((CAST(a.c AS DOUBLE) / Nw) * (CAST(b.c AS DOUBLE) / Nw))), 6) AS pmi
+      |FROM c12g
+      |JOIN c1g a ON split_part(bigram, ' ', 1) = a.word
+      |JOIN c1g b ON split_part(bigram, ' ', 2) = b.word
+      |CROSS JOIN nb CROSS JOIN nw
+      |WHERE c12 >= 5
+      |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin
+
+  /** Priority sampling ([[Sampling.prioritySample]]): deterministic
+   *  weighted sample without replacement — priority = weight / md5-uniform,
+   *  top-100 by 6-dp-rounded priority with id tie-break. */
+  private[graft] def prioritySampleQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.prioritySample(docs(s, dir), "doc_id", col("n_chars"), k = 100)
+
+  private[graft] val prioritySampleOracle =
+    """SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+      |  round(CAST(n_chars AS DOUBLE) /
+      |    ((CAST(CAST('0x' || substr(md5('ps:' || doc_id), 1, 8) AS BIGINT) AS DOUBLE)
+      |      + CAST(1.0 AS DOUBLE)) / CAST(4294967296 AS DOUBLE)), 6) AS priority
+      |FROM documents
+      |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin
+
+  /** Train/val/test split + leakage audit ([[Sampling.splitLabel]]):
+   *  hash-based 90/5/5 assignment, then every near-dup pair (the exact
+   *  Jaccard candidates) classified by the splits it touches — pairs
+   *  with split_lo ≠ split_hi are contamination leaking across the
+   *  split boundary (the eval-integrity check a training pipeline must
+   *  run BEFORE the split ships). Oracle composes the jaccard-pairs
+   *  oracle as a CTE. */
+  private[graft] def splitLeakageQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val labeled = d.select(col("doc_id"), Sampling.splitLabel(col("doc_id"),
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("split"))
+    val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+      n = 3, threshold = 0.05, maxDocFreq = 1000000L)
+    pairs
+      .join(labeled.select(col("doc_id").as("id_a"), col("split").as("split_a")), Seq("id_a"))
+      .join(labeled.select(col("doc_id").as("id_b"), col("split").as("split_b")), Seq("id_b"))
+      .groupBy(least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaky", col("split_lo") =!= col("split_hi"))
+  }
+
+  private[graft] lazy val splitLeakageOracle = {
+    val u01 = "(CAST(CAST('0x' || substr(md5('split:' || doc_id), 1, 8) AS BIGINT) AS DOUBLE)" +
+      " + CAST(1.0 AS DOUBLE)) / CAST(4294967296 AS DOUBLE)"
+    s"""WITH pairs AS ($jaccardPairsOracle),
+       |lab AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $u01 < CAST(0.9 AS DOUBLE) THEN 'train'
+       |         WHEN $u01 < (CAST(0.9 AS DOUBLE) + CAST(0.05 AS DOUBLE)) THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT least(a.split, b.split) AS split_lo,
+       |  greatest(a.split, b.split) AS split_hi,
+       |  count(*) AS n_pairs,
+       |  least(a.split, b.split) <> greatest(a.split, b.split) AS leaky
+       |FROM pairs p
+       |JOIN lab a ON p.id_a = a.doc_id
+       |JOIN lab b ON p.id_b = b.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Mixture sampling ([[Sampling.mixtureSample]]): per-language keep
+   *  rates sized so kept chars approximate a target mixture (en 40%, four
+   *  others 15% each) of a 60%-of-corpus budget; one deterministic
+   *  Bernoulli pass, rates broadcast. */
+  private[graft] def mixtureSampleQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureSample(docs(s, dir), "lang", "n_chars", "doc_id",
+      Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15),
+      budgetFrac = 0.6)
+
+  private[graft] val mixtureSampleOracle =
+    """WITH tot AS (SELECT lang, sum(n_chars) AS group_size FROM documents GROUP BY lang),
+      |g AS (SELECT sum(n_chars) AS total_size FROM documents),
+      |rates AS (
+      |  SELECT lang,
+      |    least(CAST(1.0 AS DOUBLE),
+      |      (CASE lang WHEN 'en' THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.15 AS DOUBLE) END
+      |       * (CAST(0.6 AS DOUBLE) * total_size)) / group_size) AS rate
+      |  FROM tot, g),
+      |kept AS (
+      |  SELECT d.lang, d.n_chars, r.rate
+      |  FROM documents d JOIN rates r USING (lang)
+      |  WHERE (CAST(CAST('0x' || substr(md5('mix:' || doc_id), 1, 8) AS BIGINT) AS DOUBLE)
+      |         + CAST(1.0 AS DOUBLE)) / CAST(4294967296 AS DOUBLE) < r.rate)
+      |SELECT lang, round(rate, 6) AS keep_rate, count(*) AS n_kept,
+      |       CAST(sum(n_chars) AS BIGINT) AS size_kept
+      |FROM kept GROUP BY 1, 2""".stripMargin
+
+  /** Temperature-scaled mixing weights ([[Sampling
+   *  .temperatureMixWeights]]): p ∝ n^0.3 per source — the T5/Pile
+   *  oversampling recipe as a first-class report. */
+  private[graft] def temperatureMixQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMixWeights(docs(s, dir), "source", "n_chars",
+      alpha = 0.3)
+
+  private[graft] val temperatureMixOracle =
+    """WITH s AS (
+      |  SELECT source AS "group", CAST(sum(n_chars) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+      |         sum(pow(n_tokens, CAST(0.3 AS DOUBLE))) AS z
+      |  FROM s)
+      |SELECT "group", n_tokens,
+      |  round(n_tokens / CAST(total AS DOUBLE), 6) AS natural_share,
+      |  round(pow(n_tokens, CAST(0.3 AS DOUBLE)) / z, 6) AS scaled_share,
+      |  round((pow(n_tokens, CAST(0.3 AS DOUBLE)) / z)
+      |    / (n_tokens / CAST(total AS DOUBLE)), 6) AS sampling_factor
+      |FROM s CROSS JOIN t""".stripMargin
+
+  /** DSIR importance selection ([[Sampling.dsirWeights]]): hashed-unigram
+   *  log-likelihood-ratio weights against the src0 slice as the target
+   *  domain, top-100 by (weight desc, doc_id) — a TakeOrdered, not a
+   *  global sort. */
+  private[graft] def dsirSelectQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.dsirWeights(docs(s, dir), "text", "doc_id",
+      col("source") === "src0", buckets = 256, alpha = 0.5)
+      .orderBy(col("weight").desc, col("doc_id")).limit(100)
+
+  private[graft] val dsirSelectOracle =
+    """WITH t AS (
+      |  SELECT doc_id, source = 'src0' AS is_t,
+      |    CAST('0x' || substr(md5(unnest(regexp_split_to_array(trim(lower(text)), '\s+'))), 1, 8) AS BIGINT)
+      |      % 256 AS bucket
+      |  FROM documents),
+      |pdb AS (SELECT doc_id, is_t, bucket, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+      |cr AS (SELECT bucket, sum(tf) AS cr FROM pdb GROUP BY 1),
+      |ct AS (SELECT bucket, sum(tf) AS ct FROM pdb WHERE is_t GROUP BY 1),
+      |n AS (SELECT (SELECT sum(cr) FROM cr) AS nr,
+      |             (SELECT coalesce(sum(ct), 0) FROM ct) AS nt),
+      |r AS (
+      |  SELECT cr.bucket,
+      |    ln((coalesce(ct.ct, 0) + CAST(0.5 AS DOUBLE)) / (n.nt + CAST(128.0 AS DOUBLE)))
+      |    - ln((cr.cr + CAST(0.5 AS DOUBLE)) / (n.nr + CAST(128.0 AS DOUBLE))) AS lr
+      |  FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN n)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |       round(sum(tf * lr), 6) AS weight
+      |FROM pdb JOIN r USING (bucket)
+      |GROUP BY doc_id
+      |ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin
+
+  /** Exact-k-per-group uniform sample ([[Sampling.groupSample]]):
+   *  40 docs per language by (md5, id) order — deterministic
+   *  without-replacement per-stratum draw. */
+  private[graft] def groupSampleQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.groupSample(docs(s, dir), "lang", "doc_id", k = 40)
+
+  private[graft] val groupSampleOracle =
+    """SELECT lang, doc_id, sample_key FROM (
+      |  SELECT lang, doc_id, md5('gs:' || doc_id) AS sample_key,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5('gs:' || doc_id), doc_id) AS rn
+      |  FROM documents) WHERE rn <= 40""".stripMargin
+
+  /** Repetition ratio (1 − distinct/total n-grams): the cheap
+   *  boilerplate/spam signal, at word (n=1) and 3-gram granularity. */
+  private[graft] def textRepetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.repetitionRatio(col("text"), 3).as("rep_ratio_3"),
+      TextAnalysis.repetitionRatio(col("text"), 1).as("rep_ratio_1"))
+
+  private[graft] val textRepetitionOracle =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS words,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2, 0)),
+      |      i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[i:i+2], ' '))) AS sh3,
+      |    list_distinct(CASE WHEN length(trim(text)) = 0 THEN []
+      |      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS sh1
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN greatest(words - 2, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+      |       ELSE CAST(1.0 AS DOUBLE) - CAST(len(sh3) AS DOUBLE) / greatest(words - 2, 0) END AS rep_ratio_3,
+      |  CASE WHEN words = 0 THEN CAST(0.0 AS DOUBLE)
+      |       ELSE CAST(1.0 AS DOUBLE) - CAST(len(sh1) AS DOUBLE) / words END AS rep_ratio_1
+      |FROM w""".stripMargin
+
+  /** MinHash/LSH near-dup — deterministic hash family; xxhash64 has no
+   *  DuckDB equivalent, so this is a rows-only check. */
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDuplicates(docs(s, dir), "text", "doc_id",
+      n = 3, k = 64, bands = 16, threshold = 0.05)
+
+  /** SimHash near-dup — rows-only (xxhash64-based). maxHamming=3 matches
+   *  the 4×16-bit chunk pigeonhole guarantee exactly (DedupRecallSpec pins
+   *  bucketed ⊇ exact); wider radii raise the chunk count automatically. */
+  private[graft] def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDuplicates(docs(s, dir), "text", "doc_id", maxHamming = 3)
+
+  /** MinHash/LSH under the md5 family — the oracle-mode twin of
+   *  q_minhash_pairs: every intermediate (slot mins, band hashes,
+   *  candidate set, verified Jaccard) is value-checked by DuckDB.
+   *  doc_id < 1000 bounds the k×-hashing replay cost at bench scale
+   *  (it covers the ENTIRE corpus at the sf0.01 oracle scale — same
+   *  pattern as q_embed_neardup's vec_id < 400); the production-family
+   *  q_minhash_pairs carries the full-corpus benchmark. */
+  private[graft] def minhashPairsMd5(s: SparkSession, dir: String): DataFrame =
+    // widened: 64 md5s/doc of oracle-replayable signature compute would
+    // otherwise run on the single-row-group scan's one task (−2 s)
+    Dedup.minhashNearDuplicatesMd5(
+      widenForCompute(docs(s, dir).filter(col("doc_id") < 1000)),
+      "text", "doc_id", n = 3, k = 64, bands = 16, threshold = 0.05)
+
+  /** DuckDB replica of the full MinHash-md5 pipeline: shingle → per-slot
+   *  md5 min → band hash → bucket join → exact-Jaccard verify. */
+  private[graft] val minhashPairsMd5Oracle =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2, 0)),
+      |    i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[i:i+2], ' '))) AS shingles
+      |  FROM documents WHERE doc_id < 1000),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |slots AS (
+      |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS slot
+      |  FROM ex, generate_series(0, 63) g(i)
+      |  GROUP BY doc_id, i),
+      |banded AS (
+      |  SELECT doc_id, i // 4 AS band, md5(string_agg(slot, ',' ORDER BY i)) AS band_hash
+      |  FROM slots GROUP BY doc_id, i // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM banded a JOIN banded b USING (band, band_hash)
+      |  WHERE a.doc_id < b.doc_id),
+      |sized AS (SELECT doc_id, shingles, len(shingles) AS set_size FROM sh),
+      |ver AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |      (a.set_size + b.set_size - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+      |  FROM cand c JOIN sized a ON c.id_a = a.doc_id JOIN sized b ON c.id_b = b.doc_id)
+      |SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.05""".stripMargin
+
+  /** SimHash under the md5 family — oracle-mode twin of q_simhash_pairs
+   *  (bigram shingles, 64-bit votes, 4×16-bit chunk buckets, hamming ≤ 3). */
+  private[graft] def simhashPairsMd5(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDuplicatesMd5(docs(s, dir).filter(col("doc_id") < 1000),
+      "text", "doc_id", n = 2, maxHamming = 3)
+
+  /** DuckDB replica of the SimHash-md5 pipeline: bit b of a shingle's hash
+   *  is bit (b%4) of hex nibble (b/4) of md5; ±1 votes per bit; sign →
+   *  64-char signature string; 16-char chunk buckets; char-diff hamming. */
+  private[graft] val simhashPairsMd5Oracle =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+      |  FROM documents WHERE doc_id < 1000),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(words) - 1, 0)),
+      |    i -> array_to_string(words[i:i+1], ' '))) AS shingles FROM w),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |votes AS (
+      |  SELECT doc_id, b,
+      |    sum((((strpos('0123456789abcdef', substr(md5(s), b // 4 + 1, 1)) - 1)
+      |          >> (b % 4)) & 1) * 2 - 1) AS v
+      |  FROM ex, generate_series(0, 63) g(b)
+      |  GROUP BY doc_id, b),
+      |sigs AS (
+      |  SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS sig
+      |  FROM votes GROUP BY doc_id),
+      |chunked AS (
+      |  SELECT doc_id, sig, c AS chunk_idx, substr(sig, c * 16 + 1, 16) AS chunk
+      |  FROM sigs, generate_series(0, 3) gc(c)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+      |  FROM chunked a JOIN chunked b USING (chunk_idx, chunk)
+      |  WHERE a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM (
+      |  SELECT id_a, id_b,
+      |    len(list_filter(generate_series(1, 64), i -> substr(sig_a, i, 1) <> substr(sig_b, i, 1))) AS hamming
+      |  FROM cand) WHERE hamming <= 3""".stripMargin
+
+  private[graft] def textStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("tokens"),
+      TextAnalysis.approxBpeTokenCount(col("text")).as("bpe_tokens"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio_en"),
+      TextAnalysis.languageId(col("text")).as("lang_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+
+  private[graft] val textStatsOracle = {
+    def stopLit(lang: String) =
+      "[" + TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ") + "]"
+    s"""WITH w AS (
+       |  SELECT doc_id, text,
+       |         regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |         list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dw
+       |  FROM documents
+       |), hits AS (
+       |  SELECT doc_id, text, toks, dw,
+       |    len(list_intersect(dw, ${stopLit("de")})) AS h_de,
+       |    len(list_intersect(dw, ${stopLit("en")})) AS h_en,
+       |    len(list_intersect(dw, ${stopLit("es")})) AS h_es,
+       |    len(list_intersect(dw, ${stopLit("fr")})) AS h_fr,
+       |    len(list_intersect(dw, ${stopLit("zh")})) AS h_zh,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS tokens,
+       |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS pr
+       |  FROM w
+       |)
+       |SELECT doc_id,
+       |  CAST(tokens AS INT) AS tokens,
+       |  CAST(len(regexp_extract_all(text, '\\S{1,4}')) AS BIGINT) AS bpe_tokens,
+       |  pr AS punct_ratio,
+       |  CAST(len(list_intersect(dw, ${stopLit("en")})) AS DOUBLE) / len(dw) AS stopword_ratio_en,
+       |  CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+       |       WHEN h_zh = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+       |       WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+       |       WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+       |       WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+       |       ELSE 'de' END AS lang_id,
+       |  round(
+       |    CAST(CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1.0
+       |          WHEN length(text) BETWEEN 20 AND 99 THEN 0.5 ELSE 0.1 END AS DOUBLE) * CAST(0.4 AS DOUBLE) +
+       |    CAST(CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.3 END AS DOUBLE) * CAST(0.2 AS DOUBLE) +
+       |    CAST(CASE WHEN tokens > 0 AND CAST(length(text) AS DOUBLE) / tokens BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.4 END AS DOUBLE) * CAST(0.2 AS DOUBLE) +
+       |    CAST(CASE WHEN CAST(len(list_intersect(dw, ${stopLit("en")})) AS DOUBLE) / len(dw) >= 0.01 THEN 1.0 ELSE 0.6 END AS DOUBLE) * CAST(0.2 AS DOUBLE),
+       |    6) AS quality
+       |FROM hits""".stripMargin
+  }
+
+  /** Per-language quality calibration: percent_rank of the heuristic
+   *  quality score WITHIN each language — the standard cross-lingual
+   *  normalization before a global quality cut (raw heuristic scores are
+   *  not comparable across languages; percentiles are). Deterministic:
+   *  the window orders by (quality, doc_id) so ranks are total, and
+   *  percent_rank's (rank−1)/(n−1) is an exact integer ratio. One
+   *  hash-exchange on lang, no sort-the-world. */
+  private[graft] def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .withColumn("quality_pct", round(percent_rank().over(w), 6))
+  }
+
+  private[graft] val qualityCalibrationOracle = {
+    def stopLit(lang: String) =
+      "[" + TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ") + "]"
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tokens,
+       |    list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dw,
+       |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS pr
+       |  FROM documents
+       |), q AS (
+       |  SELECT doc_id, lang,
+       |    round(
+       |      CAST(CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1.0
+       |            WHEN length(text) BETWEEN 20 AND 99 THEN 0.5 ELSE 0.1 END AS DOUBLE) * CAST(0.4 AS DOUBLE) +
+       |      CAST(CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.3 END AS DOUBLE) * CAST(0.2 AS DOUBLE) +
+       |      CAST(CASE WHEN tokens > 0 AND CAST(length(text) AS DOUBLE) / tokens BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.4 END AS DOUBLE) * CAST(0.2 AS DOUBLE) +
+       |      CAST(CASE WHEN CAST(len(list_intersect(dw, ${stopLit("en")})) AS DOUBLE) / len(dw) >= 0.01 THEN 1.0 ELSE 0.6 END AS DOUBLE) * CAST(0.2 AS DOUBLE),
+       |      6) AS quality
+       |  FROM w)
+       |SELECT doc_id, lang, quality,
+       |  round(percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id), 6) AS quality_pct
+       |FROM q""".stripMargin
+  }
+
+  /** Quality-ordered token-budget fill ([[Sampling.budgetFill]]): each
+   *  language keeps its best documents (by the 6-dp heuristic quality)
+   *  until half the language's chars are spent, at quality-BUCKET
+   *  granularity — the heavy data never sorts; the only window runs over
+   *  the tiny (lang × distinct-quality) bucket frame, then a broadcast
+   *  semi-join filters the corpus. */
+  private[graft] def budgetFillQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.budgetFill(docs(s, dir), "lang", "n_chars",
+      TextAnalysis.qualityScore(col("text")), budgetFrac = 0.5)
+
+  private[graft] val budgetFillOracle = {
+    def stopLit(lang: String) =
+      "[" + TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ") + "]"
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, n_chars, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tokens,
+       |    list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dw,
+       |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS pr
+       |  FROM documents
+       |), q AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    round(
+       |      CAST(CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1.0
+       |            WHEN length(text) BETWEEN 20 AND 99 THEN 0.5 ELSE 0.1 END AS DOUBLE) * CAST(0.4 AS DOUBLE) +
+       |      CAST(CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.3 END AS DOUBLE) * CAST(0.2 AS DOUBLE) +
+       |      CAST(CASE WHEN tokens > 0 AND CAST(length(text) AS DOUBLE) / tokens BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.4 END AS DOUBLE) * CAST(0.2 AS DOUBLE) +
+       |      CAST(CASE WHEN CAST(len(list_intersect(dw, ${stopLit("en")})) AS DOUBLE) / len(dw) >= 0.01 THEN 1.0 ELSE 0.6 END AS DOUBLE) * CAST(0.2 AS DOUBLE),
+       |      6) AS q
+       |  FROM w
+       |), b AS (SELECT lang, q, sum(n_chars) AS bucket_sz FROM q GROUP BY 1, 2),
+       |c AS (SELECT lang, q,
+       |        coalesce(sum(bucket_sz) OVER (PARTITION BY lang ORDER BY q DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |      FROM b),
+       |t AS (SELECT lang, sum(n_chars) AS total_sz FROM q GROUP BY 1),
+       |keepb AS (SELECT c.lang, c.q FROM c JOIN t USING (lang)
+       |          WHERE CAST(cum_before AS DOUBLE) < CAST(0.5 AS DOUBLE) * CAST(total_sz AS DOUBLE))
+       |SELECT q.lang, min(q.q) AS q_threshold, count(*) AS n_kept,
+       |  CAST(sum(q.n_chars) AS BIGINT) AS size_kept
+       |FROM q JOIN keepb ON q.lang = keepb.lang AND q.q = keepb.q
+       |GROUP BY q.lang""".stripMargin
+  }
+
+  /** Gopher-family repetition filter ([[TextAnalysis.topNgramDominance]]):
+   *  most frequent word 2-gram per doc and its share of all 2-gram
+   *  occurrences; ties break lexicographically. Docs with < 2 words have
+   *  no 2-grams and are absent (both engines). */
+  private[graft] def topNgramQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topNgramDominance(docs(s, dir), "text", "doc_id", n = 2)
+
+  private[graft] val topNgramOracle =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, greatest(len(words) - 1, 0)),
+      |    i -> array_to_string(words[i:i+1], ' '))) AS gram
+      |  FROM w),
+      |c AS (SELECT doc_id, gram, count(*) AS occurrences FROM g GROUP BY 1, 2),
+      |t AS (SELECT doc_id, count(*) AS total_grams FROM g GROUP BY 1),
+      |r AS (SELECT doc_id, gram, occurrences,
+      |        row_number() OVER (PARTITION BY doc_id ORDER BY occurrences DESC, gram) AS rn
+      |      FROM c)
+      |SELECT r.doc_id, r.gram AS top_gram, r.occurrences, t.total_grams,
+      |  round(CAST(r.occurrences AS DOUBLE) / CAST(t.total_grams AS DOUBLE), 6) AS dominance
+      |FROM r JOIN t USING (doc_id) WHERE rn = 1""".stripMargin
+
+  /** Vocabulary build + OOV scoring ([[TextAnalysis.vocabOov]]): top-16
+   *  words by (count desc, word) become the vocab; per-doc OOV rate
+   *  against it. Count agg is map-side combined, top-K is TakeOrdered,
+   *  vocab re-joins broadcast. */
+  private[graft] def vocabOovQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabOov(docs(s, dir), "text", "doc_id", vocabSize = 16)
+
+  private[graft] val vocabOovOracle =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |  FROM documents),
+      |v AS (
+      |  SELECT w FROM (
+      |    SELECT w, count(*) AS c FROM t GROUP BY w
+      |    ORDER BY c DESC, w LIMIT 16))
+      |SELECT t.doc_id, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  round(CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS oov_rate
+      |FROM t LEFT JOIN v ON t.w = v.w
+      |GROUP BY t.doc_id""".stripMargin
+
+  /** Winnowing fingerprints ([[TextAnalysis.winnowFingerprints]]):
+   *  MOSS-style window-min selection over word-3-gram hashes (w=4),
+   *  exploded to (doc, fp) — pure higher-order-function Column, no
+   *  shuffle before the explode. */
+  private[graft] def winnowFpsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowFingerprintsDF(docs(s, dir), "text", "doc_id",
+      k = 3, w = 4)
+
+  private[graft] val winnowFpsOracle =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+      |    i -> array_to_string(ws[i:i+2], ' ')) AS grams FROM w),
+      |h AS (
+      |  SELECT doc_id, list_transform(grams,
+      |    x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hs FROM g),
+      |m AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(hs) - 3, 0)),
+      |    i -> list_min(hs[i:i+3]))) AS fps FROM h)
+      |SELECT doc_id, unnest(fps) AS fp FROM m""".stripMargin
+
+  /** Curriculum export order: every doc globally ranked easy→hard
+   *  (quality desc, then length asc, doc_id tiebreak) — the one
+   *  operator that legitimately NEEDS a global sort: a training loader
+   *  consumes rank ranges, so per-partition order alone is not enough.
+   *  The rank is computed as orderBy (a RANGE exchange — sampled
+   *  bounds, each executor sorts its own range) + `zipWithIndex` over
+   *  the sorted partitions (one extra pass to learn per-partition
+   *  counts, then offset-local indices). No stage ever holds more
+   *  than its range. An unpartitioned `row_number()` window would
+   *  instead drag EVERY row to one partition — the 100 TB OOM this
+   *  shape exists to avoid. */
+  private[graft] def curriculumOrderQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = docs(s, dir).select(col("doc_id"), col("n_chars"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy(col("quality").desc, col("n_chars"), col("doc_id"))
+    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq((i + 1L) +: r.toSeq)
+    }
+    s.createDataFrame(ranked,
+        StructType(StructField("curriculum_rank", LongType, nullable = false) +:
+          sorted.schema.fields))
+      .select(col("curriculum_rank"), col("doc_id"), col("quality"), col("n_chars"))
+  }
+
+  private[graft] val curriculumOrderOracle = {
+    def stopLit(lang: String) =
+      "[" + TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ") + "]"
+    s"""WITH w AS (
+       |  SELECT doc_id, n_chars, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tokens,
+       |    list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dw,
+       |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS pr
+       |  FROM documents
+       |), q AS (
+       |  SELECT doc_id, n_chars,
+       |    round(
+       |      CAST(CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1.0
+       |            WHEN length(text) BETWEEN 20 AND 99 THEN 0.5 ELSE 0.1 END AS DOUBLE) * CAST(0.4 AS DOUBLE) +
+       |      CAST(CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.3 END AS DOUBLE) * CAST(0.2 AS DOUBLE) +
+       |      CAST(CASE WHEN tokens > 0 AND CAST(length(text) AS DOUBLE) / tokens BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.4 END AS DOUBLE) * CAST(0.2 AS DOUBLE) +
+       |      CAST(CASE WHEN CAST(len(list_intersect(dw, ${stopLit("en")})) AS DOUBLE) / len(dw) >= 0.01 THEN 1.0 ELSE 0.6 END AS DOUBLE) * CAST(0.2 AS DOUBLE),
+       |      6) AS quality
+       |  FROM w)
+       |SELECT CAST(row_number() OVER (ORDER BY quality DESC, n_chars, doc_id) AS BIGINT)
+       |    AS curriculum_rank,
+       |  doc_id, quality, n_chars
+       |FROM q""".stripMargin
+  }
+
+  /** Word burstiness ([[TextAnalysis.wordDispersion]]): index of
+   *  dispersion of per-doc counts (zeros included) for the top-20
+   *  words — content words burst, function words are near-Poisson. */
+  private[graft] def wordDispersionQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.wordDispersion(docs(s, dir), "text", "doc_id", k = 20)
+
+  private[graft] val wordDispersionOracle =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |  FROM documents),
+      |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+      |top AS (
+      |  SELECT w, CAST(sum(c) AS BIGINT) AS total FROM c
+      |  GROUP BY 1 ORDER BY total DESC, w LIMIT 20),
+      |grid AS (SELECT top.w, top.total, d.doc_id FROM top CROSS JOIN documents d),
+      |dense AS (
+      |  SELECT g.w, g.total, CAST(coalesce(c.c, 0) AS DOUBLE) AS c
+      |  FROM grid g LEFT JOIN c ON c.doc_id = g.doc_id AND c.w = g.w),
+      |st AS (
+      |  SELECT w, total, avg(c) AS mu,
+      |    avg(c * c) - avg(c) * avg(c) AS var
+      |  FROM dense GROUP BY 1, 2)
+      |SELECT w AS word, total, round(mu, 6) AS mean_per_doc,
+      |  round(var / mu, 6) AS dispersion
+      |FROM st""".stripMargin
+
+  /** Zipf rank–frequency fit ([[TextAnalysis.zipfFit]]): least-squares
+   *  slope/intercept/R² of ln(freq) vs ln(rank) over the top-30 words
+   *  (the corpus vocab is 31 words) — corpus-health regression. */
+  private[graft] def zipfFitQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfFit(docs(s, dir), "text", k = 30)
+
+  private[graft] val zipfFitOracle =
+    """WITH t AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |  FROM documents),
+      |c AS (SELECT w, count(*) AS c FROM t GROUP BY 1 ORDER BY c DESC, w LIMIT 30),
+      |r AS (
+      |  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS x,
+      |         ln(CAST(c AS DOUBLE)) AS y
+      |  FROM c),
+      |a AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+      |         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM r)
+      |SELECT CAST(n AS BIGINT) AS n_words,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+      |  round(pow(n * sxy - sx * sy, CAST(2.0 AS DOUBLE))
+      |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM a""".stripMargin
+
+  /** Vocabulary growth curve ([[TextAnalysis.vocabGrowth]]): new word
+   *  BIGRAMS introduced per 25-doc ingestion bucket + running
+   *  vocabulary — Heaps'-law saturation analytics (the unigram vocab
+   *  of this corpus saturates in the first bucket). */
+  private[graft] def vocabGrowthQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabGrowth(docs(s, dir), "text", "doc_id",
+      bucketSize = 25L, n = 2)
+
+  private[graft] val vocabGrowthOracle =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, greatest(len(ws) - 1, 0)),
+      |    i -> array_to_string(ws[i:i+1], ' '))) AS w
+      |  FROM w),
+      |f AS (SELECT w, min(doc_id) AS first_doc FROM t GROUP BY 1),
+      |b AS (SELECT first_doc // 25 AS bucket, count(*) AS n_new_words FROM f GROUP BY 1)
+      |SELECT bucket, n_new_words,
+      |  CAST(sum(n_new_words) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+      |FROM b""".stripMargin
+
+  /** Deflate compression ratio ([[TextAnalysis.compressionRatio]]) —
+   *  rows-only: no compressor exists in DuckDB SQL; the values are
+   *  pinned by TextExpressionsSpec against java.util.zip directly
+   *  (same evidence pattern as the xxhash64 hash families). */
+  private[graft] def compressionRatioQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      round(TextAnalysis.compressionRatio(col("text")), 6).as("deflate_ratio"))
+
+  /** Character-distribution entropy (the alphabet-skew redundancy axis;
+   *  deflate-ratio covers the repeated-structure axis). Unlike deflate,
+   *  the entropy formula replays exactly in SQL → value-level oracle. */
+  private[graft] def charEntropyQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      round(TextAnalysis.charEntropy(col("text")), 6).as("entropy"))
+
+  private[graft] val charEntropyOracle =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS c
+      |  FROM documents WHERE length(text) > 0),
+      |cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS total FROM cnt GROUP BY 1),
+      |e AS (
+      |  SELECT cnt.doc_id,
+      |    round(-sum((n / total) * (ln(n / total) / ln(CAST(2.0 AS DOUBLE)))), 6) AS entropy
+      |  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id GROUP BY 1)
+      |SELECT doc_id, entropy FROM e
+      |UNION ALL
+      |SELECT doc_id, CAST(0.0 AS DOUBLE) AS entropy
+      |FROM documents WHERE length(text) = 0""".stripMargin
+
+  /** Feature-hashing embedder ([[TextAnalysis.hashEmbed]]): 64-bucket
+   *  hashed-tf vectors, L2-normalized, in sparse exploded form. */
+  private[graft] def hashEmbedQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashEmbed(docs(s, dir), "text", "doc_id", dims = 64)
+
+  private[graft] val hashEmbedOracle =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 64 AS bucket,
+      |    count(*) AS tf
+      |  FROM t GROUP BY 1, 2)
+      |SELECT doc_id, bucket, tf,
+      |  round(CAST(tf AS DOUBLE) /
+      |    sqrt(CAST(sum(tf * tf) OVER (PARTITION BY doc_id) AS DOUBLE)), 6) AS weight
+      |FROM tf""".stripMargin
+
+  /** Token counting: whitespace + BPE-ish regex classes. */
+  private[graft] def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+      TextAnalysis.regexTokenCount(col("text")).as("bpe_regex_tokens"))
+
+  private[graft] val tokenCountsOracle =
+    s"""SELECT doc_id,
+       |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '${TextAnalysis.bpeTokenPattern.replace("'", "''")}')) AS INT) AS bpe_regex_tokens
+       |FROM documents""".stripMargin
+
+  /** Embedding-cosine near-dup: exact pairs (oracle) — the baseline for
+   *  the LSH-bucketed scale path. */
+}
