@@ -215,6 +215,150 @@ private[graft] trait RelationalQueries { this: Queries.type =>
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** Registers the five TPC-H tables as temp views so the decorrelation
+    * queries below can be stated as literal correlated-subquery SQL —
+    * the POINT of the family is that Catalyst (not hand-rewriting)
+    * turns EXISTS / NOT EXISTS / correlated scalar aggregates into
+    * joins; PlanSpec pins that no per-row re-execution survives. */
+  private[graft] def tpchViews(s: SparkSession, dir: String): Unit =
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation")
+      .foreach(n => s.read.parquet(t(dir, n)).createOrReplaceTempView(s"tpch_$n"))
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): the CORRELATED
+    * SCALAR AGGREGATE family — the outer row compares against an
+    * aggregate of its own part's lineitems. Stated as two correlated
+    * scalar subqueries over the same inner table (count and sum), which
+    * Catalyst decorrelates into aggregate-then-join (and may merge into
+    * one shared aggregate). The classic `qty < 0.2 * avg(qty)` is
+    * restated integer-exactly as `5 * qty * cnt < sum` so no
+    * cross-engine division rounding exists (quantities are integral
+    * doubles; floor() is the one double→int both engines define
+    * identically). Adapted to the driver's schema (no p_container;
+    * p_brand + p_type select the part slice). */
+  private[graft] def tpchQ17Q(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql("""
+      SELECT count(*) AS n_small,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7e0 AS avg_yearly
+      FROM tpch_lineitem, tpch_part
+      WHERE p_partkey = l_partkey
+        AND p_brand = 'Brand#4'
+        AND p_type = 'MEDIUM'
+        AND CAST(floor(l_quantity) AS BIGINT) * 5 *
+            (SELECT count(*) FROM tpch_lineitem l2 WHERE l2.l_partkey = p_partkey)
+          < (SELECT sum(CAST(floor(l3.l_quantity) AS BIGINT))
+             FROM tpch_lineitem l3 WHERE l3.l_partkey = p_partkey)""")
+  }
+
+  private[graft] val tpchQ17Oracle =
+    """SELECT count(*) AS n_small,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7e0
+      |    AS DOUBLE) AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand = 'Brand#4'
+      |  AND p_type = 'MEDIUM'
+      |  AND CAST(floor(l_quantity) AS BIGINT) * 5 *
+      |      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      |    < (SELECT sum(CAST(floor(l3.l_quantity) AS BIGINT))
+      |       FROM lineitem l3 WHERE l3.l_partkey = p_partkey)""".stripMargin
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the MULTI-WAY
+    * EXISTS / NOT-EXISTS family — three correlated references to the
+    * SAME fact table. Catalyst rewrites the EXISTS into a left-semi and
+    * the NOT EXISTS into a left-anti join on the order key; no per-row
+    * re-execution survives (PlanSpec pins it). Adapted to the driver's
+    * schema (no l_receiptdate/l_commitdate: `l_returnflag = 'R'` is the
+    * "this supplier failed" marker — the supplier is the ONLY one in a
+    * finished multi-supplier order whose lines came back returned).
+    * Integer/string-only output: deterministic by construction. */
+  private[graft] def tpchQ21Q(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql("""
+      SELECT s_name, count(*) AS numwait
+      FROM tpch_supplier, tpch_lineitem l1, tpch_orders, tpch_nation
+      WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM tpch_lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM tpch_lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_returnflag = 'R')
+        AND s_nationkey = n_nationkey
+        AND n_name IN ('NATION_1','NATION_2','NATION_3')
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""")
+  }
+
+  private[graft] val tpchQ21Oracle =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |              WHERE l3.l_orderkey = l1.l_orderkey
+      |                AND l3.l_suppkey <> l1.l_suppkey
+      |                AND l3.l_returnflag = 'R')
+      |  AND s_nationkey = n_nationkey
+      |  AND n_name IN ('NATION_1','NATION_2','NATION_3')
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
+  /** TPC-H Q20 shape (excess-inventory suppliers): the NESTED SEMI-JOIN
+    * CHAIN family — supplier IN (aggregated lineitem slice IN (part
+    * slice)) with a correlated scalar sum gating the aggregate. The
+    * derived-table-with-correlated-scalar form (share of a part's
+    * all-time volume shipped by one supplier in the window, stated as
+    * `shipped * 16 > total` in exact BIGINTs) is what Catalyst must
+    * decorrelate twice: the scalar sum into aggregate-then-join, the
+    * INs into left-semi joins. Adapted to the driver's schema (no
+    * partsupp: lineitem plays the supplies-relation role). */
+  private[graft] def tpchQ20Q(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql("""
+      SELECT s_name, s_suppkey
+      FROM tpch_supplier, tpch_nation
+      WHERE s_suppkey IN (
+        SELECT g.l_suppkey FROM (
+          SELECT l_suppkey, l_partkey,
+            sum(CAST(floor(l_quantity) AS BIGINT)) AS shipped
+          FROM tpch_lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM tpch_part
+                              WHERE p_name LIKE 'small%')
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY 1, 2) g
+        WHERE g.shipped * 16 > (SELECT sum(CAST(floor(l4.l_quantity) AS BIGINT))
+                                FROM tpch_lineitem l4
+                                WHERE l4.l_partkey = g.l_partkey))
+        AND s_nationkey = n_nationkey
+        AND n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
+      ORDER BY s_name""")
+  }
+
+  private[graft] val tpchQ20Oracle =
+    """SELECT s_name, s_suppkey
+      |FROM supplier, nation
+      |WHERE s_suppkey IN (
+      |  SELECT g.l_suppkey FROM (
+      |    SELECT l_suppkey, l_partkey,
+      |      sum(CAST(floor(l_quantity) AS BIGINT)) AS shipped
+      |    FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part
+      |                        WHERE p_name LIKE 'small%')
+      |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |      AND l_shipdate < TIMESTAMP '1998-01-01'
+      |    GROUP BY 1, 2) g
+      |  WHERE g.shipped * 16 > (SELECT sum(CAST(floor(l4.l_quantity) AS BIGINT))
+      |                          FROM lineitem l4
+      |                          WHERE l4.l_partkey = g.l_partkey))
+      |  AND s_nationkey = n_nationkey
+      |  AND n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
+      |ORDER BY s_name""".stripMargin
+
   /** Semi/anti joins: customers with vs without orders per segment. */
   private[graft] def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
     val customer = s.read.parquet(t(dir, "customer"))

@@ -71,6 +71,38 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Exchange rangepartitioning") == 0)
   }
 
+  test("q_tpch_q17: correlated scalar aggregates decorrelate — no per-row subquery") {
+    val p = plan("q_tpch_q17")
+    // the two correlated scalar aggregates become grouped aggregates
+    // broadcast-joined back on the part key (the count-bug-correct
+    // LeftOuter form); nothing re-executes per outer row
+    assert(!p.contains("ScalarSubquery"), "scalar subquery must decorrelate")
+    assert(p.contains("LeftOuter"), "count-subquery needs the outer-join (count-bug) form")
+    assert(p.contains("EqualTo(p_brand,Brand#4)"), "part slice pushed to the scan")
+    assert(count(p, "SortMergeJoin") == 0)
+  }
+
+  test("q_tpch_q20: nested semi-join chain — INs become LeftSemi, scalar sum joins back") {
+    val p = plan("q_tpch_q20")
+    // 3 = supplier-IN + part-IN + the part-domain constraint Catalyst
+    // replicates into the correlated-sum branch (so the all-time total
+    // aggregates only the selected parts, not the whole fact table)
+    assert(count(p, "LeftSemi") == 3, "IN subqueries must plan as left-semi joins")
+    assert(!p.contains("ScalarSubquery"), "correlated sum must decorrelate")
+    assert(p.contains("StringStartsWith(p_name,small)"), "LIKE prefix pushed to the scan")
+    assert(count(p, "SortMergeJoin") == 0)
+  }
+
+  test("q_tpch_q21: EXISTS→semi, NOT EXISTS→anti, top-100 is TakeOrdered") {
+    val p = plan("q_tpch_q21")
+    assert(count(p, "LeftSemi") == 1)
+    assert(count(p, "LeftAnti") == 1)
+    assert(p.contains("EqualTo(o_orderstatus,F)"))
+    assert(p.contains("EqualTo(l_returnflag,R)"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(count(p, "Exchange rangepartitioning") == 0, "top-100 must not global-sort")
+  }
+
   test("q_ode_field_validations: zero exchanges — validation is partition-parallel") {
     val p = plan("q_ode_field_validations")
     assert(count(p, "Exchange ") == 0)
