@@ -1319,6 +1319,137 @@ private[graft] trait ExperimentQueries { this: Queries.type =>
       |  chi2 > 384e-2 AS mismatch
       |FROM x, mx WHERE day < mx.last_day""".stripMargin
 
+  /** The LIVE face of the Mann-Whitney rank-sum monitor
+   *  ([[graft.streaming.EventAnalytics.mwMonitor]]): the cumulative
+   *  tie-credited 2U and its tie-corrected normal z over the fixed
+   *  512-bin integer histogram, produced by the stateful streaming fold
+   *  run here on the static frame — stream ≡ batch ≡ this oracle, which
+   *  rebuilds the per-day cumulative histograms in window SQL over the
+   *  same exact integers. */
+  private[graft] def streamingMwMonitorQ(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventAnalytics.mwMonitor(events(s, dir))
+      .toDF()
+      .select(col("day"), col("n_a"), col("n_b"), col("u2"),
+        round(col("z"), 6).as("z"), col("crossed"))
+
+  private[graft] val streamingMwMonitorOracle =
+    """WITH e AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+      |    CAST(least(greatest(floor(value), 0), 511) AS INT) AS bucket
+      |  FROM events WHERE value IS NOT NULL),
+      |mx AS (SELECT max(day) AS last_day FROM e),
+      |openarm AS (
+      |  SELECT day,
+      |    count(*) FILTER (WHERE variant = 'A') AS open_a,
+      |    count(*) FILTER (WHERE variant = 'B') AS open_b
+      |  FROM e GROUP BY 1),
+      |daily AS (
+      |  SELECT day, variant, bucket, count(*) AS n FROM e GROUP BY 1, 2, 3),
+      |grid AS (
+      |  SELECT d.day, b.bucket
+      |  FROM (SELECT DISTINCT day FROM e) d, (SELECT DISTINCT bucket FROM e) b),
+      |cum AS (
+      |  SELECT g.day, g.bucket,
+      |    COALESCE(CAST(sum(CASE WHEN dl.variant = 'A' THEN dl.n END)
+      |      AS BIGINT), 0) AS a,
+      |    COALESCE(CAST(sum(CASE WHEN dl.variant = 'B' THEN dl.n END)
+      |      AS BIGINT), 0) AS b
+      |  FROM grid g LEFT JOIN daily dl
+      |    ON dl.bucket = g.bucket AND dl.day <= g.day
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT day, bucket, a, b,
+      |    CAST(COALESCE(sum(b) OVER (PARTITION BY day ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS bless
+      |  FROM cum),
+      |agg AS (
+      |  SELECT day,
+      |    CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b,
+      |    CAST(sum(a * (2 * bless + b)) AS BIGINT) AS u2,
+      |    CAST(sum((a + b) * (a + b) * (a + b) - (a + b)) AS BIGINT) AS tsum
+      |  FROM w GROUP BY 1),
+      |z AS (
+      |  SELECT day, n_a, n_b, u2,
+      |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12e0 *
+      |      ((CAST(n_a + n_b AS DOUBLE) + 1e0) - CAST(tsum AS DOUBLE) /
+      |       (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1e0)))
+      |      AS sig2,
+      |    (CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+      |      (2e0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12e0 *
+      |       ((CAST(n_a + n_b AS DOUBLE) + 1e0) - CAST(tsum AS DOUBLE) /
+      |        (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1e0)))))
+      |      AS z
+      |  FROM agg)
+      |SELECT z.day, n_a, n_b, u2, round(z, 6) AS z, abs(z) > 25e-1 AS crossed
+      |FROM z
+      |JOIN openarm oa ON z.day = oa.day, mx
+      |WHERE z.day < mx.last_day AND oa.open_a > 0 AND oa.open_b > 0
+      |  AND n_a > 0 AND n_b > 0 AND sig2 > 0e0""".stripMargin
+
+  /** The LIVE face of the CUPED variance-reduction monitor
+   *  ([[graft.streaming.EventAnalytics.cupedMonitor]]): cumulative
+   *  pooled θ = cov(X,Y)/var(X) over exact integer moments and the
+   *  covariate-adjusted treatment effect on each day close — run here
+   *  on the static frame (stream ≡ batch ≡ this closed-days-only
+   *  window-SQL replay over the same integers). */
+  private[graft] def streamingCupedQ(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventAnalytics.cupedMonitor(events(s, dir))
+      .toDF()
+      .select(col("day"), col("n_a"), col("n_b"),
+        round(col("theta"), 6).as("theta"),
+        round(col("diff_raw"), 6).as("diff_raw"),
+        round(col("diff_adj"), 6).as("diff_adj"))
+
+  private[graft] val streamingCupedOracle =
+    """WITH e AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) AS x,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |  FROM events
+      |  WHERE value IS NOT NULL AND json_extract(props, '$.k') IS NOT NULL),
+      |mx AS (SELECT max(day) AS last_day FROM e),
+      |daily AS (
+      |  SELECT day, variant, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx
+      |  FROM e GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT variant, day,
+      |    CAST(sum(n) OVER w AS BIGINT) AS cn,
+      |    CAST(sum(sx) OVER w AS BIGINT) AS cx,
+      |    CAST(sum(sy) OVER w AS BIGINT) AS cy,
+      |    CAST(sum(sxy) OVER w AS BIGINT) AS cxy,
+      |    CAST(sum(sxx) OVER w AS BIGINT) AS cxx
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY variant ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |j AS (
+      |  SELECT a.day, a.cn AS n_a, b.cn AS n_b,
+      |    CAST(a.cn + b.cn AS DOUBLE) AS n,
+      |    CAST(a.cx + b.cx AS DOUBLE) AS sx,
+      |    CAST(a.cy + b.cy AS DOUBLE) / 1e2 AS sy,
+      |    CAST(a.cxy + b.cxy AS DOUBLE) / 1e2 AS sxy,
+      |    CAST(a.cxx + b.cxx AS DOUBLE) AS sxx,
+      |    CAST(a.cy AS DOUBLE) / 1e2 / a.cn AS ya,
+      |    CAST(b.cy AS DOUBLE) / 1e2 / b.cn AS yb,
+      |    CAST(a.cx AS DOUBLE) / a.cn AS xa,
+      |    CAST(b.cx AS DOUBLE) / b.cn AS xb
+      |  FROM cum a JOIN cum b ON a.day = b.day
+      |    AND a.variant = 'A' AND b.variant = 'B'),
+      |r AS (
+      |  SELECT day, n_a, n_b,
+      |    sxx - sx * sx / n AS var_x,
+      |    (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+      |    sx / n AS mxp, ya, yb, xa, xb
+      |  FROM j)
+      |SELECT r.day, n_a, n_b, round(theta, 6) AS theta,
+      |  round(ya - yb, 6) AS diff_raw,
+      |  round((ya - theta * (xa - mxp)) - (yb - theta * (xb - mxp)), 6)
+      |    AS diff_adj
+      |FROM r, mx WHERE r.day < mx.last_day AND var_x > 0e0""".stripMargin
+
   /** Sequential (daily-peeking) z monitor: the cumulative Welch z an
    *  experimenter watching a live dashboard sees each day, with the
    *  crossing flag against a fixed monitoring boundary — the readout

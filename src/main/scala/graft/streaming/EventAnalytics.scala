@@ -521,6 +521,225 @@ object EventAnalytics {
       })
   }
 
+  /** Bucket count for [[mwMonitor]]'s histogram state: metric values
+    * clamp into [0, MwBuckets) integer-unit bins. Fixed at declaration
+    * — a resize changes the state-store schema (cf. [[ZoneState]]). */
+  val MwBuckets = 512
+
+  final case class MwReadout(day: Long, n_a: Long, n_b: Long, u2: Long,
+                             z: Double, crossed: Boolean)
+  final case class MwState(openDay: Long,
+                           oa: Array[Long], ob: Array[Long],
+                           ca: Array[Long], cb: Array[Long])
+
+  /**
+   * STATEFUL streaming Mann-Whitney (rank-sum) day-close monitor — the
+   * nonparametric sibling of [[zMonitor]] for metrics where the Welch z
+   * is the wrong tool (heavy tails, bounded scores): on each day close
+   * it emits the cumulative Mann-Whitney z between the arms. The
+   * classic statistic needs a rank over ALL observations so far —
+   * unbounded state — so the monitor keeps the standard streaming
+   * reduction instead: a FIXED [[MwBuckets]]-bin integer histogram per
+   * arm (integer-unit value bins, clamped), from which the tie-credited
+   * statistic is EXACT over the binned data:
+   *
+   *   2U = Σ_i a_i · (2·Σ_{j<i} b_j + b_i)   (exact integers)
+   *
+   * with the tie-corrected normal approximation
+   *   z = (2U − n_a·n_b) / (2·σ),
+   *   σ² = n_a·n_b/12 · [(n+1) − Σ(t³−t)/(n(n−1))],  t = a_i + b_i.
+   *
+   * State is pure integer counts (histogram addition is commutative →
+   * per-event streaming arrival and the batch face's per-(day, arm,
+   * bucket) pre-aggregation reach identical state bit-for-bit); the
+   * single double op sequence per emission is replayed verbatim in the
+   * DuckDB oracle. Day-close / final-open-day / late-arrival semantics
+   * are [[zMonitor]]'s. Emission: both arms observed the day and the
+   * tie-corrected σ² is positive (degenerate all-one-bucket days
+   * cannot be tested).
+   */
+  def mwMonitor(events: DataFrame): Dataset[MwReadout] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = graft.ingest.Readers.tsToNanos(events)
+      .filter(col("value").isNotNull)
+      .select(expr("ts div 86400000000000").as("day"),
+        expr("CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END").as("variant"),
+        expr(s"CAST(least(greatest(floor(value), 0), ${MwBuckets - 1}) AS INT)")
+          .as("bucket"))
+    val pairs: Dataset[(Long, String, Int, Long)] =
+      if (events.isStreaming)
+        base.select(col("day").as[Long], col("variant").as[String],
+          col("bucket").as[Int], lit(1L).as[Long])
+      else
+        base.groupBy(col("day"), col("variant"), col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("day").as[Long], col("variant").as[String],
+            col("bucket").as[Int], col("n").as[Long])
+    dayCloseFold[(Long, String, Int, Long), MwState, MwReadout](
+      pairs,
+      day = _._1,
+      sortKey = r => (r._1, r._2),
+      empty = d => MwState(d, new Array[Long](MwBuckets),
+        new Array[Long](MwBuckets), new Array[Long](MwBuckets),
+        new Array[Long](MwBuckets)),
+      openDay = _.openDay,
+      withOpenDay = (s, d) => s.copy(openDay = d),
+      add = (st, r) => {
+        val (_, variant, b, n) = r
+        // in-place histogram update: the fold owns this array (it was
+        // either freshly decoded from the state store or built by
+        // empty/close within this group invocation)
+        if (variant == "A") st.oa(b) += n else st.ob(b) += n
+        st
+      },
+      close = s => {
+        val ca = new Array[Long](MwBuckets)
+        val cb = new Array[Long](MwBuckets)
+        var openA = 0L; var openB = 0L
+        var i = 0
+        while (i < MwBuckets) {
+          ca(i) = s.ca(i) + s.oa(i); cb(i) = s.cb(i) + s.ob(i)
+          openA += s.oa(i); openB += s.ob(i)
+          i += 1
+        }
+        var nA = 0L; var nB = 0L; var u2 = 0L; var tSum = 0L
+        var bLess = 0L
+        i = 0
+        while (i < MwBuckets) {
+          u2 += ca(i) * (2L * bLess + cb(i))
+          bLess += cb(i)
+          nA += ca(i); nB += cb(i)
+          val t = ca(i) + cb(i)
+          tSum += t * t * t - t
+          i += 1
+        }
+        val emitted =
+          if (openA > 0 && openB > 0 && nA > 0 && nB > 0) {
+            // the oracle's op sequence, verbatim
+            val n = (nA + nB).toDouble
+            val sig2 = nA.toDouble * nB.toDouble / 12e0 *
+              ((n + 1e0) - tSum.toDouble / (n * (n - 1e0)))
+            if (sig2 > 0e0) {
+              val z = (u2.toDouble - nA.toDouble * nB.toDouble) /
+                (2e0 * math.sqrt(sig2))
+              Some(MwReadout(s.openDay, nA, nB, u2, z, math.abs(z) > 25e-1))
+            } else None
+          } else None
+        (emitted, MwState(s.openDay, new Array[Long](MwBuckets),
+          new Array[Long](MwBuckets), ca, cb))
+      })
+  }
+
+  final case class CupedReadout(day: Long, n_a: Long, n_b: Long,
+                                theta: Double, diff_raw: Double,
+                                diff_adj: Double)
+  final case class CupedState(openDay: Long,
+                              oaN: Long, oaX: Long, oaY: Long, oaXY: Long, oaXX: Long,
+                              obN: Long, obX: Long, obY: Long, obXY: Long, obXX: Long,
+                              caN: Long, caX: Long, caY: Long, caXY: Long, caXX: Long,
+                              cbN: Long, cbX: Long, cbY: Long, cbXY: Long, cbXX: Long)
+
+  /**
+   * STATEFUL streaming CUPED day-close monitor — variance-reduced
+   * experiment readout ([[zMonitor]]'s family): each closed day emits
+   * the cumulative covariate-adjusted treatment effect
+   *
+   *   Δ_adj = (Ȳ_A − θ·X̄_A) − (Ȳ_B − θ·X̄_B),
+   *   θ = cov(X, Y) / var(X)   (pooled over both arms, the standard
+   *                             CUPED estimator)
+   *
+   * with X the pre-exposure covariate (the event's `props.k` attribute
+   * here) and Y the metric in cents. State is exact integer moments —
+   * (n, ΣX, ΣY, ΣXY, ΣXX) per arm, open-day + closed-cumulative — so
+   * within-day accumulation is LONG addition (order-free; streaming
+   * singletons ≡ batch pre-aggregation bit-for-bit) and the only
+   * floating-point is one shared op sequence per emission, replayed
+   * verbatim in the DuckDB oracle. Exactness bound: ΣXY needs
+   * x·y_cents·n < 2^63 (x ≤ 100, metric O(100) units → ~2e13 events).
+   * Day-close / final-open-day / late-arrival semantics are
+   * [[zMonitor]]'s. Emission: both arms observed the day, both
+   * cumulative n > 0, and pooled var(X) > 0.
+   */
+  def cupedMonitor(events: DataFrame): Dataset[CupedReadout] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = graft.ingest.Readers.tsToNanos(events)
+      .filter(col("value").isNotNull &&
+        get_json_object(col("props"), "$.k").isNotNull)
+      .select(expr("ts div 86400000000000").as("day"),
+        expr("CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END").as("variant"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("x"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("y"))
+    val pairs: Dataset[(Long, String, Long, Long, Long, Long, Long)] =
+      if (events.isStreaming)
+        base.select(col("day"), col("variant"),
+          lit(1L).as("n"), col("x"), col("y"),
+          (col("x") * col("y")).as("xy"), (col("x") * col("x")).as("xx"))
+          .as[(Long, String, Long, Long, Long, Long, Long)]
+      else
+        base.groupBy(col("day"), col("variant"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("day"), col("variant"), col("n"), col("sx"),
+            col("sy"), col("sxy"), col("sxx"))
+          .as[(Long, String, Long, Long, Long, Long, Long)]
+    dayCloseFold[(Long, String, Long, Long, Long, Long, Long),
+        CupedState, CupedReadout](
+      pairs,
+      day = _._1,
+      sortKey = r => (r._1, r._2),
+      empty = d => CupedState(d, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L,
+        0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L),
+      openDay = _.openDay,
+      withOpenDay = (s, d) => s.copy(openDay = d),
+      add = (st, r) => {
+        val (_, variant, n, x, y, xy, xx) = r
+        if (variant == "A")
+          st.copy(oaN = st.oaN + n, oaX = st.oaX + x, oaY = st.oaY + y,
+            oaXY = st.oaXY + xy, oaXX = st.oaXX + xx)
+        else
+          st.copy(obN = st.obN + n, obX = st.obX + x, obY = st.obY + y,
+            obXY = st.obXY + xy, obXX = st.obXX + xx)
+      },
+      close = s => {
+        val caN = s.caN + s.oaN; val caX = s.caX + s.oaX
+        val caY = s.caY + s.oaY; val caXY = s.caXY + s.oaXY
+        val caXX = s.caXX + s.oaXX
+        val cbN = s.cbN + s.obN; val cbX = s.cbX + s.obX
+        val cbY = s.cbY + s.obY; val cbXY = s.cbXY + s.obXY
+        val cbXX = s.cbXX + s.obXX
+        val emitted =
+          if (s.oaN > 0 && s.obN > 0 && caN > 0 && cbN > 0) {
+            // the oracle's op sequence, verbatim: cents→units is ONE
+            // correctly rounded division per moment (never a decimal
+            // cast), pooled θ from double moments
+            val n = (caN + cbN).toDouble
+            val sx = (caX + cbX).toDouble
+            val sy = (caY + cbY).toDouble / 1e2
+            val sxy = (caXY + cbXY).toDouble / 1e2
+            val sxx = (caXX + cbXX).toDouble
+            val varX = sxx - sx * sx / n
+            if (varX > 0e0) {
+              val theta = (sxy - sx * sy / n) / varX
+              val mxp = sx / n
+              val ya = (caY.toDouble / 1e2) / caN
+              val yb = (cbY.toDouble / 1e2) / cbN
+              val xa = caX.toDouble / caN
+              val xb = cbX.toDouble / cbN
+              val diffRaw = ya - yb
+              val diffAdj = (ya - theta * (xa - mxp)) -
+                (yb - theta * (xb - mxp))
+              Some(CupedReadout(s.openDay, caN, cbN, theta, diffRaw, diffAdj))
+            } else None
+          } else None
+        (emitted, CupedState(s.openDay, 0L, 0L, 0L, 0L, 0L,
+          0L, 0L, 0L, 0L, 0L,
+          caN, caX, caY, caXY, caXX, cbN, cbX, cbY, cbXY, cbXX))
+      })
+  }
+
   final case class ZoneTransition(user_id: Long, ts: Long, event_id: Long,
                                   from_zone: String, to_zone: String)
   /** NOTE: adding lastId (r8) changed the state-store schema — a

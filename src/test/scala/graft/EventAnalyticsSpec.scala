@@ -441,6 +441,168 @@ class EventAnalyticsSpec extends AnyFunSuite
       s"restart divergence: only-stream=${got -- batch} only-batch=${batch -- got}")
   }
 
+  test("stateful Mann-Whitney monitor: cross-batch histograms equal the " +
+    "batch face and a direct fold") {
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        math.round(r.getDouble(4) * 1e6), r.getBoolean(5))
+    val batch = EventAnalytics.mwMonitor(spark.read.parquet(eventsFile))
+      .toDF().collect().map(canon).toSet
+    assert(batch.nonEmpty, "vacuous: no day ever closes in the fixture")
+
+    // a day split across a chunk boundary must accumulate in the
+    // carried open-day histograms
+    val got = runChunkedStream("mw_monitor")(EventAnalytics.mwMonitor)
+      .map(canon).toSet
+    assert(got == batch,
+      s"stream-batch divergence: only-stream=${got -- batch} only-batch=${batch -- got}")
+
+    // independent recomputation: fold day-sorted per-bucket counts into
+    // cumulative histograms and replay the tie-corrected statistic
+    val B = EventAnalytics.MwBuckets
+    val daily = graft.ingest.Readers.tsToNanos(spark.read.parquet(eventsFile))
+      .filter(col("value").isNotNull)
+      .select(expr("ts div 86400000000000").as("day"),
+        expr("CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END").as("variant"),
+        expr(s"CAST(least(greatest(floor(value), 0), ${B - 1}) AS INT)")
+          .as("bucket"))
+      .groupBy(col("day"), col("variant"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val lastDay = daily.map(_._1).max
+    val ca = new Array[Long](B); val cb = new Array[Long](B)
+    val expected = daily.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (day, rows) =>
+        var openA = 0L; var openB = 0L
+        rows.foreach { case (_, v, b, n) =>
+          if (v == "A") { ca(b) += n; openA += n }
+          else { cb(b) += n; openB += n }
+        }
+        var nA = 0L; var nB = 0L; var u2 = 0L; var tSum = 0L; var bLess = 0L
+        for (i <- 0 until B) {
+          u2 += ca(i) * (2L * bLess + cb(i)); bLess += cb(i)
+          nA += ca(i); nB += cb(i)
+          val t = ca(i) + cb(i); tSum += t * t * t - t
+        }
+        if (day < lastDay && openA > 0 && openB > 0 && nA > 0 && nB > 0) {
+          val n = (nA + nB).toDouble
+          val sig2 = nA.toDouble * nB.toDouble / 12e0 *
+            ((n + 1e0) - tSum.toDouble / (n * (n - 1e0)))
+          if (sig2 > 0e0) {
+            val z = (u2.toDouble - nA.toDouble * nB.toDouble) /
+              (2e0 * math.sqrt(sig2))
+            Some((day, nA, nB, u2, math.round(z * 1e6), math.abs(z) > 25e-1))
+          } else None
+        } else None
+    }.toSet
+    assert(batch == expected)
+  }
+
+  test("stateful CUPED monitor: cross-batch moments equal the batch face " +
+    "and a direct fold") {
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6), math.round(r.getDouble(4) * 1e6),
+        math.round(r.getDouble(5) * 1e6))
+    val batch = EventAnalytics.cupedMonitor(spark.read.parquet(eventsFile))
+      .toDF().collect().map(canon).toSet
+    assert(batch.nonEmpty, "vacuous: no day ever closes in the fixture")
+    val got = runChunkedStream("cuped_monitor")(EventAnalytics.cupedMonitor)
+      .map(canon).toSet
+    assert(got == batch,
+      s"stream-batch divergence: only-stream=${got -- batch} only-batch=${batch -- got}")
+
+    // direct fold over day-sorted exact integer moments
+    val daily = graft.ingest.Readers.tsToNanos(spark.read.parquet(eventsFile))
+      .filter(col("value").isNotNull &&
+        get_json_object(col("props"), "$.k").isNotNull)
+      .select(expr("ts div 86400000000000").as("day"),
+        expr("CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END").as("variant"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("x"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("y"))
+      .groupBy(col("day"), col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val lastDay = daily.map(_._1).max
+    var (caN, caX, caY, caXY, caXX) = (0L, 0L, 0L, 0L, 0L)
+    var (cbN, cbX, cbY, cbXY, cbXX) = (0L, 0L, 0L, 0L, 0L)
+    val expected = daily.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (day, arms) =>
+        val a = arms.find(_._2 == "A"); val b = arms.find(_._2 == "B")
+        a.foreach(r => { caN += r._3; caX += r._4; caY += r._5
+          caXY += r._6; caXX += r._7 })
+        b.foreach(r => { cbN += r._3; cbX += r._4; cbY += r._5
+          cbXY += r._6; cbXX += r._7 })
+        if (day < lastDay && a.nonEmpty && b.nonEmpty && caN > 0 && cbN > 0) {
+          val n = (caN + cbN).toDouble
+          val sx = (caX + cbX).toDouble
+          val sy = (caY + cbY).toDouble / 1e2
+          val sxy = (caXY + cbXY).toDouble / 1e2
+          val sxx = (caXX + cbXX).toDouble
+          val varX = sxx - sx * sx / n
+          if (varX > 0e0) {
+            val theta = (sxy - sx * sy / n) / varX
+            val mxp = sx / n
+            val ya = (caY.toDouble / 1e2) / caN
+            val yb = (cbY.toDouble / 1e2) / cbN
+            val xa = caX.toDouble / caN
+            val xb = cbX.toDouble / cbN
+            Some((day, caN, cbN, math.round(theta * 1e6),
+              math.round((ya - yb) * 1e6),
+              math.round(((ya - theta * (xa - mxp)) -
+                (yb - theta * (xb - mxp))) * 1e6)))
+          } else None
+        } else None
+    }.toSet
+    assert(batch == expected)
+  }
+
+  test("MW and CUPED monitor state RESTORES from checkpoints across " +
+    "query restarts") {
+    // same recovery shape as the z-monitor restart test: chunk 0 in
+    // query-1, tear down, fresh query on the SAME checkpoint with the
+    // remaining chunks — carried histograms / moments must come back
+    // from the state store and the combined emissions equal the batch
+    // face. Both new dayCloseFold instances prove recovery.
+    val chunks = Files.list(java.nio.file.Paths.get(chunkedEventsDir))
+      .iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+    def restartCase(tag: String,
+        op: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.Dataset[_]): Unit = {
+      val batch = op(spark.read.parquet(eventsFile))
+        .toDF().collect().map(_.toString).toSet
+      val src = tempDir(s"graft-$tag-restart-src")
+      val ckpt = tempDir(s"graft-$tag-restart-ckpt").toString
+      val out = tempDir(s"graft-$tag-restart-out").toString
+      def runPass(): Unit = {
+        val q = op(spark.readStream.schema(rawSchema)
+            .option("maxFilesPerTrigger", 1).parquet(src.toString))
+          .toDF()
+          .writeStream.format("parquet").option("path", out)
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      Files.copy(chunks(0), src.resolve(chunks(0).getFileName))
+      runPass()
+      val afterFirst = spark.read.parquet(out).count()
+      chunks.drop(1).foreach(c => Files.copy(c, src.resolve(c.getFileName)))
+      runPass()
+      val got = spark.read.parquet(out).collect().map(_.toString).toSet
+      assert(got.size > afterFirst, s"vacuous: $tag restart pass emitted nothing")
+      assert(got == batch,
+        s"$tag restart divergence: only-stream=${got -- batch} only-batch=${batch -- got}")
+    }
+    restartCase("mw", EventAnalytics.mwMonitor)
+    restartCase("cuped", EventAnalytics.cupedMonitor)
+  }
+
   test("foreachBatch streaming upsert maintains the latest-per-key snapshot") {
     // the standard warehouse-merge deployment shape: each micro-batch
     // reduces to its per-key latest and merges into the running
