@@ -38,7 +38,15 @@ object ScaleCheck {
     println(s"[scalecheck] corpus: ${n * mult} docs (${mult}x)")
 
     var allOk = true
-    def time(name: String, budgetSec: Double)(f: => Long): Unit = {
+    // budgets are declared at the 16× calibration point; a larger mult
+    // gets a LINEARLY scaled allowance (r9 verdict item 2: the 32× run
+    // is a formal gate with its own explicit budgets, not an informal
+    // probe against the 16× numbers — an operator that stays inside a
+    // linear budget at 32× is scaling, one that needs super-linear
+    // headroom is the regression this harness exists to catch)
+    val budgetScale = math.max(1.0, mult / 16.0)
+    def time(name: String, budget16Sec: Double)(f: => Long): Unit = {
+      val budgetSec = budget16Sec * budgetScale
       val t0 = System.nanoTime()
       val rows = f
       val secs = (System.nanoTime() - t0) / 1e9

@@ -359,6 +359,88 @@ private[graft] trait RelationalQueries { this: Queries.type =>
       |  AND n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
       |ORDER BY s_name""".stripMargin
 
+  /** TPC-H Q22 shape (global-customer sentiment): the UNCORRELATED
+    * scalar subquery + anti-join family — the above-average-balance
+    * cut is a one-time scalar (planned as a reusable subquery result,
+    * never per-row), the no-high-value-orders condition a NOT EXISTS
+    * anti-join. The classic `acctbal > avg(acctbal)` is restated
+    * exactly as `bal·cnt > sum` over DECIMAL(18,2)/BIGINT (no
+    * cross-engine division). Adapted to the driver's schema (no
+    * c_phone: mktsegment plays the country-code role; every customer
+    * has orders here, so the anti-join excludes HIGH-VALUE orders). */
+  private[graft] def tpchQ22Q(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql("""
+      SELECT c_mktsegment, count(*) AS numcust,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM tpch_customer c
+      WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY')
+        AND CAST(c_acctbal AS DECIMAL(18,2)) *
+            (SELECT count(*) FROM tpch_customer c2 WHERE c2.c_acctbal > 0e0
+               AND c2.c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY'))
+          > (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+             FROM tpch_customer c2 WHERE c2.c_acctbal > 0e0
+               AND c2.c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY'))
+        AND NOT EXISTS (SELECT 1 FROM tpch_orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 45e4)
+      GROUP BY 1 ORDER BY 1""")
+  }
+
+  private[graft] val tpchQ22Oracle =
+    """SELECT c_mktsegment, count(*) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer c
+      |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY')
+      |  AND CAST(c_acctbal AS DECIMAL(18,2)) *
+      |      (SELECT count(*) FROM customer c2 WHERE c2.c_acctbal > 0e0
+      |         AND c2.c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY'))
+      |    > (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+      |       FROM customer c2 WHERE c2.c_acctbal > 0e0
+      |         AND c2.c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY'))
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_totalprice > 45e4)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q2 shape (minimum-cost supplier): the CORRELATED MIN
+    * EQUALITY family — keep (part, supplier) rows whose min cost EQUALS
+    * the part's global minimum, the argmin-by-join decorrelation.
+    * Cost is integer-exact (`floor(l_extendedprice)` BIGINT — the one
+    * double→int both engines define identically). Adapted to the
+    * driver's schema (no partsupp: per-(part, supplier) lineitem
+    * minima play the supplies-relation role). */
+  private[graft] def tpchQ2Q(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql("""
+      SELECT p_partkey, p_brand, s_name, mincost
+      FROM (
+        SELECT l_partkey, l_suppkey,
+          min(CAST(floor(l_extendedprice) AS BIGINT)) AS mincost
+        FROM tpch_lineitem GROUP BY 1, 2) ps
+      JOIN tpch_part ON p_partkey = l_partkey
+      JOIN tpch_supplier ON s_suppkey = l_suppkey
+      WHERE p_brand = 'Brand#2' AND p_size < 10
+        AND mincost = (SELECT min(CAST(floor(l2.l_extendedprice) AS BIGINT))
+                       FROM tpch_lineitem l2
+                       WHERE l2.l_partkey = ps.l_partkey)
+      ORDER BY mincost, p_partkey, s_name LIMIT 100""")
+  }
+
+  private[graft] val tpchQ2Oracle =
+    """SELECT p_partkey, p_brand, s_name, mincost
+      |FROM (
+      |  SELECT l_partkey, l_suppkey,
+      |    min(CAST(floor(l_extendedprice) AS BIGINT)) AS mincost
+      |  FROM lineitem GROUP BY 1, 2) ps
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE p_brand = 'Brand#2' AND p_size < 10
+      |  AND mincost = (SELECT min(CAST(floor(l2.l_extendedprice) AS BIGINT))
+      |                 FROM lineitem l2
+      |                 WHERE l2.l_partkey = ps.l_partkey)
+      |ORDER BY mincost, p_partkey, s_name LIMIT 100""".stripMargin
+
   /** Semi/anti joins: customers with vs without orders per segment. */
   private[graft] def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
     val customer = s.read.parquet(t(dir, "customer"))

@@ -103,6 +103,27 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Exchange rangepartitioning") == 0, "top-100 must not global-sort")
   }
 
+  test("q_tpch_q22: uncorrelated scalars run ONCE, NOT EXISTS is a broadcast anti-join") {
+    val p = plan("q_tpch_q22")
+    // the global count/sum cuts appear as one-time Subquery results in
+    // the filter — never a per-row or join re-execution
+    assert(p.contains("Subquery subquery"), "scalar cuts must plan as one-time subqueries")
+    assert(count(p, "LeftAnti") == 1)
+    assert(count(p, "BroadcastHashJoin") == 1)
+    assert(p.contains("GreaterThan(o_totalprice,450000.0)"), "anti-side filter pushed")
+    assert(count(p, "SortMergeJoin") == 0)
+  }
+
+  test("q_tpch_q2: correlated min decorrelates to a per-part aggregate joined back") {
+    val p = plan("q_tpch_q2")
+    assert(!p.contains("ScalarSubquery"), "correlated min must decorrelate")
+    assert(count(p, "BroadcastHashJoin") == 3)
+    assert(p.contains("EqualTo(p_brand,Brand#2)"))
+    assert(p.contains("LessThan(p_size,10)"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(count(p, "SortMergeJoin") == 0)
+  }
+
   test("q_ode_field_validations: zero exchanges — validation is partition-parallel") {
     val p = plan("q_ode_field_validations")
     assert(count(p, "Exchange ") == 0)
