@@ -441,6 +441,246 @@ private[graft] trait RelationalQueries { this: Queries.type =>
       |                 WHERE l2.l_partkey = ps.l_partkey)
       |ORDER BY mincost, p_partkey, s_name LIMIT 100""".stripMargin
 
+  /** TPC-H Q4 shape (order-priority checking): the EXISTS-with-
+    * NON-EQUI-correlate family — the subquery's predicate references
+    * the OUTER row's o_orderdate inside an inequality, so the rewrite
+    * is a left-semi join whose condition mixes the equi key with the
+    * cross-table comparison (l_shipdate > o_orderdate + 60 days plays
+    * the reference's commit-vs-receipt lateness role; the driver's
+    * lineitem has no commit/receipt dates). Output is priority counts:
+    * integer-exact, deterministic by construction. */
+  private[graft] def tpchQ4Q(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM tpch_orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-04-01'
+        AND EXISTS (SELECT 1 FROM tpch_lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+      GROUP BY 1 ORDER BY 1""")
+  }
+
+  private[graft] val tpchQ4Oracle =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q7 shape (volume shipping): the SYMMETRIC NATION-PAIR
+    * family — both ends of the fact row resolve to a nation (supplier
+    * side directly, customer side through orders) and the filter is an
+    * OR of the two orderings of the pair. The two nation lookups are
+    * independent broadcast joins against the SAME dimension; the pair
+    * disjunction can only be applied after both, so it rides the last
+    * broadcast join rather than the scans. Revenue per (supp_nation,
+    * cust_nation, year) with exact decimal sums. */
+  private[graft] def tpchQ7Q(s: SparkSession, dir: String): DataFrame = {
+    val nat = s.read.parquet(t(dir, "nation"))
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val sup = s.read.parquet(t(dir, "supplier"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = s.read.parquet(t(dir, "customer"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = s.read.parquet(t(dir, "orders"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    s.read.parquet(t(dir, "lineitem"))
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4)).as("vol"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("vol")).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private[graft] val tpchQ7Oracle =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(vol) AS DOUBLE) AS revenue, count(*) AS n_rows
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS vol
+      |  FROM lineitem
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01')
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    * lost to returns in a quarter — the HIGH-CARDINALITY GROUP-THEN-
+    * TOP-K family. The group key is the customer (not a dim attribute),
+    * so the aggregate shuffles on custkey and the total order is
+    * resolved as TakeOrderedAndProject, never a global sort. Nation
+    * resolves via broadcast AFTER the aggregate would be ideal, but the
+    * key carries c_name/c_acctbal anyway, so it rides the pre-agg
+    * broadcast — the aggregate stays the only exchange. */
+  private[graft] def tpchQ10Q(s: SparkSession, dir: String): DataFrame = {
+    val nat = s.read.parquet(t(dir, "nation"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = s.read.parquet(t(dir, "customer"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))
+    val ord = s.read.parquet(t(dir, "orders"))
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    s.read.parquet(t(dir, "lineitem"))
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4)).as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("revenue"), col("c_acctbal"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private[graft] val tpchQ10Oracle =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue,
+      |  c_acctbal
+      |FROM customer
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-07-01'
+      |GROUP BY 1, 2, 3, c_acctbal
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q12 shape (priority classes per line status): the
+    * CONDITIONAL-COUNT PIVOT family — one pass over the fact join,
+    * two CASE-sums splitting the priority domain (the driver's
+    * lineitem has no shipmode; l_linestatus plays the group role and
+    * the 'N' returnflag slice plays the shipmode-IN filter). Integer
+    * counts: deterministic by construction, map-side partial aggs. */
+  private[graft] def tpchQ12Q(s: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val ord = s.read.parquet(t(dir, "orders"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    s.read.parquet(t(dir, "lineitem"))
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_returnflag") === "N")
+      .select(col("l_orderkey"), col("l_linestatus"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+  }
+
+  private[graft] val tpchQ12Oracle =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_returnflag = 'N'
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q14 (promotion effect): the GLOBAL-RATIO-OF-CONDITIONAL-
+    * SUMS family — a single-row result whose numerator and denominator
+    * are exact decimal sums over one month of the part join, divided
+    * ONCE in double at the end (both engines replay the identical
+    * 100.0*num/den op sequence; the sums themselves are order-free
+    * decimals, so the ratio is bit-deterministic). */
+  private[graft] def tpchQ14Q(s: SparkSession, dir: String): DataFrame = {
+    val part = s.read.parquet(t(dir, "part"))
+      .select(col("p_partkey"), col("p_type"))
+    val dec0 = lit(BigDecimal(0).bigDecimal).cast(DecimalType(18, 4))
+    s.read.parquet(t(dir, "lineitem"))
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4)).as("rev"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type") === "PROMO", col("rev"))
+            .otherwise(dec0)).cast("double") /
+          sum(col("rev")).cast("double")).as("promo_revenue_pct"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private[graft] val tpchQ14Oracle =
+    """SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |        AS DECIMAL(18,4))) AS DOUBLE) AS DOUBLE) AS promo_revenue_pct,
+      |  count(*) AS n_rows
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
+
+  /** TPC-H Q19 shape (discounted revenue): the DISJUNCTIVE OR-OF-ANDS
+    * join-predicate family — three (brand, size-range, quantity-range)
+    * conjunct groups OR'd together across the lineitem ⋈ part join.
+    * The planner-relevant behavior: Catalyst extracts the common
+    * p_partkey = l_partkey equi-conjunct so the join stays a hash join
+    * (never a nested-loop), and pushes the union of each side's
+    * disjuncts (brand/size to the part scan, quantity to the lineitem
+    * scan) as data-skipping filters; the full disjunction re-applies
+    * as the join's residual condition. */
+  private[graft] def tpchQ19Q(s: SparkSession, dir: String): DataFrame = {
+    val part = s.read.parquet(t(dir, "part"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = s.read.parquet(t(dir, "lineitem"))
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4)).as("rev"))
+    def arm(brand: String, sizeHi: Int, qLo: Int, qHi: Int): Column =
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity") >= qLo && col("l_quantity") <= qHi
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey") &&
+        (arm("Brand#12", 5, 1, 11) || arm("Brand#23", 10, 10, 20) ||
+          arm("Brand#34", 15, 20, 30)))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private[graft] val tpchQ19Oracle =
+    """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |    AND l_quantity >= 1 AND l_quantity <= 11)
+      |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |    AND l_quantity >= 10 AND l_quantity <= 20)
+      |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |    AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+
   /** Semi/anti joins: customers with vs without orders per segment. */
   private[graft] def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
     val customer = s.read.parquet(t(dir, "customer"))

@@ -16,6 +16,13 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     Queries.all(name)(spark, dir).queryExecution.executedPlan.toString
 
+  /** Formatted-mode explain: executedPlan.toString truncates long
+    * FileScan attribute lists, so pushed-filter pins that sit past the
+    * truncation point must read the full per-node detail instead. */
+  private def planFull(name: String): String =
+    Queries.all(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
   private def count(hay: String, needle: String): Int =
     needle.r.findAllMatchIn(hay).length
 
@@ -122,6 +129,65 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LessThan(p_size,10)"))
     assert(p.contains("TakeOrderedAndProject"))
     assert(count(p, "SortMergeJoin") == 0)
+  }
+
+  test("q_tpch_q4: EXISTS with non-equi correlate — semi join carries the inequality") {
+    val p = plan("q_tpch_q4")
+    assert(count(p, "LeftSemi") == 1)
+    assert(!p.contains("ScalarSubquery"), "EXISTS must decorrelate, not re-execute")
+    // the cross-table inequality rides the semi join as its residual condition
+    assert(p.contains("l_shipdate") && p.contains("+ INTERVAL '60' DAY"),
+      "non-equi correlate must ride the join condition")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1997-01-01T00:00)"),
+      "outer window pushed to the orders scan")
+  }
+
+  test("q_tpch_q7: nation-pair IN pushed to BOTH dim scans, one exchange total") {
+    val p = plan("q_tpch_q7")
+    // the pair disjunction implies n_name IN (N1,N2) on each nation lookup —
+    // Catalyst must push that union to both scans, not evaluate it post-join
+    assert(count(p, "In\\(n_name, \\[NATION_1,NATION_2\\]\\)") == 2)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1996-01-01T00:00)"))
+    assert(count(p, "SortMergeJoin") == 0)
+    // single exchange: the final (supp, cust, year) groupBy
+    assert(count(p, "Exchange hashpartitioning") == 1)
+  }
+
+  test("q_tpch_q10: returnflag pushed, group-then-top-20 is TakeOrdered") {
+    val p = plan("q_tpch_q10")
+    assert(p.contains("EqualTo(l_returnflag,R)"), "return slice pushed to the fact scan")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(count(p, "Exchange rangepartitioning") == 0, "top-20 must not global-sort")
+    // one exchange: the customer-key aggregate
+    assert(count(p, "Exchange hashpartitioning") == 1)
+  }
+
+  test("q_tpch_q12: conditional counts ride one pass — partial aggs, one exchange") {
+    val p = plan("q_tpch_q12")
+    assert(planFull("q_tpch_q12").contains("EqualTo(l_returnflag,N)"),
+      "slice pushed to the fact scan")
+    assert(p.contains("partial_sum"), "CASE counts must combine map-side")
+    assert(count(p, "Exchange hashpartitioning") == 1)
+  }
+
+  test("q_tpch_q14: single-row ratio — both conditional sums in ONE aggregate") {
+    val p = plan("q_tpch_q14")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1997-09-01T00:00)"))
+    // numerator and denominator share one scan + one aggregate, not two jobs
+    assert(count(p, "HashAggregate") == 2, "one partial + one final aggregate")
+    assert(count(p, "Exchange SinglePartition") == 1, "global agg gathers once")
+  }
+
+  test("q_tpch_q19: OR-of-ANDs — equi key extracted (hash join), disjunct unions pushed per side") {
+    val p = plan("q_tpch_q19")
+    assert(!p.contains("NestedLoop"),
+      "common p_partkey conjunct must be extracted so the join stays hash")
+    // each side's disjunct union becomes a pushed data-skipping filter
+    val pf = planFull("q_tpch_q19")
+    assert(pf.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0),LessThanOrEqual(l_quantity,11.0))"),
+      "quantity-range union pushed to the lineitem scan")
+    assert(pf.contains("And(EqualTo(p_brand,Brand#12),LessThanOrEqual(p_size,5))"),
+      "brand/size union pushed to the part scan")
   }
 
   test("q_ode_field_validations: zero exchanges — validation is partition-parallel") {
