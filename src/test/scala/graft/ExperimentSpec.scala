@@ -172,7 +172,7 @@ class ExperimentSpec extends AnyFunSuite {
       .view.mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toList)
       .toMap
 
-  test("theil-sen matches a direct pairwise-median recomputation") {
+  test("theil-sen matches a direct dyadic-lag-median recomputation") {
     val hours: Map[String, List[(Long, Long)]] =
       graft.ingest.Readers.tsToNanos(
           spark.read.parquet(s"$dir/events.parquet"))
@@ -188,14 +188,19 @@ class ExperimentSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val s = hours(r.getString(0))
+      // the dyadic pair set: (i, i + 2^k) for every k with the partner
+      // in range — the contract the query and oracle both state
       val slopes = (for {
-        i <- s.indices; j <- (i + 1) until s.length
-      } yield (s(j)._2 - s(i)._2).toDouble / (s(j)._1 - s(i)._1))
+        k <- 0 to 29; lag = 1L << k
+        i <- s.indices if i + lag < s.length
+      } yield (s(i + lag.toInt)._2 - s(i)._2).toDouble /
+        (s(i + lag.toInt)._1 - s(i)._1))
         .sorted.toVector
       val m = slopes.length
       assert(r.getLong(2) == m)
-      val med = if (m % 2 == 1) slopes(m / 2)
-        else slopes(m / 2 - 1) + (slopes(m / 2) - slopes(m / 2 - 1)) * 0.5
+      val lo = slopes((m + 1) / 2 - 1)
+      val hi = slopes(m / 2)
+      val med = lo + (hi - lo) * 0.5
       assert(math.abs(r.getDouble(3) - med) < 1e-6,
         s"${r.getString(0)} slope ${r.getDouble(3)} vs recomputed $med")
     }

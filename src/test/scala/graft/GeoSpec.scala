@@ -121,6 +121,20 @@ class GeoSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((10, 1, 1, 1L)))
   }
 
+  test("fuzzyBestMatch: duplicate names — every copy counts, min key represents") {
+    // the name-dedup fast path must still report ROW-level candidate
+    // counts and the minimum key of the winning name
+    val refs = Seq((7, "red widget"), (4, "red widget"), (9, "red widget"),
+      (2, "red wagon")).toDF("rk", "rn")
+    val probes = Seq((10, "red widgez"), (11, "red widgez")).toDF("pk", "pn")
+    val r = Linkage.fuzzyBestMatch(probes, refs, "pk", "pn", "rk", "rn", 2)
+      .collect().map(x => (x.getInt(0), x.getInt(2), x.getInt(4), x.getLong(5)))
+      .sortBy(_._1)
+    // three widget copies are all candidates (lev 1); min key 4 wins;
+    // both probe rows (same name) get the match
+    assert(r.toSeq == Seq((10, 4, 1, 3L), (11, 4, 1, 3L)))
+  }
+
   test("inConvexPolygon/geofenceCounts: half-plane tests, overlap counts twice") {
     val tri = Seq((0.0, 0.0), (0.0, 2.0), (2.0, 1.0)) // CCW triangle
     val sq = Seq((0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0))

@@ -168,6 +168,30 @@ class StatsSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("signedPairSum equals the brute-force pair walk across chunk boundaries") {
+    // chunkSize=4 forces the series through BOTH paths: within-chunk
+    // array folds and the cross-chunk cumulative-histogram terms —
+    // ties, a sparse order gap, and two groups included
+    val xs = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L, 5L)
+    val ys = Seq(7L, 7L, 1L)
+    val rows = xs.zipWithIndex.map { case (v, i) =>
+      ("a", i.toLong * (if (i > 5) 3L else 1L), v) // gap makes chunks uneven
+    } ++ ys.zipWithIndex.map { case (v, i) => ("b", i.toLong, v) }
+    val df = rows.toDF("g", "ord", "v")
+    def brute(s: Seq[Long]): Long =
+      (for { i <- s.indices; j <- (i + 1) until s.length }
+        yield java.lang.Long.signum(s(j) - s(i)).toLong).sum
+    val got = Stats.signedPairSum(df, "g", "ord", "v", chunkSize = 4L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> brute(xs), "b" -> brute(ys)))
+    // degenerate single-chunk and single-row groups
+    val tiny = Seq(("c", 0L, 5L), ("c", 1L, 5L), ("d", 0L, 1L))
+      .toDF("g", "ord", "v")
+    val got2 = Stats.signedPairSum(tiny, "g", "ord", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == Map("c" -> 0L, "d" -> 0L))
+  }
+
   test("columnProfile: nulls, exact distinct, typed min/max in one scan") {
     val df = spark.sql(
       """SELECT * FROM VALUES
