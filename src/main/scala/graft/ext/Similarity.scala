@@ -336,14 +336,26 @@ object Similarity {
    *  seeds) buckets on `planes` sign bits; a pair is a candidate if it
    *  collides in ANY table — P(found) = 1 − (1 − p^planes)^tables for
    *  per-plane agreement p = 1 − θ/π. Exact cosine verifies candidates.
-   *  The shuffle key is (table, bucket): bounded buckets, no cross
-   *  product — `planes` controls candidate volume, `tables` recall; both
-   *  are independent of corpus size, so the shape holds at 100 TB. */
+   *  The shuffle key is (table, bucket): never a cross product.
+   *
+   *  `planes ≤ 0` means AUTO: planes = max(4, ⌊log₂(n/64)⌋), holding
+   *  expected bucket occupancy ≈ 64 as the corpus grows — with planes
+   *  FIXED, buckets fill linearly and candidate volume is quadratic
+   *  (the 10× bench caught exactly that: 92× wall-clock at 10× data).
+   *  The recall law above then says what scaling costs: per-pair catch
+   *  probability falls as p^planes, so a HIGH-similarity bar (p → 1,
+   *  the true LSH regime) keeps recall through the growth, while a
+   *  low bar (e.g. cos 0.3, p ≈ 0.6) trades recall for the bound —
+   *  at low thresholds the designed 100 TB path is cell-blocked pair
+   *  generation with k ∝ n ([[semanticDedup]] / SemDeDup), not LSH. */
   def embeddingNearDuplicatesLSH(df: DataFrame, idCol: String, vecCol: String,
                                  threshold: Double, planes: Int = 6,
                                  tables: Int = 8): DataFrame = {
+    val planesEff =
+      if (planes > 0) planes
+      else math.max(4, (math.log(df.count() / 64.0) / math.log(2.0)).toInt)
     val sigs = (0 until tables).map(t =>
-      struct(lit(t).as("t"), hyperplaneSignature(col(vecCol), planes, seed = t.toLong).as("b")))
+      struct(lit(t).as("t"), hyperplaneSignature(col(vecCol), planesEff, seed = t.toLong).as("b")))
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
       explode(array(sigs: _*)).as("bucket"))
     val l = sig.select(col("bucket"), col("id").as("id_a"), col("__v").as("__va"))

@@ -1086,15 +1086,36 @@ private[graft] trait Analytics8Queries { this: Queries.type =>
     // floor(), not cast-to-long: Spark's double→long cast truncates while
     // DuckDB's rounds half-to-even — floor is the one integerization both
     // engines define identically for any (not just integral) quantity.
+    //
+    // Scale shape: the textbook per-group cumulative window sorts each
+    // group in ONE task (11.8× wall at the 10× probe). Instead the
+    // prefix sum decomposes over integer-dollar price buckets — bucket
+    // order IS price order, so cum = (weight of all earlier buckets,
+    // a window over the BOUNDED bucket spine) + (intra-bucket running
+    // sum, windows over ~rows/buckets each, massively parallel). Row
+    // cum values are EXACTLY the single-window ones; everything
+    // downstream is unchanged, as is the oracle.
     val li = s.read.parquet(t(dir, "lineitem"))
       .select(col("l_returnflag"), col("l_extendedprice"),
         floor(col("l_quantity")).as("wgt"))
-    val w = Window.partitionBy(col("l_returnflag"))
+      .withColumn("bkt", floor(col("l_extendedprice")).cast("long"))
+    val perBkt = li.groupBy(col("l_returnflag"), col("bkt"))
+      .agg(sum(col("wgt")).as("bw"))
+    val wBkt = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val before = perBkt
+      .withColumn("cum_before", coalesce(sum(col("bw")).over(wBkt), lit(0L)))
+      .select(col("l_returnflag"), col("bkt"), col("cum_before"))
+    val wIn = Window.partitionBy(col("l_returnflag"), col("bkt"))
       .orderBy(col("l_extendedprice"), col("wgt"))
-    val wAll = Window.partitionBy(col("l_returnflag"))
-    li.withColumn("cum", sum(col("wgt")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum(col("wgt")).over(wAll))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // group totals as a 3-row broadcast, NOT an unordered per-group
+    // window (that too would gather each group into one task)
+    val totals = perBkt.groupBy(col("l_returnflag"))
+      .agg(sum(col("bw")).as("total"))
+    li.join(before, Seq("l_returnflag", "bkt"))
+      .withColumn("cum", col("cum_before") + sum(col("wgt")).over(wIn))
+      .join(broadcast(totals), Seq("l_returnflag"))
       .filter(col("cum") * 2 >= col("total"))
       .groupBy(col("l_returnflag"))
       .agg(min(struct(col("l_extendedprice"), col("wgt"))).as("m"),

@@ -37,12 +37,17 @@ private[graft] trait EmbeddingMultimodalQueries { this: Queries.type =>
 
   /** Embedding near-dup, LSH-bucketed scale path — rows-only (approx
    *  recall by design); DedupRecallSpec pins ≥90% of the exact pairs
-   *  found (measured 97.7% at sf0.01 with these params). */
+   *  found (measured 97.7% at sf0.01, where auto-sizing resolves to
+   *  the same planes=4). planes ≤ 0 = AUTO: bucket occupancy stays
+   *  ~64 as the corpus grows, so candidate volume is occupancy-bounded
+   *  instead of quadratic (the sf10 probe measured the fixed-planes
+   *  form at 92× for 10× data; auto-sizing is the fix, and the
+   *  recall-vs-scale law is documented on the operator). */
   private[graft] def embedNearDupLsh(s: SparkSession, dir: String): DataFrame =
     // widened: 24 tables × 4 hyperplane dot-products per vector fuse
     // into the one-task scan otherwise (−0.8 s)
     Similarity.embeddingNearDuplicatesLSH(widenForCompute(embs(s, dir)),
-      "vec_id", "embedding", 0.3, planes = 4, tables = 24)
+      "vec_id", "embedding", 0.3, planes = 0, tables = 24)
 
   /** CCNet-style in-domain LM quality score: add-1-smoothed bigram model
    *  trained on the corpus itself, mean ln P per document. */
