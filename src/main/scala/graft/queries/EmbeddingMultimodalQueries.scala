@@ -483,11 +483,21 @@ private[graft] trait EmbeddingMultimodalQueries { this: Queries.type =>
    *  → within-cell cosine near-dup pairs → greedy min-id keep. Same
    *  training parameters as q_ivf_trained, so the oracle replays the
    *  identical Lloyd CTEs ([[lloydReplicaCtes]]) and then the pair/keep
-   *  logic — the whole pipeline is value-checked. */
+   *  logic — the whole pipeline is value-checked.
+   *
+   *  k AUTO-SIZES as max(8, ⌊√(n/8)⌋): the in-cell pair cost is
+   *  Σ|cell|² ≈ n²/k and assignment costs n·k, so k ∝ √n balances the
+   *  two and neither term is ever quadratic — the paper's own "k must
+   *  grow with the corpus" posture (fixed k=8 measured 43× wall at the
+   *  100× probe). At the sf0.01 gate the rule resolves to the SAME
+   *  k=8 / sample=256 the DuckDB Lloyd replica unrolls, so the value
+   *  check is untouched; the training sample scales as 16k to keep
+   *  seeds sample-bounded. */
   private[graft] def semanticDedupQ(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
+    val k = math.max(8, math.sqrt(e.count() / 8.0).toInt)
     val trained = Similarity.trainCentroids(e, "vec_id", "embedding",
-      k = 8, iters = 2, trainSampleSize = 256)
+      k = k, iters = 2, trainSampleSize = math.max(256, 16 * k))
     val centroids = s.createDataFrame(
       java.util.Arrays.asList(trained.collect(): _*), trained.schema)
     Similarity.semanticDedup(e, "vec_id", "embedding",
