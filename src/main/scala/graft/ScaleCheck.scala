@@ -194,8 +194,12 @@ object ScaleCheck {
 
     // ---- stats/layout/LM family (r7 batch-3 additions) ----------------
     val liBase = spark.read.parquet(s"$dir/lineitem.parquet")
+    // derived replica strides (max+1, the r9 ADVICE rule): a fixed 1e9
+    // shift would silently collide keys at a bigger source SF
+    val liOkShift = liBase.agg(max(col("l_orderkey"))).collect()(0).getLong(0) + 1L
+    val liPkShift = liBase.agg(max(col("l_partkey"))).collect()(0).getLong(0) + 1L
     val bigLi = (0 until mult).map(i =>
-        liBase.select((col("l_orderkey") + lit(i.toLong * 1000000000L)).as("l_orderkey"),
+        liBase.select((col("l_orderkey") + lit(i.toLong * liOkShift)).as("l_orderkey"),
           col("l_partkey"), col("l_suppkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"), col("l_tax")))
       .reduce(_ unionAll _)
@@ -269,8 +273,8 @@ object ScaleCheck {
     time("triangle_census(disjoint)", 60) {
       val lp = (0 until mult).map(i =>
           liBase.select(
-            (col("l_orderkey") + lit(i.toLong * 1000000000L)).as("ok"),
-            (col("l_partkey") + lit(i.toLong * 10000000L)).as("pk")))
+            (col("l_orderkey") + lit(i.toLong * liOkShift)).as("ok"),
+            (col("l_partkey") + lit(i.toLong * liPkShift)).as("pk")))
         .reduce(_ unionAll _)
         .filter(col("pk") % 7 === 0)
         .distinct()
@@ -380,8 +384,9 @@ object ScaleCheck {
         // the exchange and the sort would break OptimizeSkewedJoin's
         // SMJ(Sort(Shuffle), Sort(Shuffle)) pattern and silently forfeit
         // the split this row exists to verify
+        val oKeyShift = oBase.agg(max(col("o_orderkey"))).collect()(0).getLong(0) + 1L
         val bigOrders = (0 until mult).map(i =>
-            oBase.select((col("o_orderkey") + lit(i.toLong * 1000000000L)).as("o_orderkey"),
+            oBase.select((col("o_orderkey") + lit(i.toLong * oKeyShift)).as("o_orderkey"),
               col("o_custkey"), col("o_totalprice")))
           .reduce(_ unionAll _)
           .dropDuplicates("o_orderkey")

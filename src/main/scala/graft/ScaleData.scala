@@ -49,16 +49,25 @@ object ScaleData {
     val dk = maxPlus1(rd("documents"), "doc_id")
     val vk = maxPlus1(rd("embeddings"), "vec_id")
     val ek = maxPlus1(rd("events"), "event_id")
-    val (tsMin, tsMax) = {
-      // events may ship TIMESTAMP_NTZ; hop through LTZ (session is UTC,
-      // same instant) to reach epoch seconds
-      val r = rd("events")
-        .agg(min(col("ts")).cast("timestamp_ltz").cast("long"),
-          max(col("ts")).cast("timestamp_ltz").cast("long"))
-        .as[(Long, Long)].first()
-      r
-    }
-    val tsStride = tsMax - tsMin + 86400L // seconds; +1 day gap between replicas
+    // events ship either TIMESTAMP(_NTZ) or epoch-NANOS-as-long (the two
+    // layouts Readers.tsToNanos absorbs); the stride arithmetic must match
+    // the layout — casting a nanos long through timestamp_ltz would read
+    // it as SECONDS and saturate every replica onto one instant.
+    val eventsTsIsLong =
+      rd("events").schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val (tsMin, tsMax) =
+      if (eventsTsIsLong)
+        rd("events").agg(min(col("ts")), max(col("ts"))).as[(Long, Long)].first()
+      else
+        // micros precision (not a seconds cast): replica shifts must not
+        // truncate sub-second timestamps
+        rd("events")
+          .agg(unix_micros(min(col("ts")).cast("timestamp_ltz")),
+            unix_micros(max(col("ts")).cast("timestamp_ltz")))
+          .as[(Long, Long)].first()
+    // +1 day gap between replicas, in the layout's own unit
+    val tsStride = tsMax - tsMin +
+      (if (eventsTsIsLong) 86400L * 1000000000L else 86400L * 1000000L)
     val dim = rd("embeddings").select(size(col("embedding"))).as[Int].first()
 
     /** `mult` copies of `df`, transformed per replica index. */
@@ -107,10 +116,14 @@ object ScaleData {
     }, 16)
 
     write("events", rep(rd("events")) { (d, i) =>
+      val ts =
+        if (i == 0) col("ts") // replica 0 is the source, bit-identical
+        else if (eventsTsIsLong) col("ts") + lit(tsStride * i)
+        else timestamp_micros(
+          unix_micros(col("ts").cast("timestamp_ltz")) + lit(tsStride * i))
+          .cast(d.schema("ts").dataType)
       d.withColumn("event_id", shifted("event_id", ek, i))
-        .withColumn("ts",
-          (col("ts").cast("timestamp_ltz").cast("long") + lit(tsStride * i))
-            .cast("timestamp").cast(d.schema("ts").dataType))
+        .withColumn("ts", ts)
     }, 16)
 
     write("documents", rep(rd("documents")) { (d, i) =>
@@ -124,14 +137,23 @@ object ScaleData {
     }, 16)
 
     write("embeddings", rep(rd("embeddings")) { (d, i) =>
-      // cyclic dimension shift by i*dim/mult: exact norms, decorrelated
-      // cross-replica cosines, identical within-replica geometry
+      // cyclic dimension shift by i*dim/mult PLUS a per-replica
+      // deterministic sign-flip pattern: a consistent per-dimension flip
+      // preserves norms and every within-replica dot product exactly,
+      // while cross-replica cosines decorrelate EVEN WHEN two replicas
+      // land on the same rotation (at mult > dim the shift alone
+      // collides — e.g. 100 replicas over 64 dims — which would plant
+      // bit-identical vector clusters and quadratic near-dup structure).
       val k = (i.toLong * dim / mult).toInt
-      val emb =
+      val rot =
         if (k == 0) col("embedding")
         else concat(
           slice(col("embedding"), k + 1, dim - k),
           slice(col("embedding"), 1, k))
+      val emb =
+        if (i == 0) col("embedding") // replica 0 is the source
+        else transform(rot, (x, j) =>
+          when(pmod(xxhash64(lit(i), j), lit(2)) === 0, x).otherwise(negate(x)))
       d.withColumn("vec_id", shifted("vec_id", vk, i))
         .withColumn("embedding", emb)
     }, 8)

@@ -570,12 +570,17 @@ object Stats {
     // within-chunk: exact pair fold over the chunk's (order, value) array
     val within = base.groupBy(col(groupCol), col("_chunk"))
       .agg(expr("sort_array(collect_list(struct(_ord, _v)))").as("arr"))
+      // the size-1 guard matters: Spark's sequence(1, 0) DESCENDS, so an
+      // unguarded fold would evaluate arr[-1]/arr[size] on single-row
+      // chunks (NULL-safe only under non-ANSI casts — a trap this repo
+      // has hit before; see the theil-sen dyadic rewrite notes)
       .withColumn("s_w", expr(
-        """aggregate(flatten(transform(sequence(1, size(arr) - 1), i ->
+        """IF(size(arr) < 2, 0L,
+          |aggregate(flatten(transform(sequence(1, size(arr) - 1), i ->
           |  transform(sequence(i + 1, size(arr)), j ->
           |    CASE WHEN arr[j - 1]._v > arr[i - 1]._v THEN 1L
           |         WHEN arr[j - 1]._v < arr[i - 1]._v THEN -1L
-          |         ELSE 0L END))), 0L, (acc, x) -> acc + x)""".stripMargin))
+          |         ELSE 0L END))), 0L, (acc, x) -> acc + x))""".stripMargin))
       .groupBy(col(groupCol)).agg(sum(col("s_w")).as("s_within"))
     // cross-chunk: cumulative histograms on the dense (value × chunk) grid
     val hist = base.groupBy(col(groupCol), col("_chunk"), col("_v"))

@@ -636,14 +636,4 @@ private[graft] trait DedupQueries { this: Queries.type =>
        |FROM hits""".stripMargin
   }
 
-  /** End-to-end corpus curation — the composite training-data pipeline:
-   *  exact dedup (min-id per digest) → quality + language gate →
-   *  near-dup COMPONENT survivors (connected components over the exact
-   *  Jaccard pairs; each dedup group keeps exactly its min id — a chain
-   *  a~b, b~c is ONE group, so c is not over-dropped just because b was)
-   *  → per-language corpus stats. Every stage is an already-oracled
-   *  operator; the composite pins that they compose (one SQL replica
-   *  end-to-end). Scale: digest shuffle + one wide projection + the
-   *  bounded shingle join + edge-list-only component rounds — nothing
-   *  quadratic in the corpus. */
 }

@@ -43,11 +43,16 @@ private[graft] trait EmbeddingMultimodalQueries { this: Queries.type =>
    *  instead of quadratic (the sf10 probe measured the fixed-planes
    *  form at 92× for 10× data; auto-sizing is the fix, and the
    *  recall-vs-scale law is documented on the operator). */
-  private[graft] def embedNearDupLsh(s: SparkSession, dir: String): DataFrame =
+  private[graft] def embedNearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    // the sizing count runs on the RAW frame (row count is identical
+    // pre-widening) so the widened compute scan executes exactly once
+    val planes = math.max(4, (math.log(e.count() / 64.0) / math.log(2.0)).toInt)
     // widened: 24 tables × 4 hyperplane dot-products per vector fuse
     // into the one-task scan otherwise (−0.8 s)
-    Similarity.embeddingNearDuplicatesLSH(widenForCompute(embs(s, dir)),
-      "vec_id", "embedding", 0.3, planes = 0, tables = 24)
+    Similarity.embeddingNearDuplicatesLSH(widenForCompute(e),
+      "vec_id", "embedding", 0.3, planes = planes, tables = 24)
+  }
 
   /** CCNet-style in-domain LM quality score: add-1-smoothed bigram model
    *  trained on the corpus itself, mean ln P per document. */
