@@ -681,6 +681,62 @@ private[graft] trait RelationalQueries { this: Queries.type =>
       |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
       |    AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
 
+  /** TPC-H Q6 (forecasting revenue change): the PURE-PUSHDOWN single-
+    * table aggregate — three range predicates, zero joins, one scan.
+    * The planner-relevant behavior is that ALL THREE filters reach the
+    * parquet scan (PlanSpec pins `PushedFilters`) and the aggregate is
+    * one partial+final pair over the pruned 3-column read. Exact
+    * decimal sum of the price·discount products. */
+  private[graft] def tpchQ6Q(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "lineitem"))
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  private[graft] val tpchQ6Oracle =
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q13 (customer distribution): the AGGREGATE-OF-AGGREGATE
+    * family — a left outer join whose FILTER RIDES THE JOIN CONDITION
+    * (not the WHERE clause: customers with zero qualifying orders must
+    * survive with count 0), a per-customer count, then the histogram
+    * of those counts. Two hash aggregates on different keys; integer
+    * output, deterministic by construction. The priority slice stands
+    * in for the reference's comment NOT LIKE filter (no o_comment in
+    * the driver's schema). */
+  private[graft] def tpchQ13Q(s: SparkSession, dir: String): DataFrame = {
+    val cust = s.read.parquet(t(dir, "customer")).select(col("c_custkey"))
+    val ord = s.read.parquet(t(dir, "orders"))
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select(col("o_custkey"), col("o_orderkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private[graft] val tpchQ13Oracle =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '4-NOT SPECIFIED'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   /** Semi/anti joins: customers with vs without orders per segment. */
   private[graft] def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
     val customer = s.read.parquet(t(dir, "customer"))

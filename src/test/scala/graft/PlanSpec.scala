@@ -190,6 +190,27 @@ class PlanSpec extends AnyFunSuite {
       "brand/size union pushed to the part scan")
   }
 
+  test("q_tpch_q6: all three range filters pushed, 4-column pruned scan, no join") {
+    val pf = planFull("q_tpch_q6")
+    assert(pf.contains("GreaterThanOrEqual(l_shipdate,1997-01-01T00:00)"))
+    assert(pf.contains("GreaterThanOrEqual(l_discount,0.05)"))
+    assert(pf.contains("LessThan(l_quantity,24.0)"))
+    assert(pf.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate"), "scan must prune to the four touched columns")
+    val p = plan("q_tpch_q6")
+    assert(!p.contains("Join"), "single-table aggregate must not plan a join")
+    assert(count(p, "Exchange SinglePartition") == 1)
+  }
+
+  test("q_tpch_q13: slice pushed under a PRESERVED left outer, two aggregates") {
+    val p = plan("q_tpch_q13")
+    assert(p.contains("LeftOuter"), "zero-order customers must survive")
+    assert(planFull("q_tpch_q13").contains("Not(EqualTo(o_orderpriority,4-NOT SPECIFIED))"),
+      "the slice belongs on the orders scan, not a post-join filter")
+    // per-customer count then count histogram: two distinct agg keys
+    assert(count(p, "Exchange hashpartitioning") == 2)
+  }
+
   test("q_ode_field_validations: zero exchanges — validation is partition-parallel") {
     val p = plan("q_ode_field_validations")
     assert(count(p, "Exchange ") == 0)
