@@ -737,6 +737,240 @@ private[graft] trait RelationalQueries { this: Queries.type =>
       |GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  /** TPC-H Q8 (national market share): the CASE-SHARE-OVER-WIDE-JOIN
+    * family — a seven-table join (lineitem at the center; part slice,
+    * supplier→nation, customer→nation→region all broadcast; orders the
+    * only co-shuffled side) feeding ONE aggregate whose numerator is a
+    * CASE-gated decimal sum and whose denominator is the plain sum, so
+    * the share is a single double division of two order-free decimals
+    * per year. The planner point: no OR-expansion, no second pass —
+    * both sums ride one partial+final aggregate pair over the join. */
+  private[graft] def tpchQ8Q(s: SparkSession, dir: String): DataFrame = {
+    val part = s.read.parquet(t(dir, "part"))
+      .filter(col("p_type") === "STANDARD").select(col("p_partkey"))
+    val natRegion = s.read.parquet(t(dir, "nation"))
+      .join(broadcast(s.read.parquet(t(dir, "region"))
+          .filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = s.read.parquet(t(dir, "customer"))
+      .join(broadcast(natRegion), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val sup = s.read.parquet(t(dir, "supplier"))
+      .join(broadcast(s.read.parquet(t(dir, "nation"))
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val ord = s.read.parquet(t(dir, "orders"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val dec0 = lit(BigDecimal(0).bigDecimal).cast(DecimalType(18, 4))
+    s.read.parquet(t(dir, "lineitem"))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4)).as("vol"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_5", col("vol"))
+            .otherwise(dec0)).cast("double") /
+          sum(col("vol")).cast("double")).as("mkt_share"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private[graft] val tpchQ8Oracle =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+      |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |        AS DECIMAL(18,4))) AS DOUBLE) AS DOUBLE) AS mkt_share,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey AND p_type = 'STANDARD'
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q9 (product-type profit): the LIKE-FILTERED MULTI-WAY JOIN
+    * family — every lineitem resolves through FOUR dimensions (part by
+    * infix LIKE, supplier, supplier nation, order year), profit per
+    * (nation, year). Adapted to the driver's schema (no partsupp:
+    * p_retailprice plays ps_supplycost's role, so profit =
+    * extprice·(1−disc) − retailprice·qty, cast to DECIMAL(18,4) for an
+    * order-free sum — both engines run the identical IEEE double ops
+    * before the one cast). The planner point: the LIKE prunes part
+    * FIRST (pushed as StringContains), the pruned part broadcast-gates
+    * lineitem before the orders shuffle, and the join order never pairs
+    * two fact tables unfiltered. */
+  private[graft] def tpchQ9Q(s: SparkSession, dir: String): DataFrame = {
+    val part = s.read.parquet(t(dir, "part"))
+      .filter(col("p_name").contains("bolt"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sup = s.read.parquet(t(dir, "supplier"))
+      .join(broadcast(s.read.parquet(t(dir, "nation"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val ord = s.read.parquet(t(dir, "orders"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    s.read.parquet(t(dir, "lineitem"))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity"))
+          .cast(DecimalType(18, 4)).as("amount"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(col("amount")).cast("double").as("sum_profit"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private[graft] val tpchQ9Oracle =
+    """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |      - p_retailprice * l_quantity AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS sum_profit,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%bolt%'
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** TPC-H Q11 shape (important stock): the GROUP-AGGREGATE-VS-GLOBAL-
+    * SCALAR family — per-part value sums filtered against a fraction of
+    * the GLOBAL total, stated so the threshold is an uncorrelated scalar
+    * subquery Catalyst plans ONCE (a broadcast scalar, never per-row;
+    * PlanSpec pins exactly one subquery node). Value is integer-exact
+    * (floor·floor BIGINT products — the one double→int both engines
+    * define identically), the fraction a multiplication (`value·1000 >
+    * total`), so no cross-engine division exists. Adapted to the
+    * driver's schema (no partsupp: the nation-sliced supplier's
+    * lineitems play the stock rows). */
+  private[graft] def tpchQ11Q(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql("""
+      WITH v AS (
+        SELECT l_partkey,
+          sum(CAST(floor(l_extendedprice) AS BIGINT) *
+              CAST(floor(l_quantity) AS BIGINT)) AS pvalue
+        FROM tpch_lineitem
+        WHERE l_suppkey IN (
+          SELECT s_suppkey FROM tpch_supplier
+          JOIN tpch_nation ON s_nationkey = n_nationkey
+          WHERE n_name IN ('NATION_1','NATION_2','NATION_3',
+                           'NATION_4','NATION_5'))
+        GROUP BY 1)
+      SELECT l_partkey, pvalue FROM v
+      WHERE pvalue * 1000 > (SELECT sum(pvalue) FROM v)""")
+  }
+
+  private[graft] val tpchQ11Oracle =
+    """WITH v AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(floor(l_extendedprice) AS BIGINT) *
+      |        CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS pvalue
+      |  FROM lineitem
+      |  WHERE l_suppkey IN (
+      |    SELECT s_suppkey FROM supplier
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |    WHERE n_name IN ('NATION_1','NATION_2','NATION_3',
+      |                     'NATION_4','NATION_5'))
+      |  GROUP BY 1)
+      |SELECT l_partkey, pvalue FROM v
+      |WHERE pvalue * 1000 > (SELECT sum(pvalue) FROM v)""".stripMargin
+
+  /** TPC-H Q15 (top supplier): the MAX-OVER-AGGREGATE-VIEW family —
+    * the revenue view (per-supplier quarter totals) is compared against
+    * its OWN maximum with EQUALITY, so ties all surface (the spec's
+    * point; at this data one supplier holds the max, but the plan is
+    * tie-correct by construction). Revenue is integer-exact
+    * (floor(extprice·(1−disc)) BIGINT — identical IEEE product then the
+    * one shared double→int). The 1-row max broadcast-joins back; the
+    * view's groupBy is the only exchange and AQE reuses it for the max
+    * side rather than recomputing the scan. */
+  private[graft] def tpchQ15Q(s: SparkSession, dir: String): DataFrame = {
+    val rev = s.read.parquet(t(dir, "lineitem"))
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp") &&
+        // stated here (not left to the join's implicit constraint) so the
+        // max side's subtree canonicalizes EQUAL to the main side's and
+        // AQE's ReuseExchange runs the view once, not twice
+        col("l_suppkey").isNotNull)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(expr(
+        "CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT)"))
+        .as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("mx"))
+    val sup = s.read.parquet(t(dir, "supplier"))
+      .select(col("s_suppkey"), col("s_name"))
+    rev.join(broadcast(mx), col("total_rev") === col("mx"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+  }
+
+  private[graft] val tpchQ15Oracle =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount))
+      |      AS BIGINT)) AS BIGINT) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, total_rev
+      |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin
+
+  /** TPC-H Q16 shape (parts/supplier relationship): the DISTINCT-COUNT
+    * + NOT-IN family — supplier counts per (brand, type, size) bucket
+    * with an excluded-supplier NOT IN that Catalyst must turn into a
+    * null-aware anti join (never a per-row scan). Adapted to the
+    * driver's schema (no partsupp: lineitem's (partkey, suppkey) pairs
+    * play the supplies relation — count(DISTINCT) absorbs the pair
+    * multiplicity; negative-balance suppliers play the complaints
+    * slice). Integer/string output: deterministic by construction. */
+  private[graft] def tpchQ16Q(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql("""
+      SELECT p_brand, p_type, p_size,
+        count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM tpch_lineitem JOIN tpch_part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#5'
+        AND p_type <> 'PROMO'
+        AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM tpch_supplier
+                              WHERE s_acctbal < 0e0)
+      GROUP BY 1, 2, 3""")
+  }
+
+  private[graft] val tpchQ16Oracle =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#5'
+      |  AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0e0)
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** Semi/anti joins: customers with vs without orders per segment. */
   private[graft] def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
     val customer = s.read.parquet(t(dir, "customer"))

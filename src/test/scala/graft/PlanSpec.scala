@@ -211,6 +211,71 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Exchange hashpartitioning") == 2)
   }
 
+  test("q_tpch_q8: seven-table join — every dim broadcast, BOTH share sums in one aggregate") {
+    val p = plan("q_tpch_q8")
+    assert(count(p, "BroadcastHashJoin") == 7,
+      "part/orders/cust/supp + nation·2/region hops all broadcast")
+    assert(count(p, "SortMergeJoin") == 0)
+    assert(count(p, "Exchange hashpartitioning") == 1, "the year groupBy is the only shuffle")
+    assert(count(p, "HashAggregate") == 2, "CASE-share numerator and denominator ride ONE partial+final pair")
+    assert(p.contains("EqualTo(p_type,STANDARD)"))
+    assert(p.contains("EqualTo(r_name,AMERICA)"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1996-01-01T00:00)"))
+  }
+
+  test("q_tpch_q9: infix LIKE pushed as StringContains, part gates lineitem before orders") {
+    val p = plan("q_tpch_q9")
+    assert(p.contains("StringContains(p_name,bolt)"), "the LIKE belongs on the part scan")
+    assert(count(p, "BroadcastHashJoin") == 4)
+    assert(count(p, "SortMergeJoin") == 0)
+    assert(count(p, "Exchange hashpartitioning") == 1, "the (nation, year) groupBy is the only shuffle")
+    // join order: the LIKE-pruned part broadcast applies to lineitem FIRST
+    // (the amount projection sits directly above the part join)
+    val amountLine = p.linesIterator.find(_.contains("AS amount")).get
+    assert(p.indexOf(amountLine) < p.indexOf("AS o_year"),
+      "profit must be computed before the orders join widens the row")
+  }
+
+  test("q_tpch_q11: global threshold is ONE scalar subquery, never a per-row re-execution") {
+    val p = plan("q_tpch_q11")
+    // ONE scalar subquery: the text shows it twice (the Filter's reference
+    // + the node definition); two distinct subqueries would print four
+    assert(count(p, "Subquery subquery") == 2, "the total plans as a single reusable scalar")
+    assert(count(p, "Exchange SinglePartition") == 1, "one global sum")
+    assert(count(p, "LeftSemi") == 2, "the nation IN becomes a broadcast semi on both view copies")
+    assert(count(p, "NestedLoop") == 0)
+    // runtime: AQE reuses the per-part aggregate exchange between the main
+    // side and the scalar side — the view is computed once, not twice
+    val df = Queries.all("q_tpch_q11")(spark, dir)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "the shared view's exchange must be reused at runtime")
+  }
+
+  test("q_tpch_q15: max-over-view joins back broadcast; AQE reuses the view's exchange") {
+    val p = plan("q_tpch_q15")
+    assert(count(p, "BroadcastHashJoin") == 2, "the 1-row max and the supplier dim both broadcast")
+    assert(count(p, "Exchange SinglePartition") == 1, "one global max")
+    assert(count(p, "Exchange rangepartitioning") == 0)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1997-01-01T00:00)"))
+    val df = Queries.all("q_tpch_q15")(spark, dir)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "the revenue view must compute once — its l_suppkey filter is stated " +
+        "explicitly so both subtrees canonicalize equal")
+  }
+
+  test("q_tpch_q16: NOT IN is a broadcast null-aware anti join, distinct-count is two-level") {
+    val p = plan("q_tpch_q16")
+    assert(p.contains("LeftAnti"), "the excluded-supplier NOT IN must become an anti join")
+    assert(count(p, "BroadcastHashJoin") == 2)
+    assert(p.contains("LessThan(s_acctbal,0.0)"), "the complaints slice belongs on the supplier scan")
+    // count(DISTINCT): dedup aggregate on (brand,type,size,suppkey) then the
+    // count — two exchanges, no global expand
+    assert(count(p, "Exchange hashpartitioning") == 2)
+    assert(count(p, "HashAggregate") == 4)
+  }
+
   test("q_ode_field_validations: zero exchanges — validation is partition-parallel") {
     val p = plan("q_ode_field_validations")
     assert(count(p, "Exchange ") == 0)
