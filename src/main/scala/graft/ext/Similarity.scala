@@ -347,13 +347,23 @@ object Similarity {
    *  the true LSH regime) keeps recall through the growth, while a
    *  low bar (e.g. cos 0.3, p ≈ 0.6) trades recall for the bound —
    *  at low thresholds the designed 100 TB path is cell-blocked pair
-   *  generation with k ∝ n ([[semanticDedup]] / SemDeDup), not LSH. */
+   *  generation with k ∝ n ([[semanticDedup]] / SemDeDup), not LSH.
+   *
+   *  AUTO mode costs one extra ACTION: `df.count()` fully materializes
+   *  the input frame before the LSH job — cheap on a raw scan, but a
+   *  hidden double computation when `df` is a derived/widened frame.
+   *  Callers who already know the corpus size (or can count a cheaper
+   *  upstream frame) should pass `nHint > 0`, which AUTO uses instead
+   *  of counting. */
   def embeddingNearDuplicatesLSH(df: DataFrame, idCol: String, vecCol: String,
                                  threshold: Double, planes: Int = 6,
-                                 tables: Int = 8): DataFrame = {
+                                 tables: Int = 8, nHint: Long = -1L): DataFrame = {
     val planesEff =
       if (planes > 0) planes
-      else math.max(4, (math.log(df.count() / 64.0) / math.log(2.0)).toInt)
+      else {
+        val n = if (nHint > 0) nHint else df.count()
+        math.max(4, (math.log(n / 64.0) / math.log(2.0)).toInt)
+      }
     val sigs = (0 until tables).map(t =>
       struct(lit(t).as("t"), hyperplaneSignature(col(vecCol), planesEff, seed = t.toLong).as("b")))
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("__v"),

@@ -234,14 +234,30 @@ object Stats {
         "exactQuantilesScalable: refinement failed to converge")
       val w = (hi - lo) / bins
       if (lo == hi || w == 0 || cnt <= localLimit) {
-        // terminal: rank the candidate rows (≤ localLimit by the
-        // convergence argument above; the lo==hi spike degenerates to a
-        // constant) and read the exact order statistics. The
-        // unpartitioned window is bounded by localLimit — the
-        // documented exception family. (w == 0 with lo < hi needs the
-        // subnormal regime AND > localLimit rows inside a
-        // bins·MinSubnormal-wide range — not a reachable data shape.)
         if (lo == hi) { idxs.foreach(i => found(i) = lo); return }
+        if (w == 0 && cnt > localLimit) {
+          // vanished width above the ranking budget (the subnormal
+          // regime): [lo, hi] spans < bins representable doubles, so a
+          // per-distinct-value COUNT is a ≤ bins-row aggregate — read
+          // the order statistics from the cumulative counts instead of
+          // ranking cnt raw rows in one window partition
+          val counts = vals.filter(pred).groupBy(col("__v"))
+            .agg(count(lit(1)).as("__c")).collect()
+            .map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+          var cum = below
+          for ((v, c) <- counts) {
+            val start = cum; cum += c
+            idxs.filter(i => i >= start && i < start + c)
+              .foreach(i => found(i) = v)
+          }
+          return
+        }
+        // terminal: rank the candidate rows (≤ localLimit by the
+        // convergence argument above — the two unbounded shapes, the
+        // lo==hi spike and the vanished-width dense cell, both resolved
+        // above) and read the exact order statistics. The unpartitioned
+        // window is bounded by localLimit — the documented exception
+        // family.
         val offsets = idxs.map(_ - below)
         val got = vals.filter(pred)
           .withColumn("__r",
@@ -367,19 +383,53 @@ object Stats {
         require(depth <= 256,
           "groupedExactQuantiles: refinement failed to converge")
         // constant-valued spikes resolve directly; vanished width with
-        // lo < hi (the subnormal regime) goes through the terminal
-        // RANKING arm like the sequential form — assigning lo there
-        // could return lo for an index whose true order statistic is hi
+        // lo < hi (the subnormal regime) must NOT assign lo — an index's
+        // true order statistic may be hi — so it terminates through one
+        // of the two bounded arms below
         val (spikes, rest) = cells.partition(c => c.lo == c.hi)
         spikes.foreach(c => c.idxs.foreach(i => found((c.group, i)) = c.lo))
         val (terminal, active) = rest.partition(c =>
           c.cnt <= localLimit || (c.hi - c.lo) / bins == 0)
+        // a terminal cell above the ranking budget can only be a
+        // vanished-width cell (cnt > localLimit never terminates
+        // otherwise): [lo, hi] spans < bins representable doubles, so
+        // per-distinct-value counts — not a row ranking — bound the work
+        val (dense, ranked) = terminal.partition(_.cnt > localLimit)
 
-        if (terminal.nonEmpty) {
-          // ONE job ranks every terminal cell's candidate rows: window
-          // partitioned per cell, each partition ≤ localLimit rows by
-          // contract (the documented bounded-window exception family)
-          val cellRows = terminal.zipWithIndex.map { case (c, id) =>
+        if (dense.nonEmpty) {
+          // ONE ≤ bins-rows-per-cell aggregate over all dense cells;
+          // order statistics read from cumulative counts on the driver
+          val cellRows = dense.zipWithIndex.map { case (c, id) =>
+            (id.toLong, c.group, c.path.map(_._1).toArray,
+              c.path.map(_._2).toArray, c.path.map(_._3).toArray)
+          }
+          val cellsDf = spark.createDataFrame(cellRows)
+            .toDF("__cid", "__cg", "__los", "__ws", "__bs")
+          val byCell = vals
+            .join(broadcast(cellsDf), col("__g") === col("__cg"))
+            .filter(pathMatch)
+            .groupBy(col("__cid"), col("__v"))
+            .agg(count(lit(1)).as("__c"))
+            .collect()
+            .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+            .groupBy(_._1)
+          for ((cid, rows) <- byCell) {
+            val c = dense(cid.toInt)
+            var cum = c.below
+            for ((_, v, cc) <- rows.sortBy(_._2)) {
+              val start = cum; cum += cc
+              c.idxs.filter(i => i >= start && i < start + cc)
+                .foreach(i => found((c.group, i)) = v)
+            }
+          }
+        }
+
+        if (ranked.nonEmpty) {
+          // ONE job ranks every ranked cell's candidate rows: window
+          // partitioned per cell, each partition ≤ localLimit rows (the
+          // dense arm above absorbed everything larger — the documented
+          // bounded-window exception family)
+          val cellRows = ranked.zipWithIndex.map { case (c, id) =>
             (id.toLong, c.group, c.path.map(_._1).toArray,
               c.path.map(_._2).toArray, c.path.map(_._3).toArray,
               c.idxs.map(_ - c.below).toArray, c.below)

@@ -1438,12 +1438,16 @@ private[graft] trait ExperimentQueries { this: Queries.type =>
 
   private[graft] val streamingCupedOracle =
     """WITH e AS (
-      |  SELECT epoch_ns(ts) // 86400000000000 AS day,
-      |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
-      |    CAST(json_extract(props, '$.k') AS BIGINT) AS x,
-      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
-      |  FROM events
-      |  WHERE value IS NOT NULL AND json_extract(props, '$.k') IS NOT NULL),
+      |  -- filter on the CAST RESULTS (TRY_CAST = Spark's classic
+      |  -- cast-to-null): a non-numeric k or value drops here exactly as
+      |  -- the monitor's both faces drop it
+      |  SELECT * FROM (
+      |    SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |      CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+      |      TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS x,
+      |      TRY_CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |    FROM events)
+      |  WHERE x IS NOT NULL AND y IS NOT NULL),
       |mx AS (SELECT max(day) AS last_day FROM e),
       |daily AS (
       |  SELECT day, variant, count(*) AS n, sum(x) AS sx, sum(y) AS sy,

@@ -553,7 +553,10 @@ object EventAnalytics {
    * per-event streaming arrival and the batch face's per-(day, arm,
    * bucket) pre-aggregation reach identical state bit-for-bit); the
    * single double op sequence per emission is replayed verbatim in the
-   * DuckDB oracle. Day-close / final-open-day / late-arrival semantics
+   * DuckDB oracle. The Σ(t³−t) tie term accumulates in BigInt at close
+   * (t > ~2.1M per bucket overflows Long t³), so the monitor has no
+   * silent wrap — the only bound left is u2/counts at ~9e18 events,
+   * zMonitor's documented class. Day-close / final-open-day / late-arrival semantics
    * are [[zMonitor]]'s. Emission: both arms observed the day and the
    * tie-corrected σ² is positive (degenerate all-one-bucket days
    * cannot be tested).
@@ -603,7 +606,13 @@ object EventAnalytics {
           openA += s.oa(i); openB += s.ob(i)
           i += 1
         }
-        var nA = 0L; var nB = 0L; var u2 = 0L; var tSum = 0L
+        var nA = 0L; var nB = 0L; var u2 = 0L
+        // tie term t³−t overflows Long once a bucket holds > ~2.1M
+        // observations (realistic for clamped metrics that concentrate in
+        // few of the 512 buckets); accumulate exactly in BigInt — 512 ops
+        // per day-close — and convert to double ONCE, the same
+        // exact-integer-then-double sequence the oracle's HUGEINT sum runs
+        var tSum = BigInt(0)
         var bLess = 0L
         i = 0
         while (i < MwBuckets) {
@@ -611,7 +620,7 @@ object EventAnalytics {
           bLess += cb(i)
           nA += ca(i); nB += cb(i)
           val t = ca(i) + cb(i)
-          tSum += t * t * t - t
+          tSum += BigInt(t) * t * t - t
           i += 1
         }
         val emitted =
@@ -665,12 +674,17 @@ object EventAnalytics {
     val spark = events.sparkSession
     import spark.implicits._
     val base = graft.ingest.Readers.tsToNanos(events)
-      .filter(col("value").isNotNull &&
-        get_json_object(col("props"), "$.k").isNotNull)
       .select(expr("ts div 86400000000000").as("day"),
         expr("CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END").as("variant"),
         expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("x"),
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("y"))
+      // filter on the CAST RESULTS, not the raw fields: a non-numeric k
+      // (or value) casts to null, and gating on the raw string would let
+      // it through — the batch face would then count the row in n while
+      // skipping it in the sums, and the streaming face would crash on a
+      // null in a non-nullable encoder field (the zMonitor divergence
+      // class). Both faces must drop the row identically, here.
+      .filter(col("x").isNotNull && col("y").isNotNull)
     val pairs: Dataset[(Long, String, Long, Long, Long, Long, Long)] =
       if (events.isStreaming)
         base.select(col("day"), col("variant"),

@@ -714,4 +714,91 @@ class EventAnalyticsSpec extends AnyFunSuite
     val got = spark.table("geofence_out").collect().map(_.toString).sorted.toSeq
     assert(expected.nonEmpty && got == expected)
   }
+
+  test("mwMonitor tie term is exact past the Long t³ wrap (~2.1M per bucket)") {
+    // 2.4M observations in one bucket: t³ ≈ 1.4e19 > Long.MaxValue — the
+    // pre-fix Long accumulation wrapped NEGATIVE silently; the BigInt
+    // accumulation must match an exact replay and differ from the wrap
+    val nBig = 2400000L
+    val nSmall = 100000L
+    val day0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val day1 = lit("2024-01-02 00:00:00").cast("timestamp")
+    // arm-skewed mass (A owns bucket 5, B bucket 9): a symmetric split
+    // gives U = n_a·n_b exactly and z = 0 regardless of ties
+    val big = spark.range(nBig).select(day0.as("ts"),
+      (col("id") * 2).as("user_id"), // even ⇒ arm A
+      lit(5.0).as("value"), lit("{}").as("props"))
+    val small = spark.range(nSmall).select(day0.as("ts"),
+      (col("id") * 2 + 1).as("user_id"), // odd ⇒ arm B
+      lit(9.0).as("value"), lit("{}").as("props"))
+    val closer = spark.range(2).select(day1.as("ts"), col("id").as("user_id"),
+      lit(5.0).as("value"), lit("{}").as("props"))
+    val got = EventAnalytics.mwMonitor(big.union(small).union(closer))
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+
+    // exact replay (BigInt), then the wrapped value it must NOT equal
+    // day-0 close: the day-1 closer rows are NOT in this readout
+    val ca = Array.fill(2)(0L); val cb = Array.fill(2)(0L) // buckets 5, 9
+    ca(0) = nBig  // all of bucket 5 sits in arm A...
+    cb(1) = nSmall // ...all of bucket 9 in arm B
+    var nA = 0L; var nB = 0L; var u2 = 0L; var bLess = 0L
+    var tExact = BigInt(0); var tWrapped = 0L
+    for (i <- 0 until 2) {
+      u2 += ca(i) * (2L * bLess + cb(i)); bLess += cb(i)
+      nA += ca(i); nB += cb(i)
+      val t = ca(i) + cb(i)
+      tExact += BigInt(t) * t * t - t
+      tWrapped += t * t * t - t
+    }
+    assert(tExact != BigInt(tWrapped), "fixture too small to trigger the wrap")
+    def z(tSum: Double): Double = {
+      val n = (nA + nB).toDouble
+      val sig2 = nA.toDouble * nB.toDouble / 12e0 *
+        ((n + 1e0) - tSum / (n * (n - 1e0)))
+      (u2.toDouble - nA.toDouble * nB.toDouble) / (2e0 * math.sqrt(sig2))
+    }
+    assert(r.n_a == nA && r.n_b == nB && r.u2 == u2)
+    assert(r.z == z(tExact.toDouble), s"got z=${r.z} want ${z(tExact.toDouble)}")
+    assert(r.z != z(tWrapped.toDouble), "wrapped and exact z coincide — vacuous")
+  }
+
+  test("cupedMonitor drops non-numeric covariate rows identically on both faces") {
+    // a props.k that is present but non-numeric casts to NULL: before the
+    // fix the batch face counted the row in n while skipping it in the
+    // sums, and the streaming face crashed on a null in a non-nullable
+    // encoder field. Both faces must drop it.
+    val rows = Seq(
+      // day 0: one clean row per arm + one poisoned row per arm
+      ("2024-01-01 01:00:00", 0L, 10.0, """{"k":2}"""),
+      ("2024-01-01 02:00:00", 2L, 20.0, """{"k":"abc"}"""),
+      ("2024-01-01 03:00:00", 1L, 30.0, """{"k":4}"""),
+      ("2024-01-01 04:00:00", 3L, 40.0, """{"k":[1,2]}"""),
+      // day 1 (closes day 0): x values differ so pooled var(X) > 0
+      ("2024-01-02 01:00:00", 0L, 11.0, """{"k":3}"""),
+      ("2024-01-02 02:00:00", 1L, 12.0, """{"k":7}"""))
+    val df = rows.toDF("tss", "user_id", "value", "props")
+      .select(col("tss").cast("timestamp").as("ts"), col("user_id"),
+        col("value"), col("props"))
+    val batch = EventAnalytics.cupedMonitor(df).collect()
+    assert(batch.length == 1)
+    // n_a = n_b = 1: the poisoned rows are OUT of the counts, not just the sums
+    assert(batch.head.n_a == 1L && batch.head.n_b == 1L,
+      s"non-numeric k row leaked into n: ${batch.head}")
+
+    val dir = tempDir("graft-cuped-poison")
+    df.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(df.schema).parquet(dir.toString)
+    val q = EventAnalytics.cupedMonitor(stream)
+      .toDF().writeStream.format("memory").queryName("cuped_poison")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tempDir("graft-cuped-poison-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("cuped_poison").collect()
+    assert(got.map(_.toString).sorted.toSeq ==
+      batch.map(r => org.apache.spark.sql.Row(r.day, r.n_a, r.n_b, r.theta,
+        r.diff_raw, r.diff_adj).toString).sorted.toSeq)
+  }
 }

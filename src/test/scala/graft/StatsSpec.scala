@@ -95,6 +95,51 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("vanished-width dense cells resolve by value counts, not a raw ranking") {
+    import org.apache.spark.sql.functions._
+    // the subnormal regime: lo < hi but (hi - lo) / bins underflows to 0,
+    // with MORE rows than localLimit — before the r10 advice fix this
+    // routed the whole cell into ONE row_number() window partition; now
+    // it is a ≤ bins-row per-distinct-value count. Values are the few
+    // representable doubles near zero.
+    val tiny = java.lang.Double.MIN_VALUE // 4.9e-324
+    val values = Seq.fill(30)(0.0) ++ Seq.fill(25)(tiny * 40) ++
+      Seq.fill(25)(tiny * 100)
+    val rnd = new scala.util.Random(3)
+    val df = rnd.shuffle(values).toDF("v")
+    val fracs = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    val expected = df.agg(expr(
+        s"percentile(v, array(${fracs.mkString(",")}))").as("q"))
+      .collect()(0).getSeq[Double](0)
+    // localLimit = 8 << 80 rows: the root range [0, tiny·100] has
+    // width/bins == 0 immediately, so the dense arm must fire
+    val got = Stats.exactQuantilesScalable(df, "v", fracs,
+      bins = 4096, localLimit = 8)
+    fracs.indices.foreach { i =>
+      assert(got(i) == expected(i),
+        s"frac ${fracs(i)}: got ${got(i)} want ${expected(i)}")
+    }
+    // same shape through the grouped form, beside a normal group
+    val gdf = rnd.shuffle(
+      values.map(("dense", _)) ++ (1 to 50).map(i => ("wide", i.toDouble)))
+      .toDF("grp", "v")
+    val gotG = Stats.groupedExactQuantiles(gdf, "grp", "v", fracs,
+      bins = 4096, localLimit = 8).collect()
+      .map(r => r.getString(0) ->
+        fracs.indices.map(i => r.getDouble(i + 1))).toMap
+    fracs.indices.foreach { i =>
+      assert(gotG("dense")(i) == expected(i),
+        s"grouped dense frac ${fracs(i)}: got ${gotG("dense")(i)} " +
+          s"want ${expected(i)}")
+    }
+    val expWide = Stats.exactQuantilesScalable(
+      gdf.filter(col("grp") === "wide"), "v", fracs,
+      bins = 4096, localLimit = 8)
+    fracs.indices.foreach { i =>
+      assert(gotG("wide")(i) == expWide(i))
+    }
+  }
+
   test("groupedExactQuantiles equals per-group exactQuantilesScalable " +
     "and counts jobs independent of group count") {
     import org.apache.spark.sql.functions._
