@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * GATED scale-ladder bench (r10 verdict item 3): runs the full query
+ * registry against a scaled-up dataset (built by [[ScaleData]]) with a
+ * per-query wall-clock budget derived from a committed base-SF board,
+ * and prints an `all_ok` verdict — so a quadratic regression fails
+ * LOUDLY instead of hiding in a one-off evidence run. The r10 ladder
+ * found six quadratic formulations exactly this way; this tool makes
+ * the ladder a permanent tripwire.
+ *
+ * Budget per query = max(floor, mult × base-SF seconds): a LINEAR
+ * allowance at `mult`× the data plus an absolute floor that absorbs
+ * sub-second base timings and fixed session costs (structured-streaming
+ * startup, broadcast build) that do not scale with data. Linear is a
+ * deliberately generous per-query ceiling (the r10 aggregate at 10× ran
+ * 1.79×) — the gate exists to catch super-linear blowups, which
+ * overshoot it by an order of magnitude (the six r10 finds ran 31–140×),
+ * not to police constant factors, which BENCHDETAIL tracks at base SF.
+ *
+ *   sbt "runMain graft.ScaleBench BENCHDETAIL_r11.json target/sf1 10"
+ *
+ * Output: one `[scalebench]` line per query + a final Bench-format JSON
+ * line with per-query seconds, per-query ok, and `all_ok`. Committed
+ * per round as SCALEBENCH_r{N}.txt. A registry query missing from the
+ * baseline gets the floor-only budget and a loud `no-base` marker —
+ * regenerate the baseline board when that happens.
+ */
+object ScaleBench {
+  /** Extracts the `"queries":{...}` per-query seconds from a Bench
+    * output line (the committed BENCHDETAIL files). */
+  private[graft] def parseBaseline(json: String): Map[String, Double] = {
+    val start = json.indexOf("\"queries\":{")
+    require(start >= 0, "baseline JSON has no \"queries\" object")
+    val body = json.substring(start + "\"queries\":{".length,
+      json.indexOf("}", start))
+    "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: ScaleBench <baselineBenchJson> <sfDir> <mult> [floorSec] [filter]")
+    val baseline = parseBaseline(
+      scala.io.Source.fromFile(args(0)).getLines().mkString("\n"))
+    val sfDir = args(1)
+    val mult = args(2).toDouble
+    val floorSec = args.lift(3).map(_.toDouble).getOrElse(8.0)
+    val only = args.lift(4).map(_.split(",").toSet)
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    def run(name: String,
+            fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[scalebench] $name FAILED")
+        e.printStackTrace()
+        false
+      }
+      finally {
+        // same isolation as Bench: leftover cache/broadcast state from a
+        // composite query inflates every later timing in the same JVM
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
+      }
+
+    run("warmup", SparkEntry.queries("q1_agg"))
+    var allOk = true
+    val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val base = baseline.get(name)
+        val budget = math.max(floorSec, base.getOrElse(0.0) * mult)
+        val t0 = System.nanoTime()
+        val ran = run(name, fn)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val ok = ran && secs <= budget
+        if (!ok) allOk = false
+        println(f"[scalebench] $name ${secs}%.1f s (budget ${budget}%.1f s" +
+          s"${if (base.isEmpty) ", no-base" else ""}, " +
+          f"${if (ok) "ok" else "OVER"})")
+        (name, secs, ok)
+      }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val oks = results.map { case (k, _, ok) => s"\"" + k + "\":" + ok }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"scalebench_total","value":$total,"unit":"sec","mult":$mult,"queries":$qs,"ok":$oks,"all_ok":$allOk,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
