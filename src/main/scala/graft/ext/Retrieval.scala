@@ -184,4 +184,39 @@ object Retrieval {
       .agg(round(sum(col("__wa") * col("__wb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /**
+   * Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists —
+   * the standard hybrid-retrieval combiner (lexical BM25 + embedding
+   * ANN, or any ranker pair) that needs no score normalization:
+   *
+   *   rrf(d) = Σ_lists 1 / (c + rank_list(d)),  absent list → 0.
+   *
+   * Inputs are (idCol, rankCol) frames with dense 1-based ranks; the
+   * fusion is a full-outer id join (a document surfacing in EITHER list
+   * is a candidate), the two reciprocal terms are added in a fixed
+   * association order (coalesced left + right — two IEEE ops both
+   * engines replay identically; no cross-partition float sum exists),
+   * and the top `k` resolve by (score DESC, id). Absent ranks surface
+   * as 0 (integer, never NULL) so downstream consumers need no
+   * null-handling. Scale shape: ranked lists are top-k-bounded by
+   * construction — the join is a broadcast of two k-row frames no
+   * matter the corpus size behind them.
+   */
+  def rrfFusion(a: DataFrame, b: DataFrame, idCol: String,
+                rankCol: String = "rank", c: Int = 60,
+                k: Int = 10): DataFrame = {
+    val l = a.select(col(idCol).as("__id"), col(rankCol).cast("long").as("__ra"))
+    val r = b.select(col(idCol).as("__id"), col(rankCol).cast("long").as("__rb"))
+    l.join(r, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        coalesce(col("__ra"), lit(0L)).as("rank_a"),
+        coalesce(col("__rb"), lit(0L)).as("rank_b"),
+        round(
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("__ra")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(c.toDouble) + col("__rb")), lit(0.0)),
+          9).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
 }

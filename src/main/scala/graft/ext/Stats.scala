@@ -751,4 +751,54 @@ object Stats {
         count(lit(1)).as("n_pairs"))
       .withColumnRenamed("_g", groupCol)
   }
+
+  /**
+   * Classifier-calibration readout (reliability bins + expected
+   * calibration error): the curation-pipeline check that a learned
+   * quality/toxicity scorer's probabilities MEAN what they say before a
+   * threshold turns them into keep/drop decisions. Scores in [0, 1]
+   * bucket into `bins` equal-width reliability bins (the 1.0 edge
+   * clamps into the top bin); each bin reports its count, mean score
+   * (confidence), empirical positive rate (accuracy), and gap; every
+   * row also carries the corpus-level ECE = Σ_b (n_b/N)·|gap_b|.
+   *
+   * Determinism discipline: the score sum accumulates as
+   * DECIMAL(28,10) — order-free across partitions; scores are
+   * quantized at 1e-10, the documented contract — and the ECE folds
+   * round(|gap|, 6)·1e6 per bin into exact BIGINT units before ONE
+   * terminal double division, so no cross-partition double-sum order
+   * exists anywhere. Scale shape: one map-side-combined aggregate on
+   * the bin key (≤ `bins` rows out), the ECE a broadcast 1-row join
+   * back — the corpus shuffles nothing but partial bin sums.
+   */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins > 0)
+    val perBin = df
+      .select(
+        least(floor(col(scoreCol) * bins).cast("long"),
+          lit((bins - 1).toLong)).as("bin"),
+        col(scoreCol).cast(org.apache.spark.sql.types.DecimalType(28, 10))
+          .as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("__ssum"),
+        sum(col("__y")).as("__ysum"))
+      .select(col("bin"), col("n"),
+        round(col("__ssum").cast("double") / col("n"), 6).as("avg_score"),
+        round(col("__ysum").cast("double") / col("n"), 6).as("pos_rate"))
+      .withColumn("gap",
+        round(abs(col("avg_score") - col("pos_rate")), 6))
+    val ece = perBin
+      .agg(sum(col("n")).as("__n_tot"),
+        // floor(x + 0.5): the one double→int both engines define
+        // identically (Spark's cast truncates, DuckDB's rounds)
+        sum(floor(col("gap") * 1e6 + lit(0.5)).cast("long") * col("n"))
+          .as("__gap_units"))
+      .select((col("__gap_units").cast("double") / 1e6 /
+        col("__n_tot").cast("double")).as("__ece"))
+    perBin.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("avg_score"), col("pos_rate"),
+        col("gap"), round(col("__ece"), 6).as("ece"))
+  }
 }

@@ -2224,4 +2224,46 @@ private[graft] trait ExperimentQueries { this: Queries.type =>
    *  exact pair list q_jaccard_pairs gates (one division of exact
    *  integers per pair, so the >= comparisons agree bit-for-bit across
    *  engines); thresholds explode from a 3-literal array. */
+
+  /** Quality-scorer calibration readout ([[graft.ext.Stats.calibrationBins]]):
+   *  10 reliability bins + corpus ECE for a deterministic pseudo-scorer
+   *  over the documents table (score = a Knuth-hash pseudo-probability
+   *  of the doc id; label drawn by an independent hash below the score,
+   *  so the scorer is calibrated by construction and the bins read
+   *  rate ≈ confidence). The curation use: this is the check run on a
+   *  learned quality/toxicity scorer before its threshold becomes a
+   *  keep/drop gate. One bin-keyed aggregate + a 1-row ECE broadcast. */
+  private[graft] def scoreCalibrationQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Stats.calibrationBins(
+      docs(s, dir).select(
+        (((col("doc_id") * 2654435761L) % 1000).cast("double") / 1000.0)
+          .as("score"),
+        ((col("doc_id") * 7919) % 1000 <
+          (col("doc_id") * 2654435761L) % 1000).as("label")),
+      "score", "label", bins = 10)
+
+  private[graft] val scoreCalibrationOracle =
+    """WITH s AS (
+      |  SELECT CAST((doc_id * 2654435761) % 1000 AS DOUBLE) / 1000e0 AS score,
+      |    CASE WHEN (doc_id * 7919) % 1000 < (doc_id * 2654435761) % 1000
+      |      THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |b AS (
+      |  SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(score AS DECIMAL(28,10))) AS DOUBLE) AS ssum,
+      |    CAST(sum(y) AS BIGINT) AS ysum
+      |  FROM s GROUP BY 1),
+      |g AS (
+      |  SELECT bin, n, round(ssum / n, 6) AS avg_score,
+      |    round(CAST(ysum AS DOUBLE) / n, 6) AS pos_rate,
+      |    round(abs(round(ssum / n, 6) - round(CAST(ysum AS DOUBLE) / n, 6)),
+      |      6) AS gap
+      |  FROM b),
+      |e AS (
+      |  SELECT CAST(sum(CAST(floor(gap * 1e6 + 5e-1) AS BIGINT) * n)
+      |      AS DOUBLE) / 1e6 / CAST(sum(n) AS DOUBLE) AS ece
+      |  FROM g)
+      |SELECT bin, n, avg_score, pos_rate, gap, round(ece, 6) AS ece
+      |FROM g, e""".stripMargin
 }

@@ -365,6 +365,44 @@ private[graft] trait TextCurationQueries { this: Queries.type =>
        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Reciprocal-rank fusion of two retrieval runs ([[Retrieval.rrfFusion]]):
+   *  the BM25 lexical top-20 fused with a freshness/length ranker's
+   *  top-20 at c=60 — the standard no-normalization hybrid-search
+   *  combiner. Both input lists are k-bounded, so the fusion join is
+   *  two 20-row frames regardless of corpus size; the 20-row rank
+   *  windows are the documented bounded-window exception. */
+  private[graft] def rrfFusionQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = Retrieval.bm25TopK(docs(s, dir), "text", "doc_id",
+        Seq("spark", "vector", "stream"), k = 20)
+      .select(col("doc_id"), row_number()
+        .over(Window.orderBy(col("bm25").desc, col("doc_id"))).as("rank"))
+    val fresh = docs(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), row_number()
+        .over(Window.orderBy(col("n_chars").desc, col("doc_id"))).as("rank"))
+    Retrieval.rrfFusion(lex, fresh, "doc_id", c = 60, k = 10)
+  }
+
+  private[graft] val rrfFusionOracle =
+    s"""WITH b0 AS ($bm25TopKOracle),
+       |b AS (SELECT doc_id,
+       |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS ra FROM b0),
+       |f0 AS (SELECT doc_id, n_chars FROM documents
+       |  ORDER BY n_chars DESC, doc_id LIMIT 20),
+       |f AS (SELECT doc_id,
+       |  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rb FROM f0),
+       |j AS (
+       |  SELECT COALESCE(b.doc_id, f.doc_id) AS doc_id,
+       |    CAST(COALESCE(ra, 0) AS BIGINT) AS rank_a,
+       |    CAST(COALESCE(rb, 0) AS BIGINT) AS rank_b,
+       |    round(COALESCE(1e0 / (60e0 + ra), 0e0) +
+       |          COALESCE(1e0 / (60e0 + rb), 0e0), 9) AS rrf
+       |  FROM b FULL OUTER JOIN f ON b.doc_id = f.doc_id)
+       |SELECT doc_id, rank_a, rank_b, rrf FROM j
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   /** TF-IDF sparse document vectors over the full corpus — narrow
    *  term-count shape, no self-join, scales to the whole table. */
   /** c-TF-IDF per-source keywords ([[Retrieval.classTfidf]]): top-5

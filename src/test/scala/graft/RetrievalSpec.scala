@@ -129,4 +129,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin")) // 1-row corpus count
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("rrfFusion: both-list docs outrank single-list docs, absent rank = 0") {
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val b = Seq((11L, 1), (13L, 2)).toDF("id", "rank")
+    val got = Retrieval.rrfFusion(a, b, "id", c = 60, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // 11 is in both lists (1/62 + 1/61) and must outrank everything
+    assert(got.head._1 == 11L)
+    assert((got.head._2, got.head._3) == ((2L, 1L)))
+    assert(math.abs(got.head._4 - (1.0 / 62 + 1.0 / 61)) < 1e-9)
+    // absent ranks surface as 0, never null
+    val m = got.map(g => g._1 -> (g._2, g._3)).toMap
+    assert(m(10L) == ((1L, 0L)) && m(13L) == ((0L, 2L)))
+    // equal-score tie (10 in a@1 vs 13 in b... not equal) — instead pin
+    // the full deterministic order: same-rank singles tie-break by id
+    val c2 = Retrieval.rrfFusion(
+      Seq((5L, 1)).toDF("id", "rank"), Seq((3L, 1)).toDF("id", "rank"),
+      "id", c = 60, k = 10).collect().map(_.getLong(0)).toSeq
+    assert(c2 == Seq(3L, 5L), "equal RRF scores must tie-break by id")
+  }
+
+  test("rrfFusion top-k never plans a global sort") {
+    // inputs must exceed k: with provably-few rows EliminateLimits drops
+    // the Limit (maxRows ≤ k) and no TakeOrdered can form
+    val a = (1L to 15L).map(i => (i, i.toInt)).toDF("id", "rank")
+    val b = (10L to 24L).map(i => (i, (i - 9).toInt)).toDF("id", "rank")
+    val plan = Retrieval.rrfFusion(a, b, "id").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("Exchange rangepartitioning"))
+  }
 }

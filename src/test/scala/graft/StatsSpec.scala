@@ -95,6 +95,33 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("calibrationBins: bin geometry, exact means, hand-computed ECE") {
+    // bins: [0,0.25) [0.25,0.5) [0.5,0.75) [0.75,1.0]; score 1.0 clamps
+    // into the top bin
+    val rows = Seq(
+      (0.1, true), (0.2, false),          // bin 0: avg 0.15, rate 0.5
+      (0.3, false), (0.4, false),         // bin 1: avg 0.35, rate 0.0
+      (0.6, true),                        // bin 2: avg 0.6,  rate 1.0
+      (0.8, true), (1.0, true), (0.9, false)) // bin 3: avg 0.9, rate 2/3
+    val df = rows.toDF("score", "label")
+    val got = Stats.calibrationBins(df, "score", "label", bins = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    assert(got(0L)._1 == 2 && got(0L)._2 == 0.15 && got(0L)._3 == 0.5)
+    assert(got(1L)._4 == 0.35, "bin 1 gap = |0.35 - 0.0|")
+    assert(got(2L)._1 == 1 && got(2L)._4 == 0.4)
+    assert(got(3L)._1 == 3 && got(3L)._3 == 0.666667)
+    // ECE = (2·0.35 + 2·0.35 + 1·0.4 + 3·|0.9 − 0.666667|) / 8
+    val expectedEce = math.floor((2 * 350000L + 2 * 350000L + 1 * 400000L +
+      3 * 233333L).toDouble) / 1e6 / 8
+    assert(math.abs(got(0L)._5 - expectedEce) < 1e-6,
+      s"ece ${got(0L)._5} want ~$expectedEce")
+    // the ECE column is the same corpus constant on every bin row
+    assert(got.values.map(_._5).toSet.size == 1)
+  }
+
   test("vanished-width dense cells resolve by value counts, not a raw ranking") {
     import org.apache.spark.sql.functions._
     // the subnormal regime: lo < hi but (hi - lo) / bins underflows to 0,
