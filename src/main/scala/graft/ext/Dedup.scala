@@ -38,6 +38,36 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /**
+   * QUALITY-AWARE survivorship: per exact-duplicate cluster, the member
+   * with the highest `scoreCol` survives (id ascending breaks score
+   * ties) — the keep rule production pipelines actually run, where a
+   * cluster's best-quality copy wins rather than its lowest id (the
+   * duplicates differ in surrounding metadata: source, timestamps,
+   * extraction quality). Returns every input row tagged
+   * (id, canonical id, is_kept).
+   *
+   * Scale shape: ONE digest-keyed aggregate — argmax as the
+   * lexicographic `max(struct(score, -id))`, which partial-aggregates
+   * map-side (a per-cluster ranking window would gather each cluster
+   * into one task and carry the text through the shuffle; here only
+   * (digest, score, id) partials cross the wire) — broadcast-joined
+   * back to the corpus when clusters are few, shuffle-joined otherwise
+   * (Catalyst's choice by stats).
+   */
+  def keepBestDuplicates(df: DataFrame, textCol: String, idCol: String,
+                         scoreCol: String): DataFrame = {
+    val best = df
+      .groupBy(md5(col(textCol)).as("__dg"))
+      .agg(max(struct(col(scoreCol).cast("double").as("s"),
+        (-col(idCol)).as("ni"))).as("__best"))
+      .select(col("__dg"), (-col("__best.ni")).as("canonical_id"))
+    df.select(col(idCol), col(scoreCol), md5(col(textCol)).as("__dg2"))
+      .join(best, col("__dg2") === col("__dg"))
+      .select(col(idCol), col("canonical_id"),
+        (col(idCol) === col("canonical_id")).as("is_kept"))
+  }
+
   // ------------------------------------------------------------------
   // Shingling
   // ------------------------------------------------------------------

@@ -43,6 +43,32 @@ private[graft] trait DedupQueries { this: Queries.type =>
     """SELECT doc_id FROM documents
       |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1""".stripMargin
 
+  /** Quality-aware survivorship ([[Dedup.keepBestDuplicates]]): the
+   *  best-scored member of each exact-text cluster survives (ties by
+   *  min id), scored by the same deterministic hash pseudo-quality the
+   *  calibration readout uses — the keep rule real pipelines run when
+   *  duplicate copies differ in extraction quality. */
+  private[graft] def dedupKeepBest(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepBestDuplicates(
+      docs(s, dir).withColumn("score",
+        ((col("doc_id") * 2654435761L) % 1000).cast("double") / 1000.0),
+      "text", "doc_id", "score")
+
+  private[graft] val dedupKeepBestOracle =
+    """WITH s AS (
+      |  SELECT doc_id, md5(text) AS dg,
+      |    CAST((doc_id * 2654435761) % 1000 AS DOUBLE) / 1000e0 AS score
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, dg,
+      |    row_number() OVER (PARTITION BY dg ORDER BY score DESC, doc_id)
+      |      AS rn
+      |  FROM s),
+      |c AS (SELECT dg, doc_id AS canonical_id FROM r WHERE rn = 1)
+      |SELECT s.doc_id, c.canonical_id,
+      |  s.doc_id = c.canonical_id AS is_kept
+      |FROM s JOIN c USING (dg)""".stripMargin
+
   private[graft] def shingleStats(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       size(Dedup.wordShingles(col("text"), 3)).as("n_word_3grams"),

@@ -737,6 +737,50 @@ private[graft] trait EmbeddingMultimodalQueries { this: Queries.type =>
        |  round(coalesce(CAST(1.0 AS DOUBLE) / h.fr, CAST(0.0 AS DOUBLE)), 6) AS mrr
        |FROM tc LEFT JOIN h USING (query_id)""".stripMargin
 
+  /** Matryoshka truncation evaluation: recall@5 + MRR of HALF-dimension
+   *  (32 of 64) brute-force search against the full-dimension ground
+   *  truth — the readout that decides how far MRL-style embeddings can
+   *  be truncated (halving index memory and ANN cost) before retrieval
+   *  quality pays. Both sides brute-force and DuckDB-replicable, so the
+   *  metric itself is value-checked. */
+  private[graft] def mrlRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val trunc = e.select(col("vec_id"),
+      expr("slice(embedding, 1, 32)").as("embedding"))
+    val truth = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+    val res = Similarity.bruteForceTopK(trunc, "vec_id", "embedding",
+      trunc.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+    Similarity.recallAtK(res, truth)
+  }
+
+  private[graft] lazy val mrlRecallOracle = {
+    val truncBrute =
+      """WITH q AS (SELECT vec_id AS qid, embedding[1:32] AS qv FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS cid, embedding[1:32] AS cv FROM embeddings),
+        |pairs AS (
+        |  SELECT qid, cid,
+        |    list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS sim
+        |  FROM q, c WHERE qid <> cid)
+        |SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS INT) AS rank FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        |  FROM pairs) WHERE rn <= 5""".stripMargin
+    s"""WITH res AS ($truncBrute),
+       |tru AS ($annBruteForceOracle),
+       |tc AS (SELECT query_id, count(*) AS n_truth FROM tru GROUP BY 1),
+       |h AS (
+       |  SELECT r.query_id, count(*) AS n_hits, min(r.rank) AS fr
+       |  FROM res r JOIN tru t
+       |    ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+       |  GROUP BY 1)
+       |SELECT tc.query_id, coalesce(h.n_hits, 0) AS n_hits, tc.n_truth,
+       |  round(coalesce(h.n_hits, 0) / CAST(tc.n_truth AS DOUBLE), 6) AS recall,
+       |  round(coalesce(CAST(1.0 AS DOUBLE) / h.fr, CAST(0.0 AS DOUBLE)), 6) AS mrr
+       |FROM tc LEFT JOIN h USING (query_id)""".stripMargin
+  }
+
   /** Multimodal plumbing: opaque binary + typed metadata (byte lengths are
    *  oracle-checkable; pixel stats are clearly-marked stubs). */
   private[graft] def multimodalBytes(s: SparkSession, dir: String): DataFrame = {

@@ -139,4 +139,26 @@ class DedupVerifySpec extends AnyFunSuite {
     assert(got(2L) == ((17L, 5L, 12L, m("m0 m1 m2 m3 m4"))))
     assert(got(3L) == ((0L, 0L, 0L, m(""))), "empty doc survives with md5('')")
   }
+
+  test("keepBestDuplicates: highest score survives, score ties fall to min id") {
+    val docs = Seq(
+      (1L, "same text", 0.2), (2L, "same text", 0.9), (3L, "same text", 0.5),
+      (4L, "other", 0.7), (5L, "other", 0.7), // tie -> min id 4 survives
+      (6L, "unique", 0.1))
+      .toDF("doc_id", "text", "score")
+    val got = Dedup.keepBestDuplicates(docs, "text", "doc_id", "score")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, false)), 2L -> ((2L, true)), 3L -> ((2L, false)),
+      4L -> ((4L, true)), 5L -> ((4L, false)),
+      6L -> ((6L, true))))
+    // the argmax is ONE map-side-combinable aggregate, never a
+    // per-cluster ranking window (which would gather a hot cluster —
+    // the worst case is the whole corpus being one text — into one task)
+    val plan = Dedup.keepBestDuplicates(docs, "text", "doc_id", "score")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max"))
+    assert(!plan.contains("Window"))
+  }
 }
