@@ -51,25 +51,13 @@ object ScaleBench {
     val only = args.lift(4).map(_.split(",").toSet)
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
+    // the SAME harness Bench uses — budgets compare baseline seconds
+    // against these, so the measurement must be identical
     def run(name: String,
             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[scalebench] $name FAILED")
-        e.printStackTrace()
-        false
-      }
-      finally {
-        // same isolation as Bench: leftover cache/broadcast state from a
-        // composite query inflates every later timing in the same JVM
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        System.gc()
-      }
+      BenchHarness.run(spark, sfDir, "scalebench")(name, fn)
 
     run("warmup", SparkEntry.queries("q1_agg"))
-    var allOk = true
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -79,18 +67,13 @@ object ScaleBench {
         val ran = run(name, fn)
         val secs = (System.nanoTime() - t0) / 1e9
         val ok = ran && secs <= budget
-        if (!ok) allOk = false
         println(f"[scalebench] $name ${secs}%.1f s (budget ${budget}%.1f s" +
           s"${if (base.isEmpty) ", no-base" else ""}, " +
           f"${if (ok) "ok" else "OVER"})")
         (name, secs, ok)
       }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val oks = results.map { case (k, _, ok) => s"\"" + k + "\":" + ok }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"scalebench_total","value":$total,"unit":"sec","mult":$mult,"queries":$qs,"ok":$oks,"all_ok":$allOk,"sf":"$sfDir"}""")
+    println(BenchHarness.jsonLine("scalebench_total", results, sfDir,
+      extraFields = s""""mult":$mult,"""))
     spark.stop()
   }
 }

@@ -63,7 +63,11 @@ object Dedup {
         (-col(idCol)).as("ni"))).as("__best"))
       .select(col("__dg"), (-col("__best.ni")).as("canonical_id"))
     df.select(col(idCol), col(scoreCol), md5(col(textCol)).as("__dg2"))
-      .join(best, col("__dg2") === col("__dg"))
+      // NULL-SAFE join: md5(NULL) is NULL, and a plain equi-join would
+      // silently DROP every null-text row (groupBy clusters them under
+      // the null digest, but `=` never matches NULL) — they must come
+      // back tagged like everything else, one null-text cluster
+      .join(best, col("__dg2") <=> col("__dg"))
       .select(col(idCol), col("canonical_id"),
         (col(idCol) === col("canonical_id")).as("is_kept"))
   }

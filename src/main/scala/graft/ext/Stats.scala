@@ -776,8 +776,10 @@ object Stats {
     require(bins > 0)
     val perBin = df
       .select(
-        least(floor(col(scoreCol) * bins).cast("long"),
-          lit((bins - 1).toLong)).as("bin"),
+        // clamp BOTH edges: 1.0 into the top bin, and any out-of-contract
+        // negative score into bin 0 rather than a phantom negative bin
+        greatest(least(floor(col(scoreCol) * bins).cast("long"),
+          lit((bins - 1).toLong)), lit(0L)).as("bin"),
         col(scoreCol).cast(org.apache.spark.sql.types.DecimalType(28, 10))
           .as("__s"),
         col(labelCol).cast("long").as("__y"))

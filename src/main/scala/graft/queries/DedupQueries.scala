@@ -50,14 +50,18 @@ private[graft] trait DedupQueries { this: Queries.type =>
    *  duplicate copies differ in extraction quality. */
   private[graft] def dedupKeepBest(s: SparkSession, dir: String): DataFrame =
     Dedup.keepBestDuplicates(
+      // doc_id masked before the multiply — the raw product wraps Long
+      // past doc_id ~3.5e9 (silent in Spark, an error in DuckDB)
       docs(s, dir).withColumn("score",
-        ((col("doc_id") * 2654435761L) % 1000).cast("double") / 1000.0),
+        (((col("doc_id") % 100000) * 2654435761L) % 1000)
+          .cast("double") / 1000.0),
       "text", "doc_id", "score")
 
   private[graft] val dedupKeepBestOracle =
     """WITH s AS (
       |  SELECT doc_id, md5(text) AS dg,
-      |    CAST((doc_id * 2654435761) % 1000 AS DOUBLE) / 1000e0 AS score
+      |    CAST(((doc_id % 100000) * 2654435761) % 1000 AS DOUBLE)
+      |      / 1000e0 AS score
       |  FROM documents),
       |r AS (
       |  SELECT doc_id, dg,
@@ -67,7 +71,7 @@ private[graft] trait DedupQueries { this: Queries.type =>
       |c AS (SELECT dg, doc_id AS canonical_id FROM r WHERE rn = 1)
       |SELECT s.doc_id, c.canonical_id,
       |  s.doc_id = c.canonical_id AS is_kept
-      |FROM s JOIN c USING (dg)""".stripMargin
+      |FROM s JOIN c ON s.dg IS NOT DISTINCT FROM c.dg""".stripMargin
 
   private[graft] def shingleStats(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),

@@ -1445,7 +1445,10 @@ private[graft] trait ExperimentQueries { this: Queries.type =>
       |    SELECT epoch_ns(ts) // 86400000000000 AS day,
       |      CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
       |      TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS x,
-      |      TRY_CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |      -- TRY_CAST on the INNER decimal cast too: a |value| past
+      |      -- DECIMAL(18,2) nulls out in Spark's classic cast but would
+      |      -- ERROR a plain DuckDB CAST (the loud-vs-silent class)
+      |      TRY_CAST(TRY_CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
       |    FROM events)
       |  WHERE x IS NOT NULL AND y IS NOT NULL),
       |mx AS (SELECT max(day) AS last_day FROM e),
@@ -2235,21 +2238,26 @@ private[graft] trait ExperimentQueries { this: Queries.type =>
    *  keep/drop gate. One bin-keyed aggregate + a 1-row ECE broadcast. */
   private[graft] def scoreCalibrationQ(s: SparkSession, dir: String): DataFrame =
     graft.ext.Stats.calibrationBins(
+      // doc_id masked to 5 digits BEFORE the multiply: the raw product
+      // wraps Long past doc_id ~3.5e9 — silently negative in Spark,
+      // a loud overflow error in DuckDB (the r11 review's catch)
       docs(s, dir).select(
-        (((col("doc_id") * 2654435761L) % 1000).cast("double") / 1000.0)
-          .as("score"),
-        ((col("doc_id") * 7919) % 1000 <
-          (col("doc_id") * 2654435761L) % 1000).as("label")),
+        ((((col("doc_id") % 100000) * 2654435761L) % 1000)
+          .cast("double") / 1000.0).as("score"),
+        (((col("doc_id") % 100000) * 7919) % 1000 <
+          ((col("doc_id") % 100000) * 2654435761L) % 1000).as("label")),
       "score", "label", bins = 10)
 
   private[graft] val scoreCalibrationOracle =
     """WITH s AS (
-      |  SELECT CAST((doc_id * 2654435761) % 1000 AS DOUBLE) / 1000e0 AS score,
-      |    CASE WHEN (doc_id * 7919) % 1000 < (doc_id * 2654435761) % 1000
+      |  SELECT CAST(((doc_id % 100000) * 2654435761) % 1000 AS DOUBLE)
+      |      / 1000e0 AS score,
+      |    CASE WHEN ((doc_id % 100000) * 7919) % 1000
+      |           < ((doc_id % 100000) * 2654435761) % 1000
       |      THEN 1 ELSE 0 END AS y
       |  FROM documents),
       |b AS (
-      |  SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+      |  SELECT greatest(least(CAST(floor(score * 10) AS BIGINT), 9), 0) AS bin,
       |    count(*) AS n,
       |    CAST(sum(CAST(score AS DECIMAL(28,10))) AS DOUBLE) AS ssum,
       |    CAST(sum(y) AS BIGINT) AS ysum

@@ -144,7 +144,11 @@ class DedupVerifySpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "same text", 0.2), (2L, "same text", 0.9), (3L, "same text", 0.5),
       (4L, "other", 0.7), (5L, "other", 0.7), // tie -> min id 4 survives
-      (6L, "unique", 0.1))
+      (6L, "unique", 0.1),
+      // null texts form ONE cluster and must come back tagged, not
+      // silently dropped by the digest join (md5(NULL) is NULL)
+      (7L, null.asInstanceOf[String], 0.3),
+      (8L, null.asInstanceOf[String], 0.8))
       .toDF("doc_id", "text", "score")
     val got = Dedup.keepBestDuplicates(docs, "text", "doc_id", "score")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
@@ -152,7 +156,8 @@ class DedupVerifySpec extends AnyFunSuite {
     assert(got == Map(
       1L -> ((2L, false)), 2L -> ((2L, true)), 3L -> ((2L, false)),
       4L -> ((4L, true)), 5L -> ((4L, false)),
-      6L -> ((6L, true))))
+      6L -> ((6L, true)),
+      7L -> ((8L, false)), 8L -> ((8L, true))))
     // the argmax is ONE map-side-combinable aggregate, never a
     // per-cluster ranking window (which would gather a hot cluster —
     // the worst case is the whole corpus being one text — into one task)

@@ -236,13 +236,13 @@ class PlanSpec extends AnyFunSuite {
       "profit must be computed before the orders join widens the row")
   }
 
-  test("q_tpch_q11: global threshold is ONE scalar subquery, never a per-row re-execution") {
+  test("q_tpch_q11: global thresholds are TWO one-time scalar subqueries, never per-row") {
     val p = plan("q_tpch_q11")
-    // ONE scalar subquery: the text shows it twice (the Filter's reference
-    // + the node definition); two distinct subqueries would print four
-    assert(count(p, "Subquery subquery") == 2, "the total plans as a single reusable scalar")
-    assert(count(p, "Exchange SinglePartition") == 1, "one global sum")
-    assert(count(p, "LeftSemi") == 2, "the nation IN becomes a broadcast semi on both view copies")
+    // TWO scalar subqueries (count and sum of the view), each printed
+    // twice (the Filter's reference + the node definition)
+    assert(count(p, "Subquery subquery") == 4, "count and sum each plan as one reusable scalar")
+    assert(count(p, "Exchange SinglePartition") == 2, "one global count + one global sum")
+    assert(count(p, "LeftSemi") == 3, "the nation IN becomes a broadcast semi on all three view copies")
     assert(count(p, "NestedLoop") == 0)
     // runtime: AQE reuses the per-part aggregate exchange between the main
     // side and the scalar side — the view is computed once, not twice
