@@ -73,6 +73,46 @@ private[graft] trait DedupQueries { this: Queries.type =>
       |  s.doc_id = c.canonical_id AS is_kept
       |FROM s JOIN c ON s.dg IS NOT DISTINCT FROM c.dg""".stripMargin
 
+  /** Per-source dedup retention — the audit a curation pipeline runs
+   *  AFTER dedup: what fraction of each source survived, and how many
+   *  of its documents were canonical copies vs shadowed duplicates.
+   *  A source whose retention craters signals a template flood or a
+   *  mirror; one at 1.0 signals the dedup never saw it. Composes the
+   *  survivorship verdicts with the source dimension — one broadcast
+   *  join of the verdict frame, one source-keyed aggregate. */
+  private[graft] def dedupRetentionQ(s: SparkSession, dir: String): DataFrame = {
+    val verdicts = Dedup.keepBestDuplicates(
+      docs(s, dir).withColumn("score",
+        (((col("doc_id") % 100000) * 2654435761L) % 1000)
+          .cast("double") / 1000.0),
+      "text", "doc_id", "score")
+    docs(s, dir).select(col("doc_id"), col("source"))
+      .join(verdicts, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 6)
+          .as("retention"))
+  }
+
+  private[graft] val dedupRetentionOracle =
+    """WITH s AS (
+      |  SELECT doc_id, source, md5(text) AS dg,
+      |    CAST(((doc_id % 100000) * 2654435761) % 1000 AS DOUBLE)
+      |      / 1000e0 AS score
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY dg ORDER BY score DESC, doc_id)
+      |      AS rn
+      |  FROM s)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS retention
+      |FROM r GROUP BY 1""".stripMargin
+
   private[graft] def shingleStats(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       size(Dedup.wordShingles(col("text"), 3)).as("n_word_3grams"),

@@ -561,4 +561,39 @@ object EngineProperties extends Properties("graft") {
         .collect().map(_.getInt(0).toLong).sorted.toSeq
       got == want
     }
+
+  property("keepBestDuplicates equals the in-memory argmax on random corpora") =
+    Prop.forAll(Gen.listOfN(10, for {
+      t <- Gen.oneOf("aa", "bb", "cc")
+      s <- Gen.choose(0, 9)
+    } yield (t, s))) { rows =>
+      import spark.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((t, s), i) => (i.toLong, t, s / 10.0) }
+        .toDF("id", "text", "score")
+      val got = Dedup.keepBestDuplicates(df, "text", "id", "score")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = rows.zipWithIndex.groupBy(_._1._1).values.flatMap { g =>
+        val canon = g.minBy { case ((_, s), i) => (-s, i) }._2.toLong
+        g.map { case (_, i) => i.toLong -> canon }
+      }.toMap
+      got == expected
+    }
+
+  property("calibrationBins: counts partition the input and ECE is bounded") =
+    Prop.forAll(Gen.listOfN(20, for {
+      s <- Gen.choose(0, 100)
+      y <- Gen.oneOf(true, false)
+    } yield (s / 100.0, y))) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("score", "label")
+      val got = graft.ext.Stats.calibrationBins(df, "score", "label", bins = 5)
+        .collect()
+      val n = got.map(_.getLong(1)).sum
+      val ece = got.headOption.map(_.getDouble(5)).getOrElse(0.0)
+      n == rows.length && ece >= 0.0 && ece <= 1.0 &&
+        got.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 4) &&
+        got.forall(r => math.abs(r.getDouble(2) - r.getDouble(3)) -
+          r.getDouble(4) < 1e-6 + 1e-9)
+    }
 }
