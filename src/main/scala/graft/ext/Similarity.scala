@@ -235,6 +235,29 @@ object Similarity {
   private[graft] def md5PlaneWeight(t: Int, p: Int, d: Int): Double =
     md5PlaneWeightBits(t, p, d).toDouble / 2147483648.0 - 1.0
 
+  /** Auto-sizing for the md5 hyperplane family: (planes, tables) as a
+   *  pure function of corpus size n, so the candidate-join cost stays
+   *  near-linear as the corpus grows instead of saturating a fixed
+   *  2^planes bucket space (the r11 sf10 red row: 4 planes over 200k
+   *  vectors ⇒ 16 buckets/table ⇒ quadratic candidates).
+   *
+   *  planes = max(4, ⌈log₂n⌉ − 7) keeps expected bucket occupancy near
+   *  2^7 = 128 vectors, so candidates ≈ 64·n·tables cosine checks;
+   *  tables = max(2, planes − 7) adds OR-amplification back as planes
+   *  sharpen (per-table recall falls geometrically in planes).
+   *
+   *  ORACLE CONTRACT: the DuckDB twin embeds the md5 literal family for
+   *  the sizing at the GATE scale factors — sizing(500) = sizing(2000)
+   *  = (4, 2) (embeddings at sf0.001/0.01 and sf0.1) — asserted at
+   *  registry build in [[graft.queries.EmbeddingMultimodalQueries]], so
+   *  a formula change that moves the gate sizing fails loudly there
+   *  instead of as a silent hash mismatch. */
+  private[graft] def md5LshSizing(n: Long): (Int, Int) = {
+    val ceilLog2 = if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    val planes = math.max(4, ceilLog2 - 7)
+    (planes, math.max(2, planes - 7))
+  }
+
   /** Hyperplane signature under the md5 family, as a `planes`-char
    *  '0'/'1' string. Each plane's dot product is the native codegen'd
    *  [[graft.functions.DotProduct]] loop against a LITERAL weight array —

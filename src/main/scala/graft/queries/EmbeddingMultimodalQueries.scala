@@ -289,13 +289,29 @@ private[graft] trait EmbeddingMultimodalQueries { this: Queries.type =>
 
   /** Embedding near-dup LSH under the md5 hyperplane family — oracle-mode
    *  twin of q_embed_neardup_lsh: bucket strings, candidate join, and
-   *  verified cosines are all value-checked by DuckDB. */
-  private[graft] def embedNearDupLshMd5(s: SparkSession, dir: String): DataFrame =
-    Similarity.embeddingNearDuplicatesLSHMd5(embs(s, dir), "vec_id", "embedding",
-      threshold = 0.3, dims = 64, planes = 4, tables = 2)
+   *  verified cosines are all value-checked by DuckDB.
+   *
+   *  (planes, tables) auto-size from the corpus count via
+   *  [[Similarity.md5LshSizing]] — the r11 sf10 red row was this twin's
+   *  FIXED 4-plane family saturating 16 buckets over 200k vectors and
+   *  going quadratic. The count is a parquet-metadata read (no data
+   *  scan); at the gate SFs the sizing is (4, 2), exactly the literal
+   *  family [[embedNearDupLshMd5Oracle]] embeds (asserted below). */
+  private[graft] def embedNearDupLshMd5(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val (planes, tables) = Similarity.md5LshSizing(e.count())
+    Similarity.embeddingNearDuplicatesLSHMd5(e, "vec_id", "embedding",
+      threshold = 0.3, dims = 64, planes = planes, tables = tables)
+  }
 
   // lazy: depends on cosSql, which is declared later in this object
   private[graft] lazy val embedNearDupLshMd5Oracle = {
+    // the literal family below is the sizing at the gate scale factors
+    // (500 vectors at sf0.001/sf0.01, 2000 at sf0.1) — fail the registry
+    // build loudly if md5LshSizing ever drifts away from (4, 2) there
+    require(Similarity.md5LshSizing(500L) == ((4, 2)) &&
+      Similarity.md5LshSizing(2000L) == ((4, 2)),
+      "md5LshSizing no longer (4,2) at gate SFs — regenerate the md5 oracle family")
     val sigSelect =
       (0 until 2).map(t =>
         s"SELECT vec_id, embedding AS v, $t AS t, ${md5BucketSql("embedding", 64, 4, t)} AS b FROM embeddings")

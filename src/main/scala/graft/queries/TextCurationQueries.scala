@@ -1310,10 +1310,13 @@ private[graft] trait TextCurationQueries { this: Queries.type =>
       |  CAST(sum(n_new_words) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
       |FROM b""".stripMargin
 
-  /** Deflate compression ratio ([[TextAnalysis.compressionRatio]]) —
-   *  rows-only: no compressor exists in DuckDB SQL; the values are
-   *  pinned by TextExpressionsSpec against java.util.zip directly
-   *  (same evidence pattern as the xxhash64 hash families). */
+  /** Deflate compression ratio ([[TextAnalysis.compressionRatio]]).
+   *  No compressor exists in DuckDB SQL, so the oracle is the committed
+   *  golden `q_compression_ratio.sql` — per-document expected values
+   *  computed by [[graft.GenCompressionGolden]] with an INLINE
+   *  java.util.zip loop (independent of DeflateOps), one pinned block
+   *  per gate corpus selected by content hash; TextExpressionsSpec
+   *  additionally pins the expression on hand strings. */
   private[graft] def compressionRatioQ(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       round(TextAnalysis.compressionRatio(col("text")), 6).as("deflate_ratio"))

@@ -254,6 +254,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(tied.getInt(1) == 0 && tied.getLong(2) == 3L)
   }
 
+  test("md5LshSizing: (4,2) at every gate SF, sharpens past them") {
+    // the gate contract the static DuckDB literal family depends on
+    assert(Similarity.md5LshSizing(500L) == ((4, 2)))   // sf0.001 / sf0.01
+    assert(Similarity.md5LshSizing(2000L) == ((4, 2)))  // sf0.1
+    // the scale ladder gets a sharper family (this was the r11 sf10 red row)
+    assert(Similarity.md5LshSizing(20000L) == ((8, 2)))    // sf1
+    assert(Similarity.md5LshSizing(200000L) == ((11, 4)))  // sf10
+    // planes are monotone in n: expected bucket occupancy stays ~2^7
+    val sizes = Seq(1L, 500L, 2000L, 20000L, 200000L, 2000000L)
+      .map(n => Similarity.md5LshSizing(n)._1)
+    assert(sizes == sizes.sorted)
+  }
+
   test("int8 quantization error is bounded by half a grid step") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val ranges = e.select(posexplode(col("embedding")).as(Seq("dim", "v")))
