@@ -30,14 +30,26 @@ import org.apache.spark.sql.SparkSession
  */
 object ScaleBench {
   /** Extracts the `"queries":{...}` per-query seconds from a Bench
-    * output line (the committed BENCHDETAIL files). */
+    * output line (the committed BENCHDETAIL files). Anchored to the
+    * LAST line carrying `"metric":` (log noise before the JSON line is
+    * common) and cross-checked pair-for-pair against the body's `:`
+    * count — a nested field sneaking in before `queries`, or a
+    * multi-line rewrite of the bench format, fails HERE instead of
+    * silently degrading every budget to floor-only (ADVICE r11). */
   private[graft] def parseBaseline(json: String): Map[String, Double] = {
-    val start = json.indexOf("\"queries\":{")
+    val line = json.linesIterator.filter(_.contains("\"metric\":")).toSeq
+      .lastOption.getOrElse(sys.error("baseline JSON has no \"metric\" line"))
+    val start = line.indexOf("\"queries\":{")
     require(start >= 0, "baseline JSON has no \"queries\" object")
-    val body = json.substring(start + "\"queries\":{".length,
-      json.indexOf("}", start))
-    "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
+    val end = line.indexOf("}", start)
+    require(end > start, "baseline \"queries\" object is unterminated on its line")
+    val body = line.substring(start + "\"queries\":{".length, end)
+    val pairs = "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    require(pairs.nonEmpty && pairs.size == body.count(_ == ':'),
+      s"parsed ${pairs.size} baseline queries but the object carries " +
+        s"${body.count(_ == ':')} pairs — bench JSON format drifted")
+    pairs
   }
 
   def main(args: Array[String]): Unit = {

@@ -202,12 +202,24 @@ object Retrieval {
    * null-handling. Scale shape: ranked lists are top-k-bounded by
    * construction — the join is a broadcast of two k-row frames no
    * matter the corpus size behind them.
+   *
+   * Input hygiene (ADVICE r11): ranks < 1 are DROPPED before fusing —
+   * a 0-based rank from a miscalibrated caller would otherwise collide
+   * with the rank-0 absent-list sentinel and silently inflate its
+   * reciprocal; and a duplicate id within one list collapses to its
+   * BEST (minimum) rank instead of fanning out through the full-outer
+   * join and double-counting rrf. Both guards are one aggregate over
+   * the k-row bounded inputs — free at any corpus scale.
    */
   def rrfFusion(a: DataFrame, b: DataFrame, idCol: String,
                 rankCol: String = "rank", c: Int = 60,
                 k: Int = 10): DataFrame = {
-    val l = a.select(col(idCol).as("__id"), col(rankCol).cast("long").as("__ra"))
-    val r = b.select(col(idCol).as("__id"), col(rankCol).cast("long").as("__rb"))
+    def cleaned(df: DataFrame, out: String) = df
+      .select(col(idCol).as("__id"), col(rankCol).cast("long").as(out))
+      .filter(col(out) >= 1L)
+      .groupBy(col("__id")).agg(min(col(out)).as(out))
+    val l = cleaned(a, "__ra")
+    val r = cleaned(b, "__rb")
     l.join(r, Seq("__id"), "full_outer")
       .select(col("__id").as(idCol),
         coalesce(col("__ra"), lit(0L)).as("rank_a"),

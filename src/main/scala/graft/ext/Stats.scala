@@ -769,12 +769,17 @@ object Stats {
    * terminal double division, so no cross-partition double-sum order
    * exists anywhere. Scale shape: one map-side-combined aggregate on
    * the bin key (≤ `bins` rows out), the ECE a broadcast 1-row join
-   * back — the corpus shuffles nothing but partial bin sums.
+   * back — the corpus shuffles nothing but partial bin sums. The
+   * ≤`bins`-row perBin frame is lazily localCheckpoint'd because BOTH
+   * the ECE aggregate and the final join consume it: without the
+   * checkpoint the corpus-scan aggregate subtree is planned twice and
+   * single-scan execution would hinge on AQE happening to reuse the
+   * exchange (ADVICE r11) — the checkpoint makes one scan structural.
    */
   def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
                       bins: Int = 10): DataFrame = {
     require(bins > 0)
-    val perBin = df
+    val perBin0 = df
       .select(
         // clamp BOTH edges: 1.0 into the top bin, and any out-of-contract
         // negative score into bin 0 rather than a phantom negative bin
@@ -791,6 +796,7 @@ object Stats {
         round(col("__ysum").cast("double") / col("n"), 6).as("pos_rate"))
       .withColumn("gap",
         round(abs(col("avg_score") - col("pos_rate")), 6))
+    val perBin = perBin0.localCheckpoint(false)
     val ece = perBin
       .agg(sum(col("n")).as("__n_tot"),
         // floor(x + 0.5): the one double→int both engines define

@@ -744,7 +744,16 @@ private[graft] trait RelationalQueries { this: Queries.type =>
     * CASE-gated decimal sum and whose denominator is the plain sum, so
     * the share is a single double division of two order-free decimals
     * per year. The planner point: no OR-expansion, no second pass —
-    * both sums ride one partial+final aggregate pair over the join. */
+    * both sums ride one partial+final aggregate pair over the join.
+    *
+    * Broadcast posture (ADVICE r11): only the FIXED-cardinality frames
+    * (nation, nation⨝region) carry explicit broadcast hints. The
+    * SF-scaling slices — part, customer, supplier — are left to
+    * autoBroadcastJoinThreshold: Spark honors an explicit hint
+    * regardless of size, so hinting them would OOM the driver at
+    * 100 TB instead of degrading gracefully to a shuffle join; at the
+    * gate SFs they sit far under the threshold and still broadcast
+    * (PlanSpec pins the 7-broadcast shape there). */
   private[graft] def tpchQ8Q(s: SparkSession, dir: String): DataFrame = {
     val part = s.read.parquet(t(dir, "part"))
       .filter(col("p_type") === "STANDARD").select(col("p_partkey"))
@@ -771,10 +780,10 @@ private[graft] trait RelationalQueries { this: Queries.type =>
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         (col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast(DecimalType(18, 4)).as("vol"))
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("o_year"))
       .agg(
         (sum(when(col("supp_nation") === "NATION_5", col("vol"))
