@@ -17,14 +17,34 @@ object Bench {
     // optional arg: comma-separated query filter (local iteration only —
     // the driver runs the full registry)
     val only = args.lift(0).map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq
+    // SPARK_GRAFT_BENCH_RUNS > 1: measurement protocol for the COMMITTED
+    // BENCHDETAIL boards (r11 verdict item 4) — each query runs N times
+    // back-to-back through the identical harness, the reported second is
+    // the MEDIAN, and the per-query max-min spread is carried in the
+    // artifact, so a real constant-factor regression is distinguishable
+    // from the ±20% ambient drift SCALING_r11.md documents. Default 1 =
+    // the driver's single-pass behavior, unchanged.
+    val runsN = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt)
+    val measured = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = run(name, fn)
-      (name, (System.nanoTime() - t0) / 1e9, ok)
-    }
-    println(BenchHarness.jsonLine("total", results, sfDir))
+        val trials = (0 until runsN).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = run(name, fn)
+          ((System.nanoTime() - t0) / 1e9, ok)
+        }
+        val sorted = trials.map(_._1).sorted
+        val median = sorted(sorted.length / 2)
+        (name, median, trials.forall(_._2), sorted.last - sorted.head)
+      }
+    val results = measured.map { case (n, med, ok, _) => (n, med, ok) }
+    val extra = if (runsN > 1) {
+      val spread = measured
+        .map { case (n, _, _, s) => "\"" + n + "\":" + math.round(s * 1000) / 1000.0 }
+        .mkString("{", ",", "}")
+      s""""protocol":"median-of-$runsN, per-query back-to-back, shared harness","runs":$runsN,"spread_sec":$spread,"""
+    } else ""
+    println(BenchHarness.jsonLine("total", results, sfDir, extra))
     spark.stop()
   }
 }

@@ -510,6 +510,65 @@ object ScaleCheck {
       }
     } finally graft.util.Fs.deleteRecursively(regDir)
 
+    // ---- r12 verdict item 6: incremental IVF maintenance cost must be
+    // INDEPENDENT of the existing corpus size — the batch is assigned
+    // against the k-row centroid table and APPENDED to the assignment
+    // table; nothing in the maintenance path reads the old corpus. The
+    // row times the identical fixed batch against a 1× and a mult×
+    // persisted index and fails if the big-index run costs >2× the
+    // small one (pure wall noise headroom; the structural answer is 1×).
+    {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val trained = graft.ext.Similarity.trainCentroids(
+        emb, "vec_id", "embedding", k = 8, iters = 2, trainSampleSize = 256)
+      val cents = spark.createDataFrame(
+        java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+      val batch = emb.select((col("vec_id") + lit(900000000L)).as("vec_id"),
+        col("embedding")).localCheckpoint(true)
+      val baseAssign = graft.ext.Similarity.assignToCentroids(
+        emb, "vec_id", "embedding", cents, "centroid_id", "centroid")
+        .localCheckpoint(true)
+      def maintainSecs(indexMult: Int): Double = {
+        val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfidx")
+        try {
+          (0 until indexMult).map(i => baseAssign.select(
+              (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+              col("embedding"), col("centroid_id")))
+            .reduce(_ unionAll _)
+            .write.mode("overwrite").parquet(s"$idxDir/assign")
+          val t0 = System.nanoTime()
+          graft.ext.Similarity.assignToCentroids(batch, "vec_id", "embedding",
+              cents, "centroid_id", "centroid")
+            .write.mode("append").parquet(s"$idxDir/assign")
+          (System.nanoTime() - t0) / 1e9
+        } finally graft.util.Fs.deleteRecursively(idxDir)
+      }
+      maintainSecs(1) // warm the write path once before timing
+      val tSmall = maintainSecs(1)
+      val tBig = maintainSecs(mult)
+      val ratio = tBig / math.max(tSmall, 0.05)
+      val ok = ratio <= 2.0
+      if (!ok) allOk = false
+      println(f"[scalecheck] ivf_incremental_maintain 1x=${tSmall}%.1f s " +
+        f"${mult}x=${tBig}%.1f s ratio=${ratio}%.2f " +
+        f"(${if (ok) "ok" else "OVER"}, batch-cost must not scale with index)")
+    }
+
+    // ---- r12 verdict item 7: groupedExactQuantiles at ≥10k groups —
+    // driver state is O(groups × |fracs| + active cells × path depth),
+    // i.e. bounded by the RESULT size times refinement depth, never by
+    // row count. 20k groups × 200 rows with localLimit=64 forces the
+    // histogram-refinement machinery (not the small-group shortcut)
+    // through the one-job-graph-per-round path.
+    time("grouped_quantiles(20k groups)", 120) {
+      val wide = spark.range(0L, 4000000L, 1L, 32)
+        .select(concat(lit("g"), pmod(col("id"), lit(20000L))).as("g"),
+          pmod(col("id") * lit(2654435761L), lit(1000003L))
+            .cast("double").as("v"))
+      graft.ext.Stats.groupedExactQuantiles(wide, "g", "v",
+        Seq(0.25, 0.5, 0.75, 0.95), bins = 512, localLimit = 64L).count()
+    }
+
     println(s"[scalecheck] all_ok=$allOk")
     spark.stop()
     if (!allOk) sys.exit(1)

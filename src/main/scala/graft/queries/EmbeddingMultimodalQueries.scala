@@ -435,7 +435,11 @@ private[graft] trait EmbeddingMultimodalQueries { this: Queries.type =>
    *  then the FULL-corpus argmax assignment. Produces CTEs `c2` (the 8
    *  trained centroids) and `assign(nid, nv, cid)` — the common prefix
    *  of the q_ivf_trained and q_semantic_dedup oracles. */
-  private[graft] lazy val lloydReplicaCtes: String = {
+  private[graft] lazy val lloydReplicaCtes: String = lloydReplicaCtesOver("")
+
+  /** [[lloydReplicaCtes]] with a WHERE clause on the source corpus —
+   *  the q_ivf_incremental oracle trains on the BASE slice only. */
+  private[graft] def lloydReplicaCtesOver(where: String): String = {
     def assignSql(src: String, cents: String) =
       s"""SELECT vec_id, v, cid FROM (
          |    SELECT s.vec_id, s.v, c.cid,
@@ -452,7 +456,7 @@ private[graft] trait EmbeddingMultimodalQueries { this: Queries.type =>
          |m$i AS (${meansSql(s"a$i")}),
          |$next AS (SELECT * FROM m$i UNION ALL
          |  SELECT cid, c FROM $prev WHERE cid NOT IN (SELECT cid FROM m$i))""".stripMargin
-    s"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding AS v FROM embeddings $where),
        |samp AS (SELECT vec_id, v FROM e
        |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
@@ -482,6 +486,67 @@ private[graft] trait EmbeddingMultimodalQueries { this: Queries.type =>
        |    ORDER BY sim DESC, nid) AS rn FROM cand)
        |WHERE rn <= 5""".stripMargin
   }
+
+  /** Incremental IVF index maintenance (r11 verdict item 6) — the
+   *  growing-corpus pattern: train once on the BASE slice
+   *  (vec_id % 4 ≠ 0, same k/iters/sample params as q_ivf_trained),
+   *  PERSIST the index (centroids + base assignments) as parquet
+   *  tables, then serve a NEW batch (vec_id % 4 = 0) by (a) assigning
+   *  ONLY the batch against the loaded centroids — one pass whose cost
+   *  is independent of the existing corpus size — and (b) appending to
+   *  the assignment table and searching the union via
+   *  [[Similarity.ivfSearchAssigned]], which never re-encodes the old
+   *  corpus. The oracle replays the whole thing: the Lloyd CTEs over
+   *  the base slice, the batch argmax assignment, and the probed
+   *  search over the union. */
+  private[graft] def ivfIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val base = e.filter(col("vec_id") % 4 =!= 0)
+    val batch = e.filter(col("vec_id") % 4 === 0)
+    val idx = s"target/tmp/graft-ivf-index-${new java.io.File(dir).getName}"
+
+    // ---- index BUILD (runs once per corpus in real life) ----
+    val trained = Similarity.trainCentroids(base, "vec_id", "embedding",
+      k = 8, iters = 2, trainSampleSize = 256)
+    val centroidsLocal = s.createDataFrame(
+      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+    centroidsLocal.write.mode("overwrite").parquet(s"$idx/centroids")
+    Similarity.assignToCentroids(base, "vec_id", "embedding",
+        centroidsLocal, "centroid_id", "centroid")
+      .write.mode("overwrite").parquet(s"$idx/assign")
+
+    // ---- incremental MAINTENANCE + search (per new batch) ----
+    val centroids = s.read.parquet(s"$idx/centroids")
+    val baseAssign = s.read.parquet(s"$idx/assign")
+    val batchAssign = Similarity.assignToCentroids(batch, "vec_id", "embedding",
+      centroids, "centroid_id", "centroid")
+    val index = baseAssign.unionByName(batchAssign)
+    Similarity.ivfSearchAssigned(index, "vec_id", "embedding",
+      batch.filter(col("vec_id") < 32), "vec_id", "embedding",
+      centroids, "centroid_id", "centroid", k = 5, nProbe = 4)
+  }
+
+  private[graft] lazy val ivfIncrementalOracle =
+    s"""WITH ${lloydReplicaCtesOver("WHERE vec_id % 4 <> 0")},
+       |newb AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id % 4 = 0),
+       |newassign AS (SELECT vec_id AS nid, v AS nv, cid FROM (
+       |    SELECT n.vec_id, n.v, c.cid,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${cosSql("n.v", "c.c")} DESC, c.cid) AS rn
+       |    FROM newb n CROSS JOIN c2 c) WHERE rn = 1),
+       |idx AS (SELECT * FROM assign UNION ALL SELECT * FROM newassign),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM newb WHERE vec_id < 32),
+       |probes AS (SELECT qid, qv, cid FROM (
+       |    SELECT q.qid, q.qv, c.cid,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cosSql("q.qv", "c.c")} DESC, c.cid) AS pr
+       |    FROM q CROSS JOIN c2 c) WHERE pr <= 4),
+       |cand AS (SELECT p.qid, a.nid, ${cosSql("a.nv", "p.qv")} AS sim
+       |         FROM idx a JOIN probes p USING (cid) WHERE p.qid <> a.nid)
+       |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INT) AS rank FROM (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, nid) AS rn FROM cand)
+       |WHERE rn <= 5""".stripMargin
 
   /** Product-quantization ANN — rows-only (per-subspace k-means codebooks
    *  have no tractable DuckDB SQL); SimilaritySpec pins >=85% recall@5
