@@ -150,6 +150,26 @@ class RetrievalSpec extends AnyFunSuite {
     assert(c2 == Seq(3L, 5L), "equal RRF scores must tie-break by id")
   }
 
+  test("rrfFusion input hygiene: dup ids collapse to best rank, sub-1 ranks dropped (ADVICE r11)") {
+    // a duplicate id in one list must NOT fan out through the
+    // full-outer join and double-count its reciprocal — it collapses
+    // to its best (minimum) rank
+    val a = Seq((10L, 3), (10L, 1), (11L, 2)).toDF("id", "rank")
+    val b = Seq((11L, 1)).toDF("id", "rank")
+    val got = Retrieval.rrfFusion(a, b, "id", c = 60, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val m = got.map(g => g._1 -> ((g._2, g._3, g._4))).toMap
+    assert(got.length == 2, "duplicate id must produce ONE fused row")
+    assert(m(10L)._1 == 1L, "duplicate id keeps its best rank")
+    assert(math.abs(m(10L)._3 - 1.0 / 61) < 1e-9, "rrf counted once, at the best rank")
+    // a 0-based rank from a miscalibrated caller would collide with the
+    // rank-0 absent sentinel — it is dropped, not silently inflated
+    val z = Retrieval.rrfFusion(
+      Seq((7L, 0)).toDF("id", "rank"), Seq((8L, 1)).toDF("id", "rank"),
+      "id", c = 60, k = 10).collect().map(_.getLong(0)).toSeq
+    assert(z == Seq(8L), "rank < 1 rows are dropped")
+  }
+
   test("rrfFusion top-k never plans a global sort") {
     // inputs must exceed k: with provably-few rows EliminateLimits drops
     // the Limit (maxRows ≤ k) and no TakeOrdered can form
