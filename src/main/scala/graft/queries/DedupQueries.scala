@@ -574,6 +574,124 @@ private[graft] trait DedupQueries { this: Queries.type =>
       |       ELSE 'unique' END AS status
       |FROM nb""".stripMargin
 
+  /** Nightly-ingest funnel (r12): the per-batch arrival audit a growing
+   *  corpus runs on every ingest — the NEW batch (doc_id ≡ 0 mod 2) vs
+   *  the historical base (the rest), counted through four gates:
+   *  arrived → after exact dedup vs base + in-batch
+   *  ([[Dedup.incrementalDedup]]) → after benchmark decontamination
+   *  ([[Dedup.decontaminate]], eval slice doc_id ≡ 0 mod 97 — the same
+   *  slice q_decontaminate gates) → after quality/language filtering
+   *  (the q_corpus_curation scorer). Output: one row per stage with the
+   *  surviving doc count.
+   *
+   *  O(batch) by construction — the composite never scans the base
+   *  except for the digest-only fingerprint projection: shingling runs
+   *  on the batch only, eval shingles broadcast, the survivor-id frames
+   *  are eagerly localCheckpoint'd (ids only) because THREE stage
+   *  counters consume each prefix. At 100 TB this is the cheap nightly
+   *  readout that says where an ingest's documents went. */
+  private[graft] def ingestFunnelQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val batch = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val base = d.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+    val uniq = Dedup.incrementalDedup(batch, base, "text", "doc_id")
+      .filter(col("status") === "unique")
+      .select(col("doc_id"))
+      .localCheckpoint(true)
+    val contaminated = Dedup.decontaminate(batch,
+        d.filter(pmod(col("doc_id"), lit(97)) === 0), "text", "doc_id",
+        n = 3, minOverlap = 5)
+      .filter(col("contaminated"))
+      .select(col("id").as("doc_id"))
+    val clean = uniq.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val kept = clean.join(batch, Seq("doc_id"))
+      .filter(TextAnalysis.qualityScore(col("text")) >= 0.5 &&
+        TextAnalysis.languageId(col("text")) =!= "und")
+      .select(col("doc_id"))
+    def cnt(df: DataFrame, i: Int, name: String) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i).as("stage_idx"), lit(name).as("stage"), col("n_docs"))
+    cnt(batch, 1, "arrived")
+      .unionByName(cnt(uniq, 2, "after_exact_dedup"))
+      .unionByName(cnt(clean, 3, "after_decontamination"))
+      .unionByName(cnt(kept, 4, "after_quality_lang"))
+  }
+
+  private[graft] val ingestFunnelOracle = {
+    def stopLit(lang: String) =
+      "[" + TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ") + "]"
+    s"""WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+       |f AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_sort(list_distinct(
+       |      list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+'),
+       |        x -> length(x) > 0))), ' ')) AS fingerprint
+       |  FROM documents),
+       |basefp AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id % 2 <> 0),
+       |uniq AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, fingerprint,
+       |      CASE WHEN fingerprint IN (SELECT fingerprint FROM basefp) THEN 'dup_of_base'
+       |           WHEN row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) > 1 THEN 'dup_in_batch'
+       |           ELSE 'unique' END AS status
+       |    FROM f WHERE doc_id % 2 = 0) WHERE status = 'unique'),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 0)),
+       |    i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\\s+'))[i:i+2], ' '))) AS shingles
+       |  FROM documents),
+       |ev AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0),
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 2 = 0),
+       |contaminated AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, count(*) AS n FROM ex JOIN ev USING (shingle) GROUP BY 1)
+       |  WHERE n >= 5),
+       |clean AS (
+       |  SELECT doc_id FROM uniq
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |w AS (
+       |  SELECT doc_id, text,
+       |         regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |         list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dw
+       |  FROM batch),
+       |hits AS (
+       |  SELECT doc_id, text,
+       |    len(list_intersect(dw, ${stopLit("de")})) AS h_de,
+       |    len(list_intersect(dw, ${stopLit("en")})) AS h_en,
+       |    len(list_intersect(dw, ${stopLit("es")})) AS h_es,
+       |    len(list_intersect(dw, ${stopLit("fr")})) AS h_fr,
+       |    len(list_intersect(dw, ${stopLit("zh")})) AS h_zh,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS tokens,
+       |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS pr,
+       |    CAST(len(list_intersect(dw, ${stopLit("en")})) AS DOUBLE) / len(dw) AS sw_en
+       |  FROM w),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+       |         WHEN h_zh = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+       |         WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+       |         WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+       |         WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+       |         ELSE 'de' END AS lang_id,
+       |    round(
+       |      CAST(CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1.0
+       |            WHEN length(text) BETWEEN 20 AND 99 THEN 0.5 ELSE 0.1 END AS DOUBLE) * CAST(0.4 AS DOUBLE) +
+       |      CAST(CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.3 END AS DOUBLE) * CAST(0.2 AS DOUBLE) +
+       |      CAST(CASE WHEN tokens > 0 AND CAST(length(text) AS DOUBLE) / tokens BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.4 END AS DOUBLE) * CAST(0.2 AS DOUBLE) +
+       |      CAST(CASE WHEN sw_en >= 0.01 THEN 1.0 ELSE 0.6 END AS DOUBLE) * CAST(0.2 AS DOUBLE),
+       |      6) AS quality
+       |  FROM hits),
+       |kept AS (
+       |  SELECT s.doc_id FROM scored s JOIN clean c USING (doc_id)
+       |  WHERE quality >= 0.5 AND lang_id <> 'und')
+       |SELECT CAST(1 AS INTEGER) AS stage_idx, 'arrived' AS stage, count(*) AS n_docs FROM batch
+       |UNION ALL SELECT 2, 'after_exact_dedup', count(*) FROM uniq
+       |UNION ALL SELECT 3, 'after_decontamination', count(*) FROM clean
+       |UNION ALL SELECT 4, 'after_quality_lang', count(*) FROM kept""".stripMargin
+  }
+
   /** Learned language-ID: multinomial Naive Bayes over hashed unigrams
    *  ([[graft.ext.NaiveBayes.trainAndScore]]), trained on the corpus's
    *  own lang labels and scored in-corpus — model broadcast, one
