@@ -243,8 +243,16 @@ object Similarity {
    *
    *  planes = max(4, ⌈log₂n⌉ − 7) keeps expected bucket occupancy near
    *  2^7 = 128 vectors, so candidates ≈ 64·n·tables cosine checks;
-   *  tables = max(2, planes − 7) adds OR-amplification back as planes
-   *  sharpen (per-table recall falls geometrically in planes).
+   *  tables = min(4, max(2, planes − 7)) adds OR-amplification back as
+   *  planes sharpen (per-table recall falls geometrically in planes),
+   *  CAPPED at 4: the r12 sf100 probe (n = 2M) measured the uncapped
+   *  linear-in-log₂n table growth compounding into ~2.4× a linear
+   *  budget — with the cap, total work is a clean O(n) · small-constant
+   *  at every decade. Past the cap the TWIN's amplified recall decays
+   *  with n; that is acceptable for this query because it is the
+   *  oracle-mode MECHANISM instrument — the production near-dup path
+   *  (q_embed_neardup_lsh) carries its own family sizing and ≥90%
+   *  recall gate.
    *
    *  ORACLE CONTRACT: the DuckDB twin embeds the md5 literal family for
    *  the sizing at the GATE scale factors — sizing(500) = sizing(2000)
@@ -255,7 +263,7 @@ object Similarity {
   private[graft] def md5LshSizing(n: Long): (Int, Int) = {
     val ceilLog2 = if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
     val planes = math.max(4, ceilLog2 - 7)
-    (planes, math.max(2, planes - 7))
+    (planes, math.min(4, math.max(2, planes - 7)))
   }
 
   /** Hyperplane signature under the md5 family, as a `planes`-char

@@ -261,6 +261,7 @@ class SimilaritySpec extends AnyFunSuite {
     // the scale ladder gets a sharper family (this was the r11 sf10 red row)
     assert(Similarity.md5LshSizing(20000L) == ((8, 2)))    // sf1
     assert(Similarity.md5LshSizing(200000L) == ((11, 4)))  // sf10
+    assert(Similarity.md5LshSizing(2000000L) == ((14, 4))) // sf100: tables capped
     // planes are monotone in n: expected bucket occupancy stays ~2^7
     val sizes = Seq(1L, 500L, 2000L, 20000L, 200000L, 2000000L)
       .map(n => Similarity.md5LshSizing(n)._1)
