@@ -771,6 +771,27 @@ object Similarity {
   }
 
   /**
+   * foreachBatch adapter for STREAMING incremental IVF maintenance —
+   * the continuous-ingest face of [[ivfSearchAssigned]]'s persisted
+   * index: each micro-batch of new vectors is assigned against the
+   * FROZEN centroid table (pass a collected LocalRelation so no
+   * training lineage re-executes per batch) and APPENDED to the
+   * assignment table. Per-batch cost is O(batch) — the existing index
+   * is never read — and assignment is per-vector deterministic, so any
+   * chunking converges to the batch encode (pinned stream ≡ batch in
+   * SimilaritySpec). Retraining cadence stays a separate, offline
+   * decision, exactly as with a production ANN index.
+   */
+  def ivfIndexMaintainer(centroids: DataFrame, idCol: String, vecCol: String,
+                         assignDir: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      assignToCentroids(batch, idCol, vecCol,
+          centroids, "centroid_id", "centroid")
+        .write.mode("append").parquet(assignDir)
+      ()
+    }
+
+  /**
    * Embedding outlier detection: assign every vector to its nearest
    * centroid, then z-score its cosine similarity against the CELL's
    * own distribution — vectors far below their cluster's typical

@@ -268,6 +268,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sizes == sizes.sorted)
   }
 
+  test("streaming IVF maintenance: appended micro-batch assignments equal the batch encode") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val trained = Similarity.trainCentroids(e, "vec_id", "embedding",
+      k = 4, iters = 1, trainSampleSize = 64)
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-stream")
+    val chunkDir = s"$root/chunks"
+    val assignDir = s"$root/assign"
+    // 3 parquet files -> 3 micro-batches under maxFilesPerTrigger=1
+    e.repartition(3).write.parquet(chunkDir)
+
+    val q = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", 1).parquet(chunkDir)
+      .writeStream
+      .foreachBatch(Similarity.ivfIndexMaintainer(cents, "vec_id", "embedding", assignDir))
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.read.parquet(assignDir)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = Similarity.assignToCentroids(e, "vec_id", "embedding",
+        cents, "centroid_id", "centroid")
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size == 500 && got == expected,
+      "chunked streaming maintenance must converge to the batch encode")
+  }
+
   test("int8 quantization error is bounded by half a grid step") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val ranges = e.select(posexplode(col("embedding")).as(Seq("dim", "v")))
