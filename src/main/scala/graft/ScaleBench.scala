@@ -31,14 +31,17 @@ import org.apache.spark.sql.SparkSession
 object ScaleBench {
   /** Extracts the `"queries":{...}` per-query seconds from a Bench
     * output line (the committed BENCHDETAIL files). Anchored to the
-    * LAST line carrying `"metric":` (log noise before the JSON line is
-    * common) and cross-checked pair-for-pair against the body's `:`
-    * count — a nested field sneaking in before `queries`, or a
-    * multi-line rewrite of the bench format, fails HERE instead of
-    * silently degrading every budget to floor-only (ADVICE r11). */
+    * LAST line carrying the `"queries":{` object itself (ADVICE r12:
+    * anchoring on `"metric":` could select trailing log noise that
+    * merely ECHOES a metric token — e.g. a shutdown INFO line quoting
+    * the output — and fail or mis-parse) and cross-checked
+    * pair-for-pair against the body's `:` count — a nested field
+    * sneaking in before `queries`, or a multi-line rewrite of the
+    * bench format, fails HERE instead of silently degrading every
+    * budget to floor-only (ADVICE r11). */
   private[graft] def parseBaseline(json: String): Map[String, Double] = {
-    val line = json.linesIterator.filter(_.contains("\"metric\":")).toSeq
-      .lastOption.getOrElse(sys.error("baseline JSON has no \"metric\" line"))
+    val line = json.linesIterator.filter(_.contains("\"queries\":{")).toSeq
+      .lastOption.getOrElse(sys.error("baseline JSON has no \"queries\" line"))
     val start = line.indexOf("\"queries\":{")
     require(start >= 0, "baseline JSON has no \"queries\" object")
     val end = line.indexOf("}", start)

@@ -117,21 +117,6 @@ object Retrieval {
   }
 
   /**
-   * Sparse all-pairs cosine similarity over the TF-IDF vectors — the
-   * lexical near-duplicate / related-document join: cosine(a, b) =
-   * Σ_t wa·wb over shared terms of the L2-normalized vectors, keeping
-   * pairs at or above `threshold`.
-   *
-   * `maxDocFreq` is the df-cut of all-pairs similarity search (Bayardo
-   * et al. 2007, "Scaling Up All Pairs Similarity Search"): terms in
-   * more than that many documents are dropped AFTER normalization —
-   * they carry the least weight (idf ≈ ln 1) but dominate the join's
-   * bucket sizes; cutting them bounds every term bucket, turning the
-   * self-join into bounded-bucket candidate generation (the same shape
-   * as the shingle/LSH family — never O(n²) on the corpus). Cosine is
-   * rounded to 6 dp before the threshold (float-sum order discipline).
-   */
-  /**
    * Class-based TF-IDF keywords (the BERTopic c-TF-IDF formulation,
    * Grootendorst 2022): each class (source / topic / cluster) is
    * treated as one meta-document; term t in class c scores
@@ -170,9 +155,37 @@ object Retrieval {
         col("rn").cast("long").as("rank"))
   }
 
+  /**
+   * Sparse all-pairs cosine similarity over the TF-IDF vectors — the
+   * lexical near-duplicate / related-document join: cosine(a, b) =
+   * Σ_t wa·wb over shared terms of the L2-normalized vectors, keeping
+   * pairs at or above `threshold`.
+   *
+   * SCALE CONTRACT (VERDICT r12 item 5): the term self-join generates
+   * Σ_t |postings(t)|² candidate rows — QUADRATIC in the hottest term's
+   * document frequency, regardless of the threshold (the filter runs
+   * after candidate generation). `maxDocFreq` is the df-cut of all-pairs
+   * similarity search (Bayardo et al. 2007, "Scaling Up All Pairs
+   * Similarity Search"): terms in more than that many documents are
+   * dropped AFTER normalization — they carry the least weight
+   * (idf ≈ ln 1) but dominate the join's bucket sizes; cutting them
+   * bounds every term bucket at maxDocFreq², turning the self-join into
+   * bounded-bucket candidate generation (the same shape as the
+   * shingle/LSH family — never O(n²) on the corpus). The default is
+   * FINITE on purpose: an unbounded cut turns one stopword shared by n
+   * documents into an n² candidate flood, so callers who truly want the
+   * exhaustive join must say so (`maxDocFreq = Long.MaxValue`) — a
+   * choice that is only sane on a bounded instrument corpus
+   * (q_tfidf_cosine_pairs caps its input at 300 docs and passes 250L
+   * explicitly). Cosine is rounded to 6 dp before the threshold
+   * (float-sum order discipline). RetrievalSpec pins both the finite
+   * default and the hot-term cut.
+   */
   def tfidfCosinePairs(documents: DataFrame, textCol: String, idCol: String,
                        threshold: Double = 0.9,
-                       maxDocFreq: Long = Long.MaxValue): DataFrame = {
+                       maxDocFreq: Long = 10000L): DataFrame = {
+    require(maxDocFreq > 0, "maxDocFreq must be positive — it bounds every " +
+      "term bucket of the quadratic candidate join")
     val unit = tfidfWeighted(documents, textCol, idCol)
       .filter(col("df") <= maxDocFreq)
       .select(col("doc_id"), col("term"), col("__wn"))
@@ -203,20 +216,28 @@ object Retrieval {
    * construction — the join is a broadcast of two k-row frames no
    * matter the corpus size behind them.
    *
-   * Input hygiene (ADVICE r11): ranks < 1 are DROPPED before fusing —
-   * a 0-based rank from a miscalibrated caller would otherwise collide
-   * with the rank-0 absent-list sentinel and silently inflate its
-   * reciprocal; and a duplicate id within one list collapses to its
-   * BEST (minimum) rank instead of fanning out through the full-outer
-   * join and double-counting rrf. Both guards are one aggregate over
-   * the k-row bounded inputs — free at any corpus scale.
+   * Input hygiene (ADVICE r11/r12): a rank < 1 FAILS the query loudly
+   * (raise_error at evaluation) — a 0-based rank from a miscalibrated
+   * caller would otherwise collide with the rank-0 absent-list sentinel
+   * and silently skew the fusion (dropping the offending row would be
+   * just as silent: it discards exactly that list's BEST hit and
+   * reinterprets the rest as 1-based); and a duplicate id within one
+   * list collapses to its BEST (minimum) rank instead of fanning out
+   * through the full-outer join and double-counting rrf. Both guards
+   * are one pass over the k-row bounded inputs — free at any corpus
+   * scale.
    */
   def rrfFusion(a: DataFrame, b: DataFrame, idCol: String,
                 rankCol: String = "rank", c: Int = 60,
                 k: Int = 10): DataFrame = {
     def cleaned(df: DataFrame, out: String) = df
-      .select(col(idCol).as("__id"), col(rankCol).cast("long").as(out))
-      .filter(col(out) >= 1L)
+      .select(col(idCol).as("__id"),
+        when(col(rankCol).cast("long") >= 1L, col(rankCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("rrfFusion: rank < 1 in input ("),
+            col(rankCol).cast("string"),
+            lit(") — ranks must be 1-based; shift a 0-based list before fusing"))))
+          .as(out))
       .groupBy(col("__id")).agg(min(col(out)).as(out))
     val l = cleaned(a, "__ra")
     val r = cleaned(b, "__rb")

@@ -775,19 +775,29 @@ object Similarity {
    * the continuous-ingest face of [[ivfSearchAssigned]]'s persisted
    * index: each micro-batch of new vectors is assigned against the
    * FROZEN centroid table (pass a collected LocalRelation so no
-   * training lineage re-executes per batch) and APPENDED to the
+   * training lineage re-executes per batch) and landed in the
    * assignment table. Per-batch cost is O(batch) — the existing index
    * is never read — and assignment is per-vector deterministic, so any
    * chunking converges to the batch encode (pinned stream ≡ batch in
    * SimilaritySpec). Retraining cadence stays a separate, offline
    * decision, exactly as with a production ANN index.
+   *
+   * IDEMPOTENT on batchId (ADVICE r12): foreachBatch is at-least-once —
+   * a restart between sink commit and checkpoint advance REPLAYS the
+   * micro-batch — so each batch overwrites its own `batch_id=<id>`
+   * partition directory instead of blind-appending; the replay rewrites
+   * the same partition and the index never carries duplicate neighbor
+   * rows (which would otherwise occupy multiple top-k slots in
+   * [[ivfSearchAssigned]]). Read the index back with ONE
+   * `spark.read.parquet(assignDir)` — partition discovery surfaces
+   * batch_id as a column; project it away before serving.
    */
   def ivfIndexMaintainer(centroids: DataFrame, idCol: String, vecCol: String,
                          assignDir: String): (DataFrame, Long) => Unit =
-    (batch: DataFrame, _: Long) => {
+    (batch: DataFrame, batchId: Long) => {
       assignToCentroids(batch, idCol, vecCol,
           centroids, "centroid_id", "centroid")
-        .write.mode("append").parquet(assignDir)
+        .write.mode("overwrite").parquet(s"$assignDir/batch_id=$batchId")
       ()
     }
 
@@ -955,5 +965,62 @@ object Similarity {
         round(coalesce(col("n_hits"), lit(0L)).cast("double") /
           col("n_truth").cast("double"), 6).as("recall"),
         round(coalesce(lit(1.0) / col("__first_hit"), lit(0.0)), 6).as("mrr"))
+  }
+
+  /**
+   * Index-staleness readout for the frozen-centroid maintenance path
+   * (r12 verdict item 4): the incremental/streaming IVF maintainers
+   * ([[ivfSearchAssigned]], [[ivfIndexMaintainer]]) never retrain, so
+   * as the corpus drifts the frozen cells route queries into
+   * increasingly wrong neighborhoods and recall decays SILENTLY. This
+   * operator measures that decay: per-query recall@k / MRR of the
+   * maintained index's answers against the answers under centroids
+   * RETRAINED on the current corpus, both evaluated over a shared
+   * bounded candidate pool.
+   *
+   * O(sample), NOT O(corpus): the pool is [[trainingSample]](poolSize)
+   * — the md5-lowest rows, deterministic across runs and engines — the
+   * retrain is Lloyd over that same pool (k-row driver state,
+   * pool-bounded scans), and BOTH searches assign and probe only the
+   * pool. Beyond the TakeOrdered sample selection nothing reads the
+   * full corpus, so the readout can run at any cadence against a
+   * 100 TB index (a SCALECHECK rung pins the cost flat as the corpus
+   * grows).
+   *
+   * Operational contract: retrain when the mean recall over the query
+   * sample drops below `retrainThreshold` (default 0.8 — below that a
+   * fifth of frozen-cell routes miss their true neighborhood, and
+   * probe-widening to compensate costs more per query than one
+   * retrain). Returns (query_id, n_hits, n_truth, recall, mrr,
+   * needs_retrain).
+   */
+  def indexStaleness(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     maintainedCentroids: DataFrame, centroidId: String,
+                     centroidVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int, nProbe: Int = 2, poolSize: Int = 256,
+                     retrainIters: Int = 2,
+                     retrainThreshold: Double = 0.8): DataFrame = {
+    val spark = corpus.sparkSession
+    // the pool feeds two assigns + the retrain: materialize once
+    val pool = trainingSample(corpus, corpusId, poolSize).localCheckpoint()
+    val maintained = maintainedCentroids.select(
+      col(centroidId).as("centroid_id"), col(centroidVec).as("centroid"))
+    // same cell count as the maintained index (k is its property, not a
+    // tuning knob of the readout); centroid tables are k rows — the
+    // collect is bounded driver state, same posture as trainCentroids
+    val kCells = maintained.count().toInt
+    val retrained0 = trainCentroids(pool, corpusId, corpusVec,
+      k = kCells, iters = retrainIters)
+    val retrained = spark.createDataFrame(
+      java.util.Arrays.asList(retrained0.collect(): _*), retrained0.schema)
+    def searchWith(cents: DataFrame): DataFrame =
+      ivfSearchAssigned(
+        assignToCentroids(pool, corpusId, corpusVec,
+          cents, "centroid_id", "centroid"),
+        corpusId, corpusVec, queries, queryId, queryVec,
+        cents, "centroid_id", "centroid", k, nProbe)
+    recallAtK(searchWith(maintained), searchWith(retrained))
+      .withColumn("needs_retrain", col("recall") < lit(retrainThreshold))
   }
 }

@@ -439,7 +439,14 @@ private[graft] trait EmbeddingMultimodalQueries { this: Queries.type =>
 
   /** [[lloydReplicaCtes]] with a WHERE clause on the source corpus —
    *  the q_ivf_incremental oracle trains on the BASE slice only. */
-  private[graft] def lloydReplicaCtesOver(where: String): String = {
+  private[graft] def lloydReplicaCtesOver(where: String): String =
+    lloydReplicaCtesNamed(where, "")
+
+  /** [[lloydReplicaCtesOver]] with SUFFIXED CTE names (e$sfx, samp$sfx,
+   *  c2$sfx, assign$sfx, …) so two independent Lloyd replays — e.g. the
+   *  maintained-vs-retrained pair in the q_ivf_staleness oracle — can
+   *  coexist in one WITH clause without name collisions. */
+  private[graft] def lloydReplicaCtesNamed(where: String, sfx: String): String = {
     def assignSql(src: String, cents: String) =
       s"""SELECT vec_id, v, cid FROM (
          |    SELECT s.vec_id, s.v, c.cid,
@@ -452,23 +459,23 @@ private[graft] trait EmbeddingMultimodalQueries { this: Queries.type =>
          |    FROM $assigned, (SELECT unnest(generate_series(1, 64)) AS dim)
          |    GROUP BY cid, dim) GROUP BY cid""".stripMargin
     def stepSql(prev: String, next: String, i: Int) =
-      s"""a$i AS (${assignSql("samp", prev)}),
-         |m$i AS (${meansSql(s"a$i")}),
-         |$next AS (SELECT * FROM m$i UNION ALL
-         |  SELECT cid, c FROM $prev WHERE cid NOT IN (SELECT cid FROM m$i))""".stripMargin
-    s"""e AS (SELECT vec_id, embedding AS v FROM embeddings $where),
-       |samp AS (SELECT vec_id, v FROM e
+      s"""a$i$sfx AS (${assignSql(s"samp$sfx", prev)}),
+         |m$i$sfx AS (${meansSql(s"a$i$sfx")}),
+         |$next AS (SELECT * FROM m$i$sfx UNION ALL
+         |  SELECT cid, c FROM $prev WHERE cid NOT IN (SELECT cid FROM m$i$sfx))""".stripMargin
+    s"""e$sfx AS (SELECT vec_id, embedding AS v FROM embeddings $where),
+       |samp$sfx AS (SELECT vec_id, v FROM e$sfx
        |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
-       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+       |c0$sfx AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
        |              list_transform(v, x -> CAST(x AS DOUBLE)) AS c
-       |       FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT 8)),
-       |${stepSql("c0", "c1", 0)},
-       |${stepSql("c1", "c2", 1)},
-       |assign AS (SELECT vec_id AS nid, v AS nv, cid FROM (
+       |       FROM (SELECT vec_id, v FROM samp$sfx ORDER BY vec_id LIMIT 8)),
+       |${stepSql(s"c0$sfx", s"c1$sfx", 0)},
+       |${stepSql(s"c1$sfx", s"c2$sfx", 1)},
+       |assign$sfx AS (SELECT vec_id AS nid, v AS nv, cid FROM (
        |    SELECT e.vec_id, e.v, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSql("e.v", "c.c")} DESC, c.cid) AS rn
-       |    FROM e CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
+       |    FROM e$sfx e CROSS JOIN c2$sfx c) WHERE rn = 1)""".stripMargin
   }
 
   private[graft] lazy val ivfTrainedOracle = {
@@ -503,7 +510,15 @@ private[graft] trait EmbeddingMultimodalQueries { this: Queries.type =>
     val e = embs(s, dir)
     val base = e.filter(col("vec_id") % 4 =!= 0)
     val batch = e.filter(col("vec_id") % 4 === 0)
-    val idx = s"target/tmp/graft-ivf-index-${new java.io.File(dir).getName}"
+    // per-invocation temp dir (ADVICE r12): a fixed CWD-relative path
+    // shared across processes races overwrite-vs-read when two drivers
+    // hit the same corpus; cleaned up at JVM exit (the returned frame
+    // reads these files lazily, so an eager delete would break it)
+    val idx = {
+      val p = Files.createTempDirectory("graft-ivf-index-")
+      sys.addShutdownHook(graft.util.Fs.deleteRecursively(p))
+      p.toString
+    }
 
     // ---- index BUILD (runs once per corpus in real life) ----
     val trained = Similarity.trainCentroids(base, "vec_id", "embedding",
@@ -547,6 +562,122 @@ private[graft] trait EmbeddingMultimodalQueries { this: Queries.type =>
        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
        |    ORDER BY sim DESC, nid) AS rn FROM cand)
        |WHERE rn <= 5""".stripMargin
+
+  /** STREAMING IVF index maintenance promoted to the hash-green gate
+   *  (r12 verdict item 2; previously pinned only by SimilaritySpec's
+   *  stream ≡ batch test): the NEW batch (vec_id % 4 = 0) is chunked
+   *  into 3 parquet files and driven through readStream →
+   *  foreachBatch([[Similarity.ivfIndexMaintainer]]) under AvailableNow
+   *  — each micro-batch assigned against the FROZEN base-trained
+   *  centroids and landed in a batch_id-keyed partition (idempotent on
+   *  at-least-once replay, ADVICE r12) — then the maintained index
+   *  (base assignments ∪ streamed assignments) serves the exact
+   *  q_ivf_incremental probed search. The oracle IS the
+   *  q_ivf_incremental DuckDB Lloyd replay: how the batch reached the
+   *  index (one pass vs micro-batches vs a replayed micro-batch) must
+   *  be invisible in the answers. */
+  private[graft] def ivfStreamQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val base = e.filter(col("vec_id") % 4 =!= 0)
+    val batch = e.filter(col("vec_id") % 4 === 0)
+    val root = Files.createTempDirectory("graft-ivf-stream-")
+    sys.addShutdownHook(graft.util.Fs.deleteRecursively(root))
+
+    val trained = Similarity.trainCentroids(base, "vec_id", "embedding",
+      k = 8, iters = 2, trainSampleSize = 256)
+    val centroids = s.createDataFrame(
+      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+
+    // 3 files → 3 micro-batches under maxFilesPerTrigger=1; assignment
+    // is per-vector deterministic, so the chunking cannot show through
+    val chunk = batch.select(col("vec_id"), col("embedding"))
+    val chunkDir = s"$root/chunks"
+    chunk.repartition(3).write.parquet(chunkDir)
+    val assignDir = s"$root/assign"
+    val stream = s.readStream.schema(chunk.schema)
+      .option("maxFilesPerTrigger", 1).parquet(chunkDir)
+      .writeStream
+      .foreachBatch(Similarity.ivfIndexMaintainer(
+        centroids, "vec_id", "embedding", assignDir))
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    stream.awaitTermination()
+
+    val baseAssign = Similarity.assignToCentroids(base, "vec_id", "embedding",
+      centroids, "centroid_id", "centroid")
+    // partition discovery surfaces batch_id — project it away
+    val streamed = s.read.parquet(assignDir)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    Similarity.ivfSearchAssigned(baseAssign.unionByName(streamed),
+      "vec_id", "embedding",
+      batch.filter(col("vec_id") < 32), "vec_id", "embedding",
+      centroids, "centroid_id", "centroid", k = 5, nProbe = 4)
+  }
+
+  /** Index-staleness readout (r12 verdict item 4): the maintained index's
+   *  frozen centroids (trained on the BASE slice, exactly
+   *  q_ivf_incremental's) scored against centroids RETRAINED on the full
+   *  corpus's md5-sample pool — per-query recall/MRR over the shared
+   *  256-row pool, `needs_retrain` when recall < 0.8. Everything is
+   *  O(pool), never O(corpus) — see [[Similarity.indexStaleness]]; a
+   *  ScaleCheck rung pins the cost flat as the corpus grows. The oracle
+   *  replays BOTH Lloyd trainings ([[lloydReplicaCtesNamed]] twice),
+   *  both pool assignments, both probed searches, and the recall join. */
+  private[graft] def ivfStalenessQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val base = e.filter(col("vec_id") % 4 =!= 0)
+    val trained = Similarity.trainCentroids(base, "vec_id", "embedding",
+      k = 8, iters = 2, trainSampleSize = 256)
+    val maintained = s.createDataFrame(
+      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+    Similarity.indexStaleness(e, "vec_id", "embedding",
+      maintained, "centroid_id", "centroid",
+      e.filter(col("vec_id") < 8), "vec_id", "embedding",
+      k = 5, nProbe = 4, poolSize = 256, retrainIters = 2,
+      retrainThreshold = 0.8)
+  }
+
+  private[graft] lazy val ivfStalenessOracle = {
+    def argmax(src: String, cents: String) =
+      s"""SELECT vec_id AS nid, v AS nv, cid FROM (
+         |    SELECT p.vec_id, p.v, c.cid,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY ${cosSql("p.v", "c.c")} DESC, c.cid) AS rn
+         |    FROM $src p CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+    def probes(cents: String) =
+      s"""SELECT qid, qv, cid FROM (
+         |    SELECT q.qid, q.qv, c.cid,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY ${cosSql("q.qv", "c.c")} DESC, c.cid) AS prk
+         |    FROM q CROSS JOIN $cents c) WHERE prk <= 4""".stripMargin
+    def search(assignCte: String, probeCte: String) =
+      s"""SELECT qid, nid, rn FROM (
+         |  SELECT p.qid, a.nid, row_number() OVER (PARTITION BY p.qid
+         |      ORDER BY ${cosSql("a.nv", "p.qv")} DESC, a.nid) AS rn
+         |  FROM $assignCte a JOIN $probeCte p USING (cid)
+         |  WHERE p.qid <> a.nid) WHERE rn <= 5""".stripMargin
+    s"""WITH ${lloydReplicaCtesNamed("WHERE vec_id % 4 <> 0", "_m")},
+       |${lloydReplicaCtesNamed("", "_r")},
+       |pool AS (SELECT vec_id, v FROM samp_r),
+       |am AS (${argmax("pool", "c2_m")}),
+       |ar AS (${argmax("pool", "c2_r")}),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e_r WHERE vec_id < 8),
+       |pm AS (${probes("c2_m")}),
+       |pr2 AS (${probes("c2_r")}),
+       |sm AS (${search("am", "pm")}),
+       |sr AS (${search("ar", "pr2")}),
+       |tc AS (SELECT qid, count(*) AS n_truth FROM sr GROUP BY qid),
+       |h AS (SELECT sm.qid, count(*) AS n_hits, min(sm.rn) AS first_hit
+       |      FROM sm JOIN sr ON sm.qid = sr.qid AND sm.nid = sr.nid
+       |      GROUP BY sm.qid)
+       |SELECT tc.qid AS query_id,
+       |  coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits, tc.n_truth,
+       |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / tc.n_truth, 6) AS recall,
+       |  round(coalesce(CAST(1.0 AS DOUBLE) / h.first_hit, CAST(0.0 AS DOUBLE)), 6) AS mrr,
+       |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / tc.n_truth, 6) < CAST(0.8 AS DOUBLE) AS needs_retrain
+       |FROM tc LEFT JOIN h ON tc.qid = h.qid""".stripMargin
+  }
 
   /** Product-quantization ANN — rows-only (per-subspace k-means codebooks
    *  have no tractable DuckDB SQL); SimilaritySpec pins >=85% recall@5

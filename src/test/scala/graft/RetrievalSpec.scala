@@ -150,7 +150,23 @@ class RetrievalSpec extends AnyFunSuite {
     assert(c2 == Seq(3L, 5L), "equal RRF scores must tie-break by id")
   }
 
-  test("rrfFusion input hygiene: dup ids collapse to best rank, sub-1 ranks dropped (ADVICE r11)") {
+  test("tfidf cosine: the df-cut default is FINITE (scale contract, r12 item 5)") {
+    // one stopword shared by >10000 docs: under the finite default the
+    // hot term leaves the join and NO pair forms (each doc's other term
+    // is unique); an unbounded default would emit ~5e7 candidate rows —
+    // the quadratic flood the contract exists to prevent
+    val many = spark.range(10001)
+      .select(col("id").as("doc_id"),
+        concat(lit("hot uniq"), col("id")).as("text"))
+    assert(Retrieval.tfidfCosinePairs(many, "text", "doc_id",
+      threshold = 0.0).count() == 0L)
+    // and the guard refuses a nonsensical bound outright
+    intercept[IllegalArgumentException] {
+      Retrieval.tfidfCosinePairs(many, "text", "doc_id", maxDocFreq = 0L)
+    }
+  }
+
+  test("rrfFusion input hygiene: dup ids collapse to best rank, sub-1 ranks fail loudly") {
     // a duplicate id in one list must NOT fan out through the
     // full-outer join and double-count its reciprocal — it collapses
     // to its best (minimum) rank
@@ -163,11 +179,18 @@ class RetrievalSpec extends AnyFunSuite {
     assert(m(10L)._1 == 1L, "duplicate id keeps its best rank")
     assert(math.abs(m(10L)._3 - 1.0 / 61) < 1e-9, "rrf counted once, at the best rank")
     // a 0-based rank from a miscalibrated caller would collide with the
-    // rank-0 absent sentinel — it is dropped, not silently inflated
-    val z = Retrieval.rrfFusion(
-      Seq((7L, 0)).toDF("id", "rank"), Seq((8L, 1)).toDF("id", "rank"),
-      "id", c = 60, k = 10).collect().map(_.getLong(0)).toSeq
-    assert(z == Seq(8L), "rank < 1 rows are dropped")
+    // rank-0 absent sentinel — it FAILS LOUDLY (ADVICE r12: silently
+    // dropping the row would discard exactly that list's BEST hit and
+    // reinterpret the remaining ranks as 1-based)
+    val ex = intercept[Exception] {
+      Retrieval.rrfFusion(
+        Seq((7L, 0)).toDF("id", "rank"), Seq((8L, 1)).toDF("id", "rank"),
+        "id", c = 60, k = 10).collect()
+    }
+    val messages = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("rrfFusion")),
+      s"expected the rrfFusion rank guard, got: $messages")
   }
 
   test("rrfFusion top-k never plans a global sort") {

@@ -24,6 +24,13 @@ class ScaleBenchParseSpec extends AnyFunSuite {
     assert(ScaleBench.parseBaseline(noisy) == Map("q_a" -> 1.0))
   }
 
+  test("skips trailing log noise that echoes a metric token (ADVICE r12)") {
+    val trailing =
+      """{"metric":"total","value":1.0,"unit":"sec","queries":{"q_a":1.0},"ok":{"q_a":true},"all_ok":true,"sf":"d"}""" +
+        "\n26/01/01 INFO shutdown: wrote output containing \"metric\":\"total\""
+    assert(ScaleBench.parseBaseline(trailing) == Map("q_a" -> 1.0))
+  }
+
   test("fails loudly on a truncated/drifted queries object") {
     val drifted = """{"metric":"total","queries":{"q_a":{"sec":1.0}},"sf":"d"}"""
     intercept[IllegalArgumentException](ScaleBench.parseBaseline(drifted))

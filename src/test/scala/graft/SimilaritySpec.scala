@@ -291,6 +291,17 @@ class SimilaritySpec extends AnyFunSuite {
       .start()
     q.awaitTermination()
 
+    // ADVICE r12: foreachBatch is at-least-once — a restart between sink
+    // commit and checkpoint advance REPLAYS the micro-batch. Replaying
+    // batch 0 by hand must overwrite its own batch_id partition, never
+    // duplicate assignment rows (duplicates would occupy top-k slots in
+    // ivfSearchAssigned and break the stream ≡ batch claim below).
+    val b0 = spark.read.parquet(s"$assignDir/batch_id=0")
+      .select("vec_id", "embedding")
+    val replay = spark.createDataFrame(
+      java.util.Arrays.asList(b0.collect(): _*), b0.schema)
+    Similarity.ivfIndexMaintainer(cents, "vec_id", "embedding", assignDir)(replay, 0L)
+
     val got = spark.read.parquet(assignDir)
       .select("vec_id", "centroid_id")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
