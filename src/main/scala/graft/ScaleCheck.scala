@@ -130,6 +130,41 @@ object ScaleCheck {
           lit("log").as(graft.sequential.SequentialChecks.LogFileName))
       graft.sequential.SequentialChecks(std).count()
     }
+    // ---- r12 verdict item 1: the single-GIANT-file ceiling ------------
+    // The per-file scope is the reference semantics, so the default plan
+    // puts one whole file's sort+windows on ONE task — the only skew
+    // shape no other tier tested. One 10⁷-record file vs the same rows
+    // in 80 files: the single-pass row DOCUMENTS the measured ceiling
+    // (generous budget — it spills and completes, unlike the reference's
+    // in-memory model, but ~31 of 32 cores idle); the chunkSerials
+    // two-phase row GATES the fix (largest serial unit = a bundle, so
+    // the giant file parallelizes; must land near the many-files time).
+    // Row count is FIXED at 10M (the rung tests a shape, not volume).
+    def giantStd(nFiles: Int): DataFrame = {
+      val S = graft.sequential.SequentialChecks
+      spark.range(0L, 10000000L, 1L, 32).select(
+        concat(lit("g"), pmod(col("id"), lit(nFiles))).as(S.FileCol),
+        (col("id") / nFiles).cast("long").as(S.SerialNumber),
+        (col("id") / nFiles / 10).cast("long").as(S.BundleId),
+        pmod(col("id") / nFiles, lit(10)).cast("long").as(S.RecordId),
+        lit(10L).as(S.BundleSize),
+        date_trunc("second", timestamp_seconds(lit(1700000000L) +
+          (col("id") / nFiles / 100).cast("long"))).as(S.GeneratedAt),
+        date_trunc("second", timestamp_seconds(lit(1700000000L) +
+          (col("id") / nFiles / 100).cast("long"))).as(S.ReceivedAt),
+        lit("log").as(S.LogFileName))
+    }
+    time("sequential_giantfile(10M x 1, single-pass CEILING)", 90) {
+      graft.sequential.SequentialChecks(giantStd(1)).count()
+    }
+    time("sequential_giantfile(10M x 1, chunked two-phase)", 25) {
+      graft.sequential.SequentialChecks(giantStd(1),
+        chunkSerials = Some(131072L)).count()
+    }
+    time("sequential_giantfile(10M x 80 files, baseline)", 25) {
+      graft.sequential.SequentialChecks(giantStd(80)).count()
+    }
+
     // the shipped config_2.ini mega-projection over many replicated
     // files: the 43-section rule suite's one wide select must scale in
     // ROWS, its codegen cost already paid once

@@ -85,6 +85,25 @@ private[graft] trait FixtureQueries { this: Queries.type =>
       col("valid"), col("details"), col("serial_number"))
   }
 
+  /** W1-W7 through the TWO-PHASE giant-file path (r12 verdict item 1):
+   *  the same odejson fixture run with chunkSerials=4 — a chunk every 4
+   *  serial units forces MANY chunk boundaries and boundary-run merges on
+   *  this corpus — gated against the SAME reference golden as
+   *  q_ode_sequential: the chunked formulation must be indistinguishable
+   *  from the single-pass one on the reference's own verdicts. */
+  private[graft] def odeSequentialChunked(s: SparkSession, dir: String): DataFrame = {
+    val records = Readers.ndjson(s, s"$Fix/odejson/data/*.json*", OdeSchema.record)
+    val validated = ValidationPipeline.validateRecords(records, suiteOde)
+    val skipPaths = suiteOde.scalarRules.filter(_.skipConditions.nonEmpty).map(_.path)
+    val flagCols = skipPaths.map(p => col(RuleCompiler.skipFlagName(p)))
+    val std = SequentialChecks.withStandardColumns(validated, col("file"), extra = flagCols)
+    SequentialChecks(std,
+      skipPaths.map(p => p -> col(RuleCompiler.skipFlagName(p))).toMap,
+      chunkSerials = Some(4L))
+      .select(basename(col("file")).as("file"), col("field_path"),
+        col("valid"), col("details"), col("serial_number"))
+  }
+
   /** A1, A2, A4, K3: per-file totals (sequential row folded in). */
   private[graft] def odeFileTotals(s: SparkSession, dir: String): DataFrame = {
     val res = ValidationPipeline.runJson(s, s"$Fix/odejson/data/*.json*", suiteOde)

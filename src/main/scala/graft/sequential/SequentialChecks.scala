@@ -31,6 +31,25 @@ import org.apache.spark.sql.types._
  * key, then all windows and the bundle aggregate reuse that partitioning.
  * Files are independent, so parallelism = number of files and no global
  * sort ever materializes.
+ *
+ * SINGLE-GIANT-FILE ceiling (r12 verdict item 1): the default path puts a
+ * whole file on one task (per-file scope IS the reference semantics), so
+ * with one multi-GB object the wall clock degenerates to that file's
+ * single-task sort — it spills and completes (unlike the reference's
+ * in-memory model), but 31 of 32 cores idle. Pass `chunkSerials = Some(c)`
+ * for the TWO-PHASE path: records range-chunk by serialNumber value,
+ * phase A segments bundle runs within each (file, chunk) in parallel,
+ * a tiny per-chunk summary table stitches run numbering across chunk
+ * boundaries (merging the boundary runs when the adjacent bundleIds are
+ * null-safe equal), and phase B runs every remaining window keyed by
+ * (file, bundle_run) — so the largest serial unit is a BUNDLE, not a
+ * file. Exactness is pinned by SequentialChunkedSpec (chunked ≡ default
+ * on the ref-golden fixtures and on adversarial boundary streams) and by
+ * the q_ode_sequential_chunked gate row (same golden as q_ode_sequential,
+ * chunkSerials=4 forcing many boundaries). Degenerate worst case: ONE
+ * bundle run spanning the whole file (e.g. every bundleId null) still
+ * serializes — that is inherent to the reference's within-bundle
+ * semantics, not to this formulation.
  */
 object SequentialChecks {
 
@@ -55,6 +74,13 @@ object SequentialChecks {
     val BundleSizePath = "metadata.serialId.bundleSize"
   }
 
+  private val AllSkipPaths: Seq[(String, String)] = {
+    import SkipPaths._
+    Seq(RecordIdPath -> "skip_record_id", SerialNumberPath -> "skip_serial",
+      GeneratedAtPath -> "skip_gen", ReceivedAtPath -> "skip_rcv",
+      BundleSizePath -> "skip_bundle_size")
+  }
+
   /** Project an ODE-shaped DataFrame (metadata struct per FIXTURES.md §1)
    *  to the standard sequential input columns, plus any `extra` columns
    *  that must ride along (e.g. per-record skip flags). */
@@ -70,18 +96,38 @@ object SequentialChecks {
       date_trunc("second", try_to_timestamp(col("metadata.odeReceivedAt"))).as(ReceivedAt),
       col("metadata.logFileName").as(LogFileName)) ++ extra: _*)
 
+  /** Null-safe bundle-run start marker: the reference compares raw
+   *  bundleIds with Python == (None == None → same bundle,
+   *  sequential.py:96-104); a null-unsafe =!= would nullify the
+   *  comparison and silently make every null-bundleId record its own
+   *  singleton bundle, disabling all pair checks for the file. */
+  private def runStartOver(w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    when(!(col(BundleId) <=> lag(col(BundleId), 1).over(w)), 1).otherwise(0)
+
   /**
    * Run all sequential checks.
    *
-   * @param records standard-column DataFrame (see [[withStandardColumns]]);
-   *                may carry extra columns (e.g. per-record skip flags).
-   * @param skips   per-record boolean skip-flag Column per gated path
-   *                (missing path = never skipped).
+   * @param records      standard-column DataFrame (see
+   *                     [[withStandardColumns]]); may carry extra columns
+   *                     (e.g. per-record skip flags).
+   * @param skips        per-record boolean skip-flag Column per gated path
+   *                     (missing path = never skipped).
+   * @param chunkSerials None (default): the single-exchange per-file plan.
+   *                     Some(c): the two-phase giant-file plan — records
+   *                     range-chunk by floor(serialNumber / c); pick c so a
+   *                     chunk is ~10⁵–10⁶ records (c counts SERIAL UNITS,
+   *                     not records). Results are identical.
    * @return (file, field_path, valid, details, serial_number) — failures
    *         plus one passing SequentialCheck sentinel per failure-free file.
    */
-  def apply(records: DataFrame, skips: Map[String, Column] = Map.empty): DataFrame = {
-    import SkipPaths._
+  def apply(records: DataFrame, skips: Map[String, Column] = Map.empty,
+            chunkSerials: Option[Long] = None): DataFrame =
+    chunkSerials match {
+      case None    => singlePass(records, skips)
+      case Some(c) => chunked(records, skips, c)
+    }
+
+  private def singlePass(records: DataFrame, skips: Map[String, Column]): DataFrame = {
     // SINGLE-PASS plan: every window below partitions by `file` (or by
     // (file, bundle_run), which hashpartitioning(file) already satisfies),
     // so the whole computation — pair checks, bundle-size checks, the W6
@@ -95,23 +141,136 @@ object SequentialChecks {
       skips.get(path).map(c => coalesce(max(c).over(fileW), lit(false))).getOrElse(lit(false))
 
     val w = Window.partitionBy(FileCol).orderBy(SerialNumber)
-    // null-SAFE run segmentation: the reference compares raw bundleIds
-    // with Python == (None == None → same bundle, sequential.py:96-104);
-    // a null-unsafe =!= would nullify the comparison and silently make
-    // every null-bundleId record its own singleton bundle, disabling all
-    // pair checks for the file
-    val runStart = when(
-      !(col(BundleId) <=> lag(col(BundleId), 1).over(w)), 1
-    ).otherwise(0)
+    val seg = AllSkipPaths.foldLeft(
+      records.withColumn("bundle_run",
+        sum(runStartOver(w)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ) { case (df, (path, name)) => df.withColumn(name, fileSkip(path)) }
 
-    val seg = records
-      .withColumn("bundle_run", sum(runStart).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("skip_record_id", fileSkip(RecordIdPath))
-      .withColumn("skip_serial", fileSkip(SerialNumberPath))
-      .withColumn("skip_gen", fileSkip(GeneratedAtPath))
-      .withColumn("skip_rcv", fileSkip(ReceivedAtPath))
-      .withColumn("skip_bundle_size", fileSkip(BundleSizePath))
+    val perRecord = withFails(seg)
+      // W6: zero failures in the file ⇒ one sentinel row, attached to the
+      // file's first record (row_number avoids a second pass over the input)
+      .withColumn("file_fail_count", sum(size(col("fails"))).over(fileW))
+      .withColumn("rn", row_number().over(w))
 
+    perRecord
+      .select(col(FileCol),
+        explode(when(col("file_fail_count") === 0,
+          when(col("rn") === 1, array(sentinel)).otherwise(array().cast(ArrayType(sentinelType))))
+          .otherwise(col("fails"))).as("r"))
+      .select(col(FileCol), col("r.field_path").as("field_path"), col("r.valid").as("valid"),
+        col("r.details").as("details"), col("r.serial_number").as("serial_number"))
+  }
+
+  /**
+   * Two-phase giant-file plan. The ONLY file-global ORDERED dependency in
+   * the whole operator is the bundle-run prefix sum (W1); every other
+   * window is keyed by (file, bundle_run), and the file-level state (W6
+   * sentinel, W7 skip set) is an unordered aggregate. So:
+   *
+   *  phase A  exchange on hash(file, chunk): local run numbering per
+   *           chunk + a per-chunk summary (first/last bundleId, run
+   *           count, per-chunk skip-flag ORs);
+   *  stitch   a window over the TINY summary table (rows = chunks, i.e.
+   *           data / chunkSerials — broadcastable at any sane chunk
+   *           size): global run offset per chunk = Σ previous chunks'
+   *           runs − Σ boundary merges (adjacent chunks whose facing
+   *           bundleIds are null-safe equal share one run); per-file
+   *           skip flags = OR over the file's chunk summaries. Joined
+   *           back BROADCAST — phase A's partitioning is undisturbed;
+   *  phase B  exchange on hash(file, bundle_run): all pair/bundle
+   *           windows (W2–W5) — bundles distribute across tasks, so the
+   *           giant file parallelizes to its bundle count;
+   *  finish   failures are SPARSE: localCheckpoint them (truncating the
+   *           heavy lineage), then the W6 sentinel set = files (from the
+   *           already-materialized summaries) minus files with failures.
+   */
+  private def chunked(records: DataFrame, skips: Map[String, Column],
+                      chunkSize: Long): DataFrame = {
+    require(chunkSize >= 2, s"chunkSerials must be >= 2, got $chunkSize")
+
+    // null serials take a sentinel chunk BELOW every real chunk — they
+    // sort first under the single-pass orderBy(serial), so the chunk
+    // order must agree. floor(serial/c) for c >= 2 can never reach
+    // Long.MinValue, so the sentinel cannot collide.
+    val chunkCol = when(col(SerialNumber).isNull, lit(Long.MinValue))
+      .otherwise(floor(col(SerialNumber) / lit(chunkSize)).cast("long"))
+
+    // ---- phase A: local run numbering within (file, chunk) ----
+    val wc = Window.partitionBy(col(FileCol), col("__chunk")).orderBy(SerialNumber)
+    // the chunk's FIRST row must ALWAYS open local run 1: for a null
+    // bundleId the bare null-safe lag comparison reads null <=> null =
+    // true and would start the numbering at 0, corrupting the offset
+    // arithmetic below (the single-pass plan tolerates that shift — its
+    // numbering is never stitched)
+    val lrunStart = when(row_number().over(wc) === 1, 1).otherwise(runStartOver(wc))
+    val segA = records.withColumn("__chunk", chunkCol)
+      .withColumn("__lrun",
+        sum(lrunStart).over(wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+    // per-chunk summary: run count, the bundleId of the first and last
+    // run (constant within a run, so min_by/max_by on the never-null
+    // local run number is exact even when bundleId itself is null),
+    // and the chunk's skip-flag ORs
+    val skipAggs = AllSkipPaths.map { case (path, name) =>
+      skips.get(path).map(c => coalesce(max(c), lit(false)))
+        .getOrElse(lit(false)).as(s"__$name")
+    }
+    val summaryAggs = Seq(
+      min_by(col(BundleId), col("__lrun")).as("__first_bid"),
+      max_by(col(BundleId), col("__lrun")).as("__last_bid")) ++ skipAggs
+    val summaries = segA.groupBy(col(FileCol), col("__chunk"))
+      .agg(max(col("__lrun")).as("__n_runs"), summaryAggs: _*)
+
+    // ---- stitch: global run offsets + per-file skip flags ----
+    val ws = Window.partitionBy(col(FileCol)).orderBy(col("__chunk"))
+    val fileAll = Window.partitionBy(col(FileCol))
+    val offsets0 = summaries
+      .withColumn("__has_prev", lag(col("__n_runs"), 1).over(ws).isNotNull)
+      .withColumn("__merge",
+        when(col("__has_prev") &&
+          (col("__first_bid") <=> lag(col("__last_bid"), 1).over(ws)), 1L)
+          .otherwise(0L))
+      .withColumn("__offset",
+        coalesce(sum(col("__n_runs")).over(ws.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          - sum(col("__merge")).over(ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = AllSkipPaths.foldLeft(offsets0) { case (df, (_, name)) =>
+      df.withColumn(name, max(col(s"__$name")).over(fileAll))
+    }.select(Seq(col(FileCol), col("__chunk"), col("__offset")) ++
+        AllSkipPaths.map { case (_, name) => col(name) }: _*)
+      // tiny (one row per chunk) and consumed twice (row join + sentinel
+      // file set): materialize once, truncating the phase-A lineage
+      .localCheckpoint(true)
+
+    // ---- phase B: every remaining window keyed by (file, bundle_run) ----
+    val segB = segA.join(broadcast(offsets), Seq(FileCol, "__chunk"))
+      .withColumn("bundle_run", col("__lrun") + col("__offset"))
+    val fails = withFails(segB)
+      .select(col(FileCol), explode(col("fails")).as("r"))
+      .select(col(FileCol), col("r.field_path").as("field_path"), col("r.valid").as("valid"),
+        col("r.details").as("details"), col("r.serial_number").as("serial_number"))
+      // failures are sparse (bounded by actual rule violations):
+      // materialize so the sentinel anti-join below does not re-run the
+      // whole two-phase pipeline a second time
+      .localCheckpoint(true)
+
+    // ---- W6 sentinel: files with zero failures ----
+    val allFiles = offsets.select(col(FileCol)).distinct()
+    val sentinels = allFiles
+      .join(fails.select(col(FileCol)).distinct(), Seq(FileCol), "left_anti")
+      .select(col(FileCol), lit(SequentialCheck).as("field_path"),
+        lit(true).as("valid"), lit("").as("details"),
+        lit(null).cast("long").as("serial_number"))
+    fails.unionByName(sentinels)
+  }
+
+  /** The shared bundle stage: given records carrying `bundle_run` and the
+   *  five per-file skip_* flags, compute the per-record `fails` array —
+   *  pair checks W2–W4 and the bundle-size check W5 with the reference's
+   *  consecutive-emission dedup. Every window here is keyed by
+   *  (file, bundle_run): under the single-pass plan hashpartitioning(file)
+   *  already satisfies it (no extra exchange); under the chunked plan it
+   *  IS the phase-B exchange. */
+  private def withFails(seg: DataFrame): DataFrame = {
     val w2 = Window.partitionBy(col(FileCol), col("bundle_run")).orderBy(SerialNumber)
     val bw = Window.partitionBy(col(FileCol), col("bundle_run"))
     val wholeBundle = w2.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -186,25 +345,12 @@ object SequentialChecks {
                 longStr(col(BundleSize) - 1), lit("')"))),
           col("last_serial"))))
 
-    val sentinel = struct(
-      lit(SequentialCheck).as("field_path"), lit(true).as("valid"),
-      lit("").as("details"), lit(null).cast("long").as("serial_number"))
-
-    val perRecord = withEmit
-      .withColumn("fails", filter(pairChecks, _.isNotNull))
-      // W6: zero failures in the file ⇒ one sentinel row, attached to the
-      // file's first record (row_number avoids a second pass over the input)
-      .withColumn("file_fail_count", sum(size(col("fails"))).over(fileW))
-      .withColumn("rn", row_number().over(w))
-
-    perRecord
-      .select(col(FileCol),
-        explode(when(col("file_fail_count") === 0,
-          when(col("rn") === 1, array(sentinel)).otherwise(array().cast(ArrayType(sentinelType))))
-          .otherwise(col("fails"))).as("r"))
-      .select(col(FileCol), col("r.field_path").as("field_path"), col("r.valid").as("valid"),
-        col("r.details").as("details"), col("r.serial_number").as("serial_number"))
+    withEmit.withColumn("fails", filter(pairChecks, _.isNotNull))
   }
+
+  private val sentinel = struct(
+    lit(SequentialCheck).as("field_path"), lit(true).as("valid"),
+    lit("").as("details"), lit(null).cast("long").as("serial_number"))
 
   private val sentinelType = StructType(Seq(
     StructField("field_path", StringType),
