@@ -13,6 +13,9 @@ import graft.pipeline.ValidationPipeline
 object BenchValidation {
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/root/repo/target/refbench/data.json")
+    // optional 2nd arg: sequential chunkSerials — the two-phase giant-file
+    // plan (BASELINE.md r13 row: one 10⁶-record object)
+    val chunkSerials = args.lift(1).map(_.toLong)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus)
     val suite = SuiteLoader.fromFile("/root/repo/fixtures/odejson/suite.ini")
@@ -20,15 +23,18 @@ object BenchValidation {
     // warm the JVM/codegen once so the measured pass times the ENGINE,
     // not JIT compilation (the reference number likewise excludes python
     // startup — both sides measure steady-state validation)
-    ValidationPipeline.runJson(spark, path, suite).fileTotals.collect()
+    ValidationPipeline.runJson(spark, path, suite,
+      chunkSerials = chunkSerials).fileTotals.collect()
 
     val t0 = System.nanoTime()
-    val res = ValidationPipeline.runJson(spark, path, suite)
+    val res = ValidationPipeline.runJson(spark, path, suite,
+      chunkSerials = chunkSerials)
     val totals = res.fileTotals.collect()
     val dt = (System.nanoTime() - t0) / 1e9
     val nRec = totals.map(_.getAs[Long]("num_messages_total")).sum
     val nVal = totals.map(_.getAs[Long]("num_validations")).sum
-    println(s"""{"engine":"graft(spark, local[$cpus])","records":$nRec,"validations":$nVal,"seconds":${math.round(dt * 1000) / 1000.0},"records_per_sec":${math.round(nRec / dt)}}""")
+    val tag = chunkSerials.map(c => s", chunked c=$c").getOrElse("")
+    println(s"""{"engine":"graft(spark, local[$cpus]$tag)","records":$nRec,"validations":$nVal,"seconds":${math.round(dt * 1000) / 1000.0},"records_per_sec":${math.round(nRec / dt)}}""")
     spark.stop()
   }
 }

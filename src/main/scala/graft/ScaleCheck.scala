@@ -589,6 +589,45 @@ object ScaleCheck {
         f"(${if (ok) "ok" else "OVER"}, batch-cost must not scale with index)")
     }
 
+    // ---- r12 verdict item 4: the index-staleness readout must be
+    // O(sample), not O(corpus) — the candidate pool is a fixed 256-row
+    // md5-sample, the retrain is Lloyd over that pool, and both searches
+    // touch only the pool; the ONLY corpus-dependent cost is the
+    // TakeOrdered sample selection (one narrow scan, no shuffle). Timed
+    // against a 1x and a mult x corpus with the same frozen centroids;
+    // fails if the big-corpus readout costs >2x the small one.
+    {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val trained = graft.ext.Similarity.trainCentroids(
+        emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        k = 8, iters = 2, trainSampleSize = 256)
+      val cents = spark.createDataFrame(
+        java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+      val queries = emb.filter(col("vec_id") < 8).localCheckpoint(true)
+      def stalenessSecs(corpusMult: Int): Double = {
+        val corpus = (0 until corpusMult).map(i =>
+            emb.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+              col("embedding")))
+          .reduce(_ unionAll _)
+          .localCheckpoint(true)
+        val t0 = System.nanoTime()
+        graft.ext.Similarity.indexStaleness(corpus, "vec_id", "embedding",
+          cents, "centroid_id", "centroid",
+          queries, "vec_id", "embedding",
+          k = 5, nProbe = 4, poolSize = 256).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      stalenessSecs(1) // warm
+      val tSmall = stalenessSecs(1)
+      val tBig = stalenessSecs(mult)
+      val ratio = tBig / math.max(tSmall, 0.05)
+      val ok = ratio <= 2.0
+      if (!ok) allOk = false
+      println(f"[scalecheck] ivf_staleness_readout 1x=${tSmall}%.1f s " +
+        f"${mult}x=${tBig}%.1f s ratio=${ratio}%.2f " +
+        f"(${if (ok) "ok" else "OVER"}, readout must not scale with corpus)")
+    }
+
     // ---- r12 verdict item 7: groupedExactQuantiles at ≥10k groups —
     // driver state is O(groups × |fracs| + active cells × path depth),
     // i.e. bounded by the RESULT size times refinement depth, never by

@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** Driver-state bounds — the bounded-collect inventory (r12 verdict
+   *  item 6), asserted by DriverStateSpec so a refactor that unbounds a
+   *  driver-side collect fails a test instead of shipping:
+   *  [[bloomDecontaminate]] collects AT MOST [[BloomBits]] distinct bit
+   *  positions (4 md5 hex chars address exactly 0..65535);
+   *  [[duplicateComponents]] collects an edge list ONLY when its counted
+   *  size is at most [[LocalUnionFindMaxEdges]] (≈16 MB) — above it the
+   *  distributed star-contraction rounds run instead. */
+  private[graft] val BloomBits: Int = 1 << 16
+  private[graft] val LocalUnionFindMaxEdges: Long = 1L << 20
+
   // ------------------------------------------------------------------
   // Exact dedup
   // ------------------------------------------------------------------
@@ -146,7 +157,7 @@ object Dedup {
                          textCol: String, idCol: String,
                          n: Int = 3, minOverlap: Int = 5,
                          kHashes: Int = 4): DataFrame = {
-    val mBits = 1 << 16 // 4 hex chars of md5 address exactly 0..65535
+    val mBits = BloomBits // 4 hex chars of md5 address exactly 0..65535
     def pos(i: Int, s: Column): Column =
       conv(substring(md5(concat(lit(i + ":"), s)), 1, 4), 16, 10).cast("int")
 
@@ -432,7 +443,7 @@ object Dedup {
    * Returns (id, component) with component = min id in the cluster.
    */
   def duplicateComponents(pairs: DataFrame, maxIter: Int = 50,
-                          localThreshold: Long = 1L << 20): DataFrame = {
+                          localThreshold: Long = LocalUnionFindMaxEdges): DataFrame = {
     // canonical direction: u > v (toward the smaller id), self-loops out.
     // `dedup = false` skips the distinct for INTERMEDIATE edge lists
     // (the large-star output feeds a min-aggregate and a join whose

@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
  */
 object Stats {
 
+  /** Driver-state bound for the histogram-refinement quantile family
+   *  (r12 verdict item 6, asserted by DriverStateSpec): every refinement
+   *  round collects at most `bins` histogram rows (plus ≤ localLimit
+   *  terminal candidates), and recursion depth is hard-capped here — so
+   *  driver state is O(bins × depth + results), never O(rows). */
+  private[graft] val MaxRefinementDepth: Int = 256
+
   /**
    * Two-sample Kolmogorov–Smirnov statistic between the `valueCol`
    * distributions of two groups — the standard "did this feed drift?"
@@ -230,7 +237,7 @@ object Stats {
       // single-valued bin collapses to lo == hi — ~180 rounds cover the
       // entire double exponent range), but a hard failure beats a
       // silent unbounded window if the invariant is ever broken.
-      require(depth <= 256,
+      require(depth <= MaxRefinementDepth,
         "exactQuantilesScalable: refinement failed to converge")
       val w = (hi - lo) / bins
       if (lo == hi || w == 0 || cnt <= localLimit) {
@@ -383,7 +390,7 @@ object Stats {
         // same unreachable-by-geometry hard cap as the sequential form:
         // actual per-bin min/max child ranges shrink width ≥ bins× per
         // round, so convergence is guaranteed long before this fires
-        require(depth <= 256,
+        require(depth <= MaxRefinementDepth,
           "groupedExactQuantiles: refinement failed to converge")
         // constant-valued spikes resolve directly; vanished width with
         // lo < hi (the subnormal regime) must NOT assign lo — an index's

@@ -47,12 +47,17 @@ object ValidationPipeline {
     withSkips.withColumn("validations", RuleCompiler.validationsColumn(suite, schema))
   }
 
-  /** Full run over NDJSON files matched by `path` (glob ok, .gz ok). */
+  /** Full run over NDJSON files matched by `path` (glob ok, .gz ok).
+   *  `chunkSerials` routes the sequential checks through the two-phase
+   *  giant-file plan (see [[SequentialChecks.apply]]) — pass it when
+   *  individual objects are multi-GB; the default per-file plan is
+   *  cheaper when files are small and many. */
   def runJson(spark: SparkSession, path: String, suite: ValidationSuite,
-              schema: StructType = OdeSchema.record): Result = {
+              schema: StructType = OdeSchema.record,
+              chunkSerials: Option[Long] = None): Result = {
     val records = Readers.ndjson(spark, path, schema)
     val validated = validateRecords(records, suite)
-    run(validated, suite)
+    run(validated, suite, chunkSerials)
   }
 
   /** Full run over positional CSV files. */
@@ -62,7 +67,8 @@ object ValidationPipeline {
     run(validated, suite)
   }
 
-  def run(validated: DataFrame, suite: ValidationSuite): Result = {
+  def run(validated: DataFrame, suite: ValidationSuite,
+          chunkSerials: Option[Long] = None): Result = {
     val sequential =
       if (suite.sequential) {
         val skipPaths = suite.scalarRules.filter(_.skipConditions.nonEmpty).map(_.path)
@@ -70,7 +76,8 @@ object ValidationPipeline {
         val std = SequentialChecks.withStandardColumns(
           validated, col("file"), extra = flagCols)
         SequentialChecks(std,
-          skipPaths.map(p => p -> col(RuleCompiler.skipFlagName(p))).toMap)
+          skipPaths.map(p => p -> col(RuleCompiler.skipFlagName(p))).toMap,
+          chunkSerials)
       } else {
         validated.sparkSession.emptyDataFrame
       }
