@@ -690,16 +690,22 @@ object Stats {
    * are deliberately out of scope (their string renderings are
    * engine-specific) — profile those via [[ksDrift]]/robust stats.
    *
-   * Two passes, both fully distributed. Rows/nulls/min/max are one
-   * cheap global `agg`. The exact distinct counts deliberately AVOID
-   * Spark's multi-distinct rewrite — n global `count_distinct`s expand
-   * the scan n+1-wide and funnel every distinct value of every column
-   * into ONE final reducer (measured 14 s where this form takes ~3 s at
-   * sf0.1): instead the columns melt to (col, value-string) pairs, the
-   * first groupBy dedups distributed on (col, value) with map-side
-   * partial dedup, and the per-column counts then partial-aggregate to
-   * n rows. String casts are injective for the supported types, so the
-   * counts are exact.
+   * Fully distributed. Rows/nulls/min/max are one cheap global `agg`.
+   * The exact distinct counts deliberately AVOID both of the
+   * memory-hostile formulations: (a) Spark's multi-distinct rewrite —
+   * n global `count_distinct`s expand the scan n+1-wide and funnel
+   * every distinct value of every column into ONE final reducer
+   * (measured 14 s where this form takes ~3 s at sf0.1) — and (b) the
+   * melted (col, value-string) explode this method used through r12,
+   * which copies every row n× as strings before the dedup shuffle: at
+   * the r13 sf100 probe (600M-row lineitem) that melt OOM-killed the
+   * JVM — ~4.2B string pairs in flight. Instead each column gets its
+   * own COLUMN-PRUNED scan → native-type distinct → 1-row count, all
+   * UNIONed: parquet reads exactly one column per scan, the dedup
+   * hash-aggregate is two-phase (map-side partial dedup, spillable),
+   * values shuffle in their native width, and native-type distinct
+   * matches the oracle's count(DISTINCT c) semantics exactly (the old
+   * string-cast distinct diverged in theory on -0.0 vs 0.0).
    */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
@@ -714,13 +720,13 @@ object Stats {
         col(s"__min_$c").as("min_value"), col(s"__max_$c").as("max_value"))
     }
     val basic = one.select(explode(array(packed: _*)).as("p")).select(col("p.*"))
-    val melted = df.select(explode(array(cols.map { c =>
-      struct(lit(c).as("c"), col(c).cast("string").as("v"))
-    }: _*)).as("p")).select(col("p.*")).filter(col("v").isNotNull)
-    val dist = melted.distinct()
-      .groupBy(col("c")).agg(count(lit(1)).as("n_distinct"))
-      .withColumnRenamed("c", "col_name")
-    // left + coalesce: an all-null column has no distinct pairs at all
+    val dist = cols.map { c =>
+      df.select(col(c).as("__v")).filter(col("__v").isNotNull)
+        .distinct()
+        .agg(count(lit(1)).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_distinct"))
+    }.reduce(_ unionByName _)
+    // left + coalesce: an all-null column counts 0 distinct values
     basic.join(broadcast(dist), Seq("col_name"), "left")
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),

@@ -476,11 +476,15 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Exchange hashpartitioning") <= 3)
   }
 
-  test("q_column_profile: two distributed passes, no multi-distinct funnel") {
+  test("q_column_profile: pruned per-column distincts, no multi-distinct funnel, no melt") {
     val p = plan("q_column_profile")
-    assert(count(p, "Scan parquet") == 2) // basic stats + melted distinct
+    // basic stats + one COLUMN-PRUNED scan per profiled column (the r13
+    // sf100 probe OOM'd the old melted (col, value-string) formulation)
+    assert(count(p, "Scan parquet") == 8)
     assert(!p.contains("Expand"),
       "the multi-distinct rewrite would funnel every value into one reducer")
+    assert(count(p, "Exchange hashpartitioning") == 7,
+      "one native-type dedup exchange per profiled column")
   }
 
   test("q_geo_radius_join: probe halo broadcasts — the point table never shuffles") {
