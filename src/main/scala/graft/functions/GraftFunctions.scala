@@ -174,5 +174,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // As-of join lowering inside the operator-optimization fixed point, so
     // pruning/pushdown re-fire against the lowered Union+Window form.
     ext.injectOptimizerRule(_ => graft.plans.LowerAsOfJoin)
+    // Row-mode-codegen projection fence for >64KB-of-generated-code
+    // selects (wide validation suites) — see plans/FencedProject.scala.
+    ext.injectPlannerStrategy(_ => graft.plans.FencedProjectStrategy)
   }
 }

