@@ -1,6 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Drift-calibration anchors (r13 verdict item 6): fixed workloads
+    * measured through the SAME harness every round, independent of the
+    * query registry, so per-query ratios between rounds can be
+    * normalized by machine speed — r13's board moved +24% uniformly on
+    * untouched code, and without an anchor the ±20% ambient container
+    * band swallows any real ≤1.2× regression. Three anchors cover the
+    * three cost regimes: pure CPU (codegen'd hash loop, no I/O), a
+    * parquet scan+aggregate (I/O + decode), and a hash exchange. */
+  private[graft] val calibrations: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+    import org.apache.spark.sql.functions._
+    Seq(
+      "cal_cpu" -> ((s: SparkSession, _: String) =>
+        s.range(0L, 150000000L, 1L, 32)
+          .select(xxhash64(col("id")).as("h")).agg(sum(col("h")))),
+      "cal_scan" -> ((s: SparkSession, dir: String) =>
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .agg(count(lit(1)), sum(col("l_quantity")),
+            avg(col("l_extendedprice")), max(col("l_shipdate")))),
+      "cal_shuffle" -> ((s: SparkSession, _: String) =>
+        s.range(0L, 20000000L, 1L, 32)
+          .select(pmod(col("id") * 2654435761L, lit(100003L)).as("k"),
+            col("id").as("v"))
+          .groupBy(col("k")).agg(sum(col("v")))))
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -38,13 +62,27 @@ object Bench {
         (name, median, trials.forall(_._2), sorted.last - sorted.head)
       }
     val results = measured.map { case (n, med, ok, _) => (n, med, ok) }
-    val extra = if (runsN > 1) {
+    // calibration anchors: same harness, same median-of-N protocol,
+    // reported in their OWN block (never mixed into "queries", whose
+    // pair count ScaleBench budget-parses)
+    val calSecs = calibrations.map { case (name, fn) =>
+      val trials = (0 until runsN).map { _ =>
+        val t0 = System.nanoTime()
+        run(name, fn)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> trials(trials.length / 2)
+    }
+    val calJson = calSecs
+      .map { case (n, v) => "\"" + n + "\":" + math.round(v * 1000) / 1000.0 }
+      .mkString("\"calibration\":{", ",", "},")
+    val extra0 = if (runsN > 1) {
       val spread = measured
         .map { case (n, _, _, s) => "\"" + n + "\":" + math.round(s * 1000) / 1000.0 }
         .mkString("{", ",", "}")
       s""""protocol":"median-of-$runsN, per-query back-to-back, shared harness","runs":$runsN,"spread_sec":$spread,"""
     } else ""
-    println(BenchHarness.jsonLine("total", results, sfDir, extra))
+    println(BenchHarness.jsonLine("total", results, sfDir, extra0 + calJson))
     spark.stop()
   }
 }

@@ -32,17 +32,24 @@ object CoverageCheck {
     val undocumented = (registry -- docTokens).toSeq.sorted
     val dead = (docTokens -- registry).toSeq.sorted
     val orphanOracles = (oracles -- registry).toSeq.sorted
+    // r13 verdict item 4: the exact-instrument probe exclusions are a
+    // REGISTRY annotation, not prose — every annotated name must be live
+    val orphanNonScale = (SparkEntry.nonScalePath -- registry).toSeq.sorted
 
     undocumented.foreach(q => println(s"[coverage-check] UNDOCUMENTED in COVERAGE.md: $q"))
     dead.foreach(q => println(s"[coverage-check] DEAD doc row (not in registry): $q"))
     orphanOracles.foreach(q => println(s"[coverage-check] ORACLE without a query: $q"))
+    orphanNonScale.foreach(q => println(s"[coverage-check] nonScalePath names a dead query: $q"))
 
     val rowsOnly = (registry -- oracles).toSeq.sorted
     println(s"[coverage-check] registry=${registry.size} oracles=${oracles.size} " +
       s"doc-mentions=${docTokens.size} rows-only=${rowsOnly.mkString(",")}")
-    if (undocumented.nonEmpty || dead.nonEmpty || orphanOracles.nonEmpty) {
+    println(s"[coverage-check] nonScalePath=${SparkEntry.nonScalePath.toSeq.sorted.mkString(",")}")
+    if (undocumented.nonEmpty || dead.nonEmpty || orphanOracles.nonEmpty ||
+        orphanNonScale.nonEmpty) {
       println(s"[coverage-check] DRIFT: ${undocumented.size} undocumented, " +
-        s"${dead.size} dead, ${orphanOracles.size} orphan oracles")
+        s"${dead.size} dead, ${orphanOracles.size} orphan oracles, " +
+        s"${orphanNonScale.size} dead nonScalePath")
       sys.exit(1)
     }
     println("[coverage-check] OK: COVERAGE.md and the registry agree")

@@ -40,20 +40,47 @@ object ScaleBench {
     * bench format, fails HERE instead of silently degrading every
     * budget to floor-only (ADVICE r11). */
   private[graft] def parseBaseline(json: String): Map[String, Double] = {
-    val line = json.linesIterator.filter(_.contains("\"queries\":{")).toSeq
-      .lastOption.getOrElse(sys.error("baseline JSON has no \"queries\" line"))
-    val start = line.indexOf("\"queries\":{")
-    require(start >= 0, "baseline JSON has no \"queries\" object")
-    val end = line.indexOf("}", start)
-    require(end > start, "baseline \"queries\" object is unterminated on its line")
-    val body = line.substring(start + "\"queries\":{".length, end)
-    val pairs = "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    require(pairs.nonEmpty && pairs.size == body.count(_ == ':'),
-      s"parsed ${pairs.size} baseline queries but the object carries " +
-        s"${body.count(_ == ':')} pairs — bench JSON format drifted")
-    pairs
+    val candidates = json.linesIterator.filter(_.contains("\"queries\":{")).toSeq
+    require(candidates.nonEmpty, "baseline JSON has no \"queries\" line")
+    // prefer the LAST line that PASSES the pair-for-pair ':' cross-check
+    // (ADVICE r13: anchoring on the last token-bearing line recurs the
+    // echo-in-trailing-noise failure if shutdown noise quotes the
+    // queries object itself — a noisy last line must not veto a valid
+    // JSON line above it)
+    def parse(line: String): Option[Map[String, Double]] = {
+      val start = line.indexOf("\"queries\":{")
+      val end = line.indexOf("}", start)
+      if (end <= start) None
+      else {
+        val body = line.substring(start + "\"queries\":{".length, end)
+        val pairs = "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        if (pairs.nonEmpty && pairs.size == body.count(_ == ':')) Some(pairs)
+        else None
+      }
+    }
+    candidates.reverseIterator.flatMap(parse(_)).nextOption().getOrElse(
+      throw new IllegalArgumentException(
+        s"no line with a well-formed \"queries\" object among " +
+          s"${candidates.size} candidates — bench JSON format drifted"))
   }
+
+  /** Standing corpus-scale probe families: the proven scale-path set
+    * every sf100 probe includes regardless of where the round's board
+    * ranks them — dedup (exact digest, LSH bands, simhash, bloom,
+    * incremental), ANN lifecycle (trained, incremental, retrain-swap),
+    * curation/ingest composites, sequential windows, the heavy
+    * relational rows, and the column profiler whose melt defect the
+    * r13 probe caught. Composed with the baseline top-quartile under
+    * `@scalepath` and always minus [[SparkEntry.nonScalePath]]. */
+  private[graft] val StandingProbeFamilies: Set[String] = Set(
+    "q1_agg", "q_tpch_q5", "q_join_revenue", "q_sessions",
+    "q_events_sequential", "q_ingest_funnel",
+    "q_dedup_exact", "q_dedup_drop", "q_incremental_dedup",
+    "q_minhash_pairs_md5", "q_simhash_pairs_md5", "q_bloom_decontaminate",
+    "q_embed_neardup_lsh_md5", "q_ann_lsh_md5", "q_semantic_dedup",
+    "q_ivf_trained", "q_ivf_incremental", "q_ivf_retrain",
+    "q_corpus_curation_lsh_md5", "q_column_profile")
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
@@ -63,7 +90,21 @@ object ScaleBench {
     val sfDir = args(1)
     val mult = args(2).toDouble
     val floorSec = args.lift(3).map(_.toDouble).getOrElse(8.0)
-    val only = args.lift(4).map(_.split(",").toSet)
+    // `@scalepath` (r13 verdict item 4): probe composition is MECHANIZED,
+    // not prose — top-cost quartile of the baseline board ∪ the standing
+    // scale-path families, MINUS the exact-instrument registry annotation
+    // (SparkEntry.nonScalePath). Any explicit comma list still works.
+    val only = args.lift(4).map {
+      case "@scalepath" =>
+        val quartile = baseline.toSeq.sortBy(-_._2)
+          .take(math.max(1, baseline.size / 4)).map(_._1).toSet
+        val composed = (quartile ++ StandingProbeFamilies) -- SparkEntry.nonScalePath
+        println(s"[scalebench] @scalepath composed ${composed.size} queries " +
+          s"(quartile=${quartile.size} standing=${StandingProbeFamilies.size} " +
+          s"excluded=${(quartile ++ StandingProbeFamilies).count(SparkEntry.nonScalePath)})")
+        composed
+      case list => list.split(",").toSet
+    }
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
     // the SAME harness Bench uses — budgets compare baseline seconds

@@ -628,6 +628,40 @@ object ScaleCheck {
         f"(${if (ok) "ok" else "OVER"}, readout must not scale with corpus)")
     }
 
+    // ---- r13 verdict item 3: retrain-and-swap must be ONE linear
+    // encode pass — training is O(sample·k·iters) (corpus-independent
+    // by the bounded md5-sample contract) and the re-assign touches
+    // each row once against a broadcast k-row centroid table, so the
+    // verb's wall must grow at most linearly with the corpus (≤ mult×,
+    // parallelism normally absorbs most of it); anything superlinear
+    // means the corpus shuffled or the training re-scanned it.
+    {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      def retrainSecs(corpusMult: Int): Double = {
+        val corpus = (0 until corpusMult).map(i =>
+            emb.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+              col("embedding")))
+          .reduce(_ unionAll _)
+          .localCheckpoint(true)
+        val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfswap")
+        try {
+          val t0 = System.nanoTime()
+          graft.ext.Similarity.ivfRetrainAndSwap(corpus, "vec_id", "embedding",
+            idxDir.toString, k = 8, iters = 2, trainSampleSize = 256)
+          (System.nanoTime() - t0) / 1e9
+        } finally graft.util.Fs.deleteRecursively(idxDir)
+      }
+      retrainSecs(1) // warm
+      val tSmall = retrainSecs(1)
+      val tBig = retrainSecs(mult)
+      val ratio = tBig / math.max(tSmall, 0.05)
+      val ok = ratio <= mult.toDouble
+      if (!ok) allOk = false
+      println(f"[scalecheck] ivf_retrain_swap 1x=${tSmall}%.1f s " +
+        f"${mult}x=${tBig}%.1f s ratio=${ratio}%.2f " +
+        f"(${if (ok) "ok" else "OVER"}, retrain is one linear encode pass)")
+    }
+
     // ---- r12 verdict item 7: groupedExactQuantiles at ≥10k groups —
     // driver state is O(groups × |fracs| + active cells × path depth),
     // i.e. bounded by the RESULT size times refinement depth, never by

@@ -12,4 +12,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Queries.oracles
+  /** Exact-instrument queries excluded from corpus-scale probes by
+    * contract (see [[Queries.nonScalePath]]); CoverageCheck enforces
+    * that each names a live registry key. */
+  def nonScalePath: Set[String] = Queries.nonScalePath
 }

@@ -235,7 +235,9 @@ object Retrieval {
         when(col(rankCol).cast("long") >= 1L, col(rankCol).cast("long"))
           .otherwise(raise_error(concat(
             lit("rrfFusion: rank < 1 in input ("),
-            col(rankCol).cast("string"),
+            // a NULL rank would NULL the whole concat and strip the
+            // diagnostic from the raised error (ADVICE r13)
+            coalesce(col(rankCol).cast("string"), lit("NULL")),
             lit(") — ranks must be 1-based; shift a 0-based list before fusing"))))
           .as(out))
       .groupBy(col("__id")).agg(min(col(out)).as(out))

@@ -1023,4 +1023,93 @@ object Similarity {
     recallAtK(searchWith(maintained), searchWith(retrained))
       .withColumn("needs_retrain", col("recall") < lit(retrainThreshold))
   }
+
+  // -------------------------------------------------------------------
+  // IVF retrain-and-swap (r13 verdict item 3): the verb that CONSUMES
+  // indexStaleness's needs_retrain signal and closes the maintenance
+  // lifecycle: train → incremental assign → streaming maintain →
+  // staleness readout → RETRAIN AND SWAP.
+  // -------------------------------------------------------------------
+
+  /** Name of the atomic current-version pointer inside an index dir. */
+  private[graft] val CurrentPointer = "CURRENT"
+
+  /** Read the published version of a versioned IVF index dir (0 = none). */
+  def ivfCurrentVersion(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val ptr = new org.apache.hadoop.fs.Path(s"$indexDir/$CurrentPointer")
+    if (!fs.exists(ptr)) 0L
+    else {
+      val in = fs.open(ptr)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Load the currently-published index: (centroids, assignments,
+   *  version). Readers NEVER see a half-written index — they resolve
+   *  through the pointer, which only ever names fully-written version
+   *  dirs. */
+  def ivfLoadCurrent(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String): (DataFrame, DataFrame, Long) = {
+    val v = ivfCurrentVersion(spark, indexDir)
+    require(v > 0, s"no published index under $indexDir")
+    (spark.read.parquet(s"$indexDir/v$v/centroids"),
+      spark.read.parquet(s"$indexDir/v$v/assign"), v)
+  }
+
+  /**
+   * Retrain-and-swap: retrain centroids on the CURRENT corpus (bounded
+   * deterministic sample, [[trainCentroids]]), re-encode the corpus in
+   * one pass ([[assignToCentroids]] — broadcast k-row centroids, no
+   * corpus shuffle), write both under a NEW version directory, and
+   * atomically publish it by renaming a freshly-written pointer file
+   * over [[CurrentPointer]] (HDFS/posix rename is atomic; on object
+   * stores use a conditional put). Old versions stay on disk for
+   * in-flight readers and rollback — retention is the caller's policy.
+   *
+   * Cost contract (pinned by the `ivf_retrain` ScaleCheck rung):
+   * training is O(sample·k·iters) — corpus-size-INDEPENDENT — and the
+   * re-encode is one linear scan, so the whole verb is one pass over
+   * the corpus plus a parquet write; nothing is quadratic and nothing
+   * shuffles the corpus. Returns the published version number.
+   */
+  def ivfRetrainAndSwap(corpus: DataFrame, idCol: String, vecCol: String,
+                        indexDir: String, k: Int, iters: Int = 2,
+                        trainSampleSize: Int = 256,
+                        metric: String = "cosine"): Long = {
+    val spark = corpus.sparkSession
+    val next = ivfCurrentVersion(spark, indexDir) + 1
+    val trained = trainCentroids(corpus, idCol, vecCol, k, iters,
+      metric, trainSampleSize)
+    // k-row driver state (same posture as trainCentroids internals):
+    // freeze the centroids so the corpus encode broadcasts a
+    // LocalRelation instead of re-running the training lineage
+    val centroids = spark.createDataFrame(
+      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+    centroids.write.mode("overwrite").parquet(s"$indexDir/v$next/centroids")
+    assignToCentroids(corpus, idCol, vecCol,
+        centroids, "centroid_id", "centroid", metric)
+      .write.mode("overwrite").parquet(s"$indexDir/v$next/assign")
+
+    // publish LAST, atomically: tmp write + rename over the pointer
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$indexDir/.$CurrentPointer.tmp-$next")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val ptr = new org.apache.hadoop.fs.Path(s"$indexDir/$CurrentPointer")
+    if (!fs.rename(tmp, ptr)) {
+      // posix/HDFS rename-over-existing differs by FS: delete+rename is
+      // still a single-pointer swap (readers see old or new, never half)
+      fs.delete(ptr, false)
+      require(fs.rename(tmp, ptr), s"could not publish $ptr")
+    }
+    next
+  }
 }

@@ -706,6 +706,13 @@ object Stats {
    * values shuffle in their native width, and native-type distinct
    * matches the oracle's count(DISTINCT c) semantics exactly (the old
    * string-cast distinct diverged in theory on -0.0 vs 0.0).
+   *
+   * INPUT CONTRACT (ADVICE r13): the n+1 scans assume a COLUMNAR FILE
+   * source, where each per-column scan prunes to one column and the
+   * re-reads are nearly free. For a non-columnar source or an expensive
+   * computed lineage, each distinct re-executes the full upstream plan
+   * (an n× regression vs one pass) — persist/checkpoint such inputs
+   * before profiling, or read them through parquet first.
    */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>

@@ -679,6 +679,62 @@ private[graft] trait EmbeddingMultimodalQueries { this: Queries.type =>
        |FROM tc LEFT JOIN h ON tc.qid = h.qid""".stripMargin
   }
 
+  /** IVF retrain-and-swap (r13 verdict item 3) — the verb that consumes
+   *  the staleness readout and CLOSES the maintenance lifecycle. The
+   *  query drives the whole arc against a versioned index dir: v1 is
+   *  published from the BASE slice via [[Similarity.ivfRetrainAndSwap]]
+   *  (same training params as q_ivf_incremental), the new batch is
+   *  served against v1's frozen centroids (the maintained state),
+   *  then the retrain verb republishes v2 over the FULL corpus and the
+   *  search is served THROUGH the swapped pointer. The oracle replays
+   *  the v2 state only — the full-corpus Lloyd CTEs + probed search —
+   *  because a correct swap makes v1 invisible in the answers; the
+   *  version/pointer mechanics (advance, atomicity, old-version
+   *  retention) are pinned in SimilaritySpec. */
+  private[graft] def ivfRetrainQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val base = e.filter(col("vec_id") % 4 =!= 0)
+    val batch = e.filter(col("vec_id") % 4 === 0)
+    val idx = {
+      val p = Files.createTempDirectory("graft-ivf-retrain-")
+      sys.addShutdownHook(graft.util.Fs.deleteRecursively(p))
+      p.toString
+    }
+    // v1: the stale index (base-trained), published through the verb
+    val v1 = Similarity.ivfRetrainAndSwap(base, "vec_id", "embedding",
+      idx, k = 8, iters = 2, trainSampleSize = 256)
+    // maintenance against v1's frozen centroids (the served state the
+    // staleness readout would score) — loaded through the pointer
+    val (c1, a1, _) = Similarity.ivfLoadCurrent(s, idx)
+    a1.unionByName(Similarity.assignToCentroids(batch, "vec_id", "embedding",
+      c1, "centroid_id", "centroid")).count() // the maintained index exists
+    // the retrain verb: full-corpus retrain, atomic pointer swap to v2
+    val v2 = Similarity.ivfRetrainAndSwap(e, "vec_id", "embedding",
+      idx, k = 8, iters = 2, trainSampleSize = 256)
+    require(v2 == v1 + 1, s"swap must advance the version: $v1 -> $v2")
+    val (c2, a2, served) = Similarity.ivfLoadCurrent(s, idx)
+    require(served == v2, "search must serve through the swapped pointer")
+    Similarity.ivfSearchAssigned(a2, "vec_id", "embedding",
+      batch.filter(col("vec_id") < 32), "vec_id", "embedding",
+      c2, "centroid_id", "centroid", k = 5, nProbe = 4)
+  }
+
+  private[graft] lazy val ivfRetrainOracle =
+    s"""WITH $lloydReplicaCtes,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e
+       |      WHERE vec_id % 4 = 0 AND vec_id < 32),
+       |probes AS (SELECT qid, qv, cid FROM (
+       |    SELECT q.qid, q.qv, c.cid,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cosSql("q.qv", "c.c")} DESC, c.cid) AS pr
+       |    FROM q CROSS JOIN c2 c) WHERE pr <= 4),
+       |cand AS (SELECT p.qid, a.nid, ${cosSql("a.nv", "p.qv")} AS sim
+       |         FROM assign a JOIN probes p USING (cid) WHERE p.qid <> a.nid)
+       |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INT) AS rank FROM (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, nid) AS rn FROM cand)
+       |WHERE rn <= 5""".stripMargin
+
   /** Product-quantization ANN — rows-only (per-subspace k-means codebooks
    *  have no tractable DuckDB SQL); SimilaritySpec pins >=85% recall@5
    *  against the exact brute-force baseline. */

@@ -254,6 +254,43 @@ private[graft] trait FixtureQueries { this: Queries.type =>
       .agg(count(lit(1)).as("n_lines"))
       .select(col("file"), col("file_size"), col("n_lines"))
 
+  /** K1 driven END-TO-END from the streaming path (r13 verdict item 8):
+   *  the AvailableNow pipeline runs with an extraSinks hook that bulk-
+   *  indexes each micro-batch's per-file totals as ES metadata docs —
+   *  [[graft.sinks.ElasticsearchSink.writeBulk]]'s real codegen'd
+   *  to_json → chunked `_bulk` NDJSON → HTTP POST path, answered by the
+   *  in-process [[graft.sinks.BulkCapture]] (zero-egress stand-in for
+   *  the cluster; `_id` = file, so replays overwrite — effectively-once).
+   *  The query RESULT is what "ES" holds afterwards, parsed back to
+   *  rows and gated against the SAME reference golden as
+   *  q_ode_file_totals: the sink hop must be invisible in the values. */
+  private[graft] def streamingEsDocsQ(s: SparkSession, dir: String): DataFrame = {
+    val root = "/root/repo/target/qesdocs"
+    rmTree(new java.io.File(root))
+    val capture = new graft.sinks.BulkCapture
+    try {
+      val esHook: ValidationPipeline.Result => Unit = res =>
+        graft.sinks.ElasticsearchSink.writeBulk(
+          res.fileTotals.select(basename(col("file")).as("file"),
+            col("num_messages_total"), col("num_validations"),
+            col("num_errors"), col("num_error_messages"), col("num_valid")),
+          capture.endpoint, "metadata", "graft-bucket", idCol = "file")
+      graft.streaming.StreamingPipeline.runAvailableNow(
+        s, s"$Fix/odejson/data/*.json*", suiteOde,
+        s"$root/out", s"$root/ckpt", extraSinks = Seq(esHook))
+      val docs = capture.docs.values.toSeq
+      import scala.jdk.CollectionConverters._
+      val docDf = s.read.json(s.createDataset(docs.asJava.asScala.toSeq)(
+        org.apache.spark.sql.Encoders.STRING))
+      docDf.select(col("file"),
+        col("num_messages_total").cast("long"),
+        col("num_validations").cast("long"),
+        col("num_errors").cast("long"),
+        col("num_error_messages").cast("long"),
+        col("num_valid").cast("long"))
+    } finally capture.stop()
+  }
+
   /** §2.8: Structured Streaming AvailableNow — totals must equal batch. */
   private[graft] def streamingFileTotals(s: SparkSession, dir: String): DataFrame = {
     val out = "/root/repo/target/qstream/out"

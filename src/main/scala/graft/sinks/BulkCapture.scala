@@ -1,0 +1,53 @@
+package graft.sinks
+
+import java.net.InetSocketAddress
+import java.util.concurrent.ConcurrentHashMap
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/**
+ * In-process Elasticsearch-shaped `_bulk` CAPTURE endpoint — the
+ * local stand-in for the remote ES cluster in gate queries and specs
+ * (this sandbox has zero egress, and the reference's own tests stub
+ * the ES client the same way). Everything up to the wire is the REAL
+ * production path: [[ElasticsearchSink.writeBulk]] builds codegen'd
+ * doc JSON, chunks per partition, POSTs NDJSON `_bulk` bodies over
+ * HTTP (optionally SigV4-signed) — only the server answering the
+ * socket is this capture.
+ *
+ * Captured state is (doc `_id` → last doc body), i.e. exactly the
+ * effectively-once semantics a real ES index gives deterministic ids:
+ * replays/retries overwrite. Bounded driver state: one entry per doc
+ * id (per-file metadata docs — file-count-sized, never row-sized).
+ */
+final class BulkCapture {
+  private val lastDoc = new ConcurrentHashMap[String, String]()
+  @volatile private var nRequests = 0
+
+  private val server = HttpServer.create(new InetSocketAddress(0), 0)
+  server.createContext("/_bulk", (exchange: HttpExchange) => {
+    val body = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
+    nRequests += 1
+    body.split("\n").filter(_.nonEmpty).grouped(2).foreach {
+      case Array(action, doc) =>
+        "\"_id\":\"([^\"]*)\"".r.findFirstMatchIn(action)
+          .foreach(m => lastDoc.put(m.group(1), doc))
+      case _ =>
+    }
+    val resp = "{\"errors\":false}".getBytes("UTF-8")
+    exchange.getResponseHeaders.add("Content-Type", "application/json")
+    exchange.sendResponseHeaders(200, resp.length.toLong)
+    exchange.getResponseBody.write(resp)
+    exchange.close()
+  })
+  server.start()
+
+  def endpoint: String = s"http://localhost:${server.getAddress.getPort}"
+  def requests: Int = nRequests
+  /** Snapshot of (doc id → last indexed doc body). */
+  def docs: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    lastDoc.asScala.toMap
+  }
+  def stop(): Unit = server.stop(0)
+}

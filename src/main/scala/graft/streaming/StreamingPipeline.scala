@@ -30,7 +30,8 @@ object StreamingPipeline {
   def start(spark: SparkSession, globPath: String, suite: ValidationSuite,
             outDir: String, checkpointDir: String,
             schema: StructType = OdeSchema.record,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            extraSinks: Seq[graft.pipeline.ValidationPipeline.Result => Unit] = Nil): StreamingQuery = {
     val lines = spark.readStream.text(globPath)
       .select(
         col("value"),
@@ -68,6 +69,11 @@ object StreamingPipeline {
           result.errorHistogram.write.mode("append").parquet(s"$outDir/error_histogram")
           if (result.hasSequential)
             result.sequential.write.mode("append").parquet(s"$outDir/sequential")
+          // K1/K2 seam (r13 verdict item 8): external per-batch sinks —
+          // ES metadata docs, CloudWatch datums — attach HERE, inside the
+          // persist scope, exactly where the reference's Lambda posts
+          // them per object (bucket_event_lambda_handler.py:91-198)
+          extraSinks.foreach(_(result))
         } finally { batch.unpersist(); () }
       }
       .start()
@@ -77,8 +83,10 @@ object StreamingPipeline {
    *  batch-catchup mode used by tests and the harness. */
   def runAvailableNow(spark: SparkSession, globPath: String, suite: ValidationSuite,
                       outDir: String, checkpointDir: String,
-                      schema: StructType = OdeSchema.record): Unit = {
-    val q = start(spark, globPath, suite, outDir, checkpointDir, schema)
+                      schema: StructType = OdeSchema.record,
+                      extraSinks: Seq[graft.pipeline.ValidationPipeline.Result => Unit] = Nil): Unit = {
+    val q = start(spark, globPath, suite, outDir, checkpointDir, schema,
+      extraSinks = extraSinks)
     q.awaitTermination()
   }
 

@@ -31,6 +31,20 @@ class ScaleBenchParseSpec extends AnyFunSuite {
     assert(ScaleBench.parseBaseline(trailing) == Map("q_a" -> 1.0))
   }
 
+  test("parses the r14 calibration-anchor format (calibration precedes queries)") {
+    val line = """{"metric":"total","value":1.4,"unit":"sec","calibration":{"cal_cpu":0.37,"cal_scan":0.29,"cal_shuffle":1.09},"queries":{"q1_agg":0.44,"q_x":0.97},"ok":{"q1_agg":true,"q_x":true},"all_ok":true,"sf":"d"}"""
+    assert(ScaleBench.parseBaseline(line) == Map("q1_agg" -> 0.44, "q_x" -> 0.97))
+  }
+
+  test("trailing noise quoting the QUERIES object cannot mis-anchor (ADVICE r13)") {
+    // the last token-bearing line is malformed noise — the parser must
+    // fall back to the valid JSON line above it, not abort
+    val trailing =
+      """{"metric":"total","value":1.0,"unit":"sec","queries":{"q_a":1.0},"ok":{"q_a":true},"all_ok":true,"sf":"d"}""" +
+        "\n26/01/01 INFO shutdown: echoed \"queries\":{\"q_a\":{oops}"
+    assert(ScaleBench.parseBaseline(trailing) == Map("q_a" -> 1.0))
+  }
+
   test("fails loudly on a truncated/drifted queries object") {
     val drifted = """{"metric":"total","queries":{"q_a":{"sec":1.0}},"sf":"d"}"""
     intercept[IllegalArgumentException](ScaleBench.parseBaseline(drifted))

@@ -313,6 +313,51 @@ class SimilaritySpec extends AnyFunSuite {
       "chunked streaming maintenance must converge to the batch encode")
   }
 
+  test("retrain-and-swap: versions advance, pointer is atomic, old versions survive") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-swap").toString
+    try {
+      assert(Similarity.ivfCurrentVersion(spark, idx) == 0L, "fresh dir = no index")
+      intercept[IllegalArgumentException] {
+        Similarity.ivfLoadCurrent(spark, idx)
+      }
+
+      val base = e.filter(col("vec_id") % 4 =!= 0)
+      val v1 = Similarity.ivfRetrainAndSwap(base, "vec_id", "embedding",
+        idx, k = 4, iters = 1, trainSampleSize = 64)
+      assert(v1 == 1L)
+      val (c1, a1, s1) = Similarity.ivfLoadCurrent(spark, idx)
+      assert(s1 == 1L && c1.count() == 4 && a1.count() == base.count())
+
+      // swap: retrain over the grown corpus publishes v2 — and the
+      // loaded index must be EXACTLY the fresh train+encode over it
+      val v2 = Similarity.ivfRetrainAndSwap(e, "vec_id", "embedding",
+        idx, k = 4, iters = 1, trainSampleSize = 64)
+      assert(v2 == 2L)
+      val (c2, a2, s2) = Similarity.ivfLoadCurrent(spark, idx)
+      assert(s2 == 2L)
+      val trained = Similarity.trainCentroids(e, "vec_id", "embedding",
+        k = 4, iters = 1, trainSampleSize = 64)
+      val cents = spark.createDataFrame(
+        java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+      val expect = Similarity.assignToCentroids(e, "vec_id", "embedding",
+          cents, "centroid_id", "centroid")
+        .select("vec_id", "centroid_id")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = a2.select("vec_id", "centroid_id")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == expect, "served index must equal the retrained encode")
+
+      // v1 stays readable for in-flight readers / rollback
+      assert(spark.read.parquet(s"$idx/v1/assign").count() == base.count())
+      // the pointer is ONE file whose content names a fully-written dir —
+      // no partial state is ever addressable through it
+      val ptr = java.nio.file.Paths.get(idx, "CURRENT")
+      assert(new String(java.nio.file.Files.readAllBytes(ptr)).trim == "2")
+    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idx))
+  }
+
   test("int8 quantization error is bounded by half a grid step") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val ranges = e.select(posexplode(col("embedding")).as(Seq("dim", "v")))
