@@ -80,7 +80,7 @@ object ScaleBench {
     "q_minhash_pairs_md5", "q_simhash_pairs_md5", "q_bloom_decontaminate",
     "q_embed_neardup_lsh_md5", "q_ann_lsh_md5", "q_semantic_dedup",
     "q_ivf_trained", "q_ivf_incremental", "q_ivf_retrain",
-    "q_corpus_curation_lsh_md5", "q_column_profile")
+    "q_corpus_curation_lsh_md5", "q_column_profile", "q_colocation_sliced")
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,

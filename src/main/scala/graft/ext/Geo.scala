@@ -429,37 +429,86 @@ object Geo {
    * bucket, the same halo-covers-radius contract as [[radiusJoin]].
    * A pair can surface through several buckets, so candidates dedup on
    * the event-id pair before verification counts them.
+   *
+   * HOT-CELL VALVE (`maxCellFixes`, finite by default — same posture as
+   * `Dedup.minhashCandidatePairs`' hot-bucket cap and
+   * `Retrieval.tfidfCosinePairs`' df-cut): candidate volume per
+   * (cell, bucket) is n², i.e. QUADRATIC in local density — the r14
+   * sf100 probe measured the failure mode as a filled disk (a 1000×
+   * density replication put ~10⁶× candidates in one shuffle). A cell
+   * whose fix count within one time bucket exceeds the cap is excluded
+   * from pair generation entirely (10k fixes in one 0.02°×2h cell is
+   * ~5·10⁷ pairs from that cell alone — at that density, per-pair
+   * encounter listing is the wrong question; aggregate per-cell counts
+   * instead). The cap never binds at gate SF (max cell load there is
+   * orders below it), so the DuckDB brute-force oracle stays exact.
+   *
+   * This core emits VERIFIED ENCOUNTERS unaggregated —
+   * (key_a, key_b, dist_m, pair_tb) — shared by the one-shot
+   * [[colocationPairs]] aggregate and the time-sliced
+   * [[colocationPairsSliced]] driver.
    */
-  def colocationPairs(points: DataFrame, keyCol: String, idCol: String,
-                      tsCol: String, latCol: String, lonCol: String,
-                      distM: Double, dtNs: Long,
-                      cellDeg: Double): DataFrame = {
-    def sided(tag: String) = points.select(
-      col(keyCol).as(s"${tag}_key"), col(idCol).as(s"${tag}_id"),
-      col(tsCol).as(s"${tag}_ts"), col(latCol).as(s"${tag}_lat"),
-      col(lonCol).as(s"${tag}_lon"),
-      cellOf(col(latCol), cellDeg).as(s"${tag}_cl"),
-      cellOf(col(lonCol), cellDeg).as(s"${tag}_cn"),
-      // integer `div`, not floor(double /): epoch nanos exceed double's
-      // 53-bit exact range, and a boundary misassignment would defeat
-      // the ±1 temporal halo
-      expr(s"$tsCol div $dtNs").as(s"${tag}_tb"))
+  private[graft] def coloEncounters(points: DataFrame, keyCol: String, idCol: String,
+                                    tsCol: String, latCol: String, lonCol: String,
+                                    distM: Double, dtNs: Long,
+                                    cellDeg: Double,
+                                    maxCellFixes: Long): DataFrame = {
+    require(maxCellFixes > 0, "maxCellFixes must be positive")
+    // home-cell load, computed ONCE before the halo explode; the window
+    // partitioning (cl, cn, tb) is the a-side join key, so its exchange
+    // is reused by the join rather than added to it
+    val cool = points.select(
+        col(keyCol).as("__key"), col(idCol).as("__id"),
+        col(tsCol).as("__ts"), col(latCol).as("__lat"),
+        col(lonCol).as("__lon"),
+        cellOf(col(latCol), cellDeg).as("__cl"),
+        cellOf(col(lonCol), cellDeg).as("__cn"),
+        // integer `div`, not floor(double /): epoch nanos exceed double's
+        // 53-bit exact range, and a boundary misassignment would defeat
+        // the ±1 temporal halo
+        expr(s"$tsCol div $dtNs").as("__tb"))
+      .withColumn("__cell_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__cl"), col("__cn"), col("__tb"))))
+      .filter(col("__cell_n") <= lit(maxCellFixes))
+      .drop("__cell_n")
+    def sided(tag: String) = cool.select(
+      col("__key").as(s"${tag}_key"), col("__id").as(s"${tag}_id"),
+      col("__ts").as(s"${tag}_ts"), col("__lat").as(s"${tag}_lat"),
+      col("__lon").as(s"${tag}_lon"),
+      col("__cl").as(s"${tag}_cl"),
+      col("__cn").as(s"${tag}_cn"),
+      col("__tb").as(s"${tag}_tb"))
     val a = sided("a")
+    // CANONICAL-DIRECTION HALO (r14 sf100 probe finding): the textbook
+    // 3×3×3 halo shuffles 27 copies of the exploded side — at 10⁸ fixes
+    // that is ~180 GB in one exchange, which filled the probe box's disk
+    // while being only LINEAR work. Half the directions are redundant:
+    // for a cross-cell pair with offset v ≠ 0, exactly one of ±v is
+    // lexicographically positive, and BOTH fixes sit on both sides of a
+    // self-join — so 13 positive directions + the home cell (14 copies,
+    // 1.93× less shuffle) still discover every pair EXACTLY ONCE when
+    // the pair is canonicalized afterwards (least/greatest key). The
+    // same-cell copy (d = 0) would discover (x,y) and (y,x) both, so it
+    // alone tie-breaks on the fix id.
+    val dirs = (for {
+      dl <- -1 to 1; dn <- -1 to 1; dt <- -1 to 1
+      if (dl, dn, dt) == ((0, 0, 0)) ||
+        dl > 0 || (dl == 0 && (dn > 0 || (dn == 0 && dt > 0)))
+    } yield struct(lit(dl).as("dl"), lit(dn).as("dn"), lit(dt).as("dt"),
+      lit(dl == 0 && dn == 0 && dt == 0).as("d0"))).toSeq
     val b = sided("b")
-      .withColumn("dlat", explode(sequence(lit(-1), lit(1))))
-      .withColumn("dlon", explode(sequence(lit(-1), lit(1))))
-      .withColumn("dtb", explode(sequence(lit(-1), lit(1))))
+      .withColumn("__dir", explode(array(dirs: _*)))
       .select(col("b_key"), col("b_id"), col("b_ts"), col("b_lat"),
-        col("b_lon"), (col("b_cl") + col("dlat")).as("b_cl"),
-        (col("b_cn") + col("dlon")).as("b_cn"),
-        (col("b_tb") + col("dtb")).as("b_tb"))
+        col("b_lon"), (col("b_cl") + col("__dir.dl")).as("b_cl"),
+        (col("b_cn") + col("__dir.dn")).as("b_cn"),
+        (col("b_tb") + col("__dir.dt")).as("b_tb"),
+        col("__dir.d0").as("__d0"))
     a.join(b,
         col("a_cl") === col("b_cl") && col("a_cn") === col("b_cn") &&
-          col("a_tb") === col("b_tb") && col("a_key") < col("b_key"))
-      // no dedup needed: for a fixed fix pair the cell/bucket deltas are
-      // fixed, so exactly ONE of b's 27 halo copies can satisfy the
-      // equi-join — each candidate pair surfaces once by construction
-      .select(col("a_key"), col("b_key"), col("a_id"), col("b_id"),
+          col("a_tb") === col("b_tb") && col("a_key") =!= col("b_key") &&
+          (!col("__d0") || col("a_id") < col("b_id")))
+      .select(col("a_key"), col("b_key"),
         col("a_ts"), col("b_ts"), col("a_lat"), col("a_lon"),
         col("b_lat"), col("b_lon"))
       .withColumn("dist_m",
@@ -467,8 +516,83 @@ object Geo {
           col("b_lat"), col("b_lon")))
       .filter(col("dist_m") <= lit(distM) &&
         abs(col("a_ts") - col("b_ts")) <= lit(dtNs))
-      .groupBy(col("a_key").as("key_a"), col("b_key").as("key_b"))
+      // the encounter's HOME bucket: min of the two fixes' own buckets —
+      // the slice-assignment key of colocationPairsSliced (recomputed
+      // from the timestamps already in flight; adds no shuffle width)
+      .withColumn("pair_tb",
+        least(expr(s"a_ts div $dtNs"), expr(s"b_ts div $dtNs")))
+      .select(least(col("a_key"), col("b_key")).as("key_a"),
+        greatest(col("a_key"), col("b_key")).as("key_b"),
+        col("dist_m"), col("pair_tb"))
+  }
+
+  /** One-shot co-location: aggregate every verified encounter. */
+  def colocationPairs(points: DataFrame, keyCol: String, idCol: String,
+                      tsCol: String, latCol: String, lonCol: String,
+                      distM: Double, dtNs: Long,
+                      cellDeg: Double,
+                      maxCellFixes: Long = 10000L): DataFrame =
+    coloEncounters(points, keyCol, idCol, tsCol, latCol, lonCol,
+        distM, dtNs, cellDeg, maxCellFixes)
+      .groupBy(col("key_a"), col("key_b"))
       .agg(count(lit(1)).as("n_encounters"),
         round(min(col("dist_m")), 2).as("closest_m"))
+
+  /**
+   * TIME-SLICED co-location — the unbounded-history production shape
+   * (r14 sf100 probe finding): the one-shot plan's halo exchange is
+   * linear but its single-stage disk high-water is `copies × rows ×
+   * width` (~90 GB at 10⁸ fixes — routine on a cluster's aggregate
+   * disk, over a single box's). Encounters are TIME-LOCAL (`dtNs`
+   * reaches at most one bucket away), so history splits exactly into
+   * bucket-range slices processed as separate jobs: slice k reads fixes
+   * with `tb ∈ [lo, hi+1]` (one overlap bucket catches cross-boundary
+   * partners), keeps encounters whose home bucket (`pair_tb` = min of
+   * the two fixes' buckets) lies in `[lo, hi]` — each encounter lands
+   * in EXACTLY one slice — and lands per-slice partial aggregates in a
+   * scratch dir; the final pass sums partials per pair. Identical
+   * results to [[colocationPairs]] by construction (counts partition
+   * across slices; min-of-mins), same DuckDB brute-force oracle. This
+   * is the same incremental-driver pattern as q_incremental_dedup: a
+   * production deployment runs one slice per arriving day/week and only
+   * ever pays the final merge.
+   */
+  def colocationPairsSliced(points: DataFrame, keyCol: String, idCol: String,
+                            tsCol: String, latCol: String, lonCol: String,
+                            distM: Double, dtNs: Long,
+                            cellDeg: Double,
+                            maxCellFixes: Long = 10000L,
+                            sliceBuckets: Long = 32768L): DataFrame = {
+    require(sliceBuckets > 0, "sliceBuckets must be positive")
+    val spark = points.sparkSession
+    val span = points.agg(
+      min(expr(s"$tsCol div $dtNs")), max(expr(s"$tsCol div $dtNs"))).head()
+    if (span.isNullAt(0)) // empty input: the one-shot plan handles it
+      return colocationPairs(points, keyCol, idCol, tsCol, latCol, lonCol,
+        distM, dtNs, cellDeg, maxCellFixes)
+    val (minTb, maxTb) = (span.getLong(0), span.getLong(1))
+    val scratch = java.nio.file.Files.createTempDirectory("graft-colo-")
+    sys.addShutdownHook(graft.util.Fs.deleteRecursively(scratch))
+    val slices = Iterator.iterate(minTb)(_ + sliceBuckets)
+      .takeWhile(_ <= maxTb).toSeq
+    slices.zipWithIndex.foreach { case (lo, i) =>
+      val hi = math.min(lo + sliceBuckets - 1, maxTb)
+      val part = points.filter(
+        expr(s"$tsCol div $dtNs").between(lo, hi + 1))
+      coloEncounters(part, keyCol, idCol, tsCol, latCol, lonCol,
+          distM, dtNs, cellDeg, maxCellFixes)
+        .filter(col("pair_tb").between(lo, hi))
+        .groupBy(col("key_a"), col("key_b"))
+        .agg(count(lit(1)).as("n"), min(col("dist_m")).as("closest"))
+        .write.mode("overwrite").parquet(s"$scratch/slice=$i")
+      // separate jobs: each slice's shuffle state goes unreachable here,
+      // so the ContextCleaner can reap it before the next slice runs —
+      // the disk high-water stays one slice, which is the entire point
+      System.gc()
+    }
+    spark.read.parquet(scratch.toString)
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(sum(col("n")).as("n_encounters"),
+        round(min(col("closest")), 2).as("closest_m"))
   }
 }

@@ -441,6 +441,16 @@ private[graft] trait WarehouseQueries { this: Queries.type =>
       "event_id", "ts", "lat", "lon",
       distM = 1000.0, dtNs = 7200000000000L, cellDeg = 0.02)
 
+  /** Time-sliced co-location — the unbounded-history production driver
+   *  (one job per bucket range, overlap-exact across boundaries; see
+   *  [[graft.ext.Geo.colocationPairsSliced]]). Same oracle as
+   *  q_colocation: the slicing must be invisible in the answers. */
+  private[graft] def colocationSlicedQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Geo.colocationPairsSliced(geoPoints(s, dir), "user_id",
+      "event_id", "ts", "lat", "lon",
+      distM = 1000.0, dtNs = 7200000000000L, cellDeg = 0.02,
+      sliceBuckets = 32768L)
+
   private[graft] val colocationOracle =
     s"""WITH $geoPtsSql,
        |cand AS (

@@ -204,6 +204,47 @@ class GeoSpec extends AnyFunSuite {
     assert(blocked.forall(p => p._1 < p._2))
   }
 
+  test("colocationPairs hot-cell valve: overloaded cells drop, cool cells unaffected") {
+    val ns = 1000000000L
+    // hot cell: 8 users stacked on one spot/bucket (28 pairs from one
+    // cell); cool pair: 2 users 10° away, same times
+    val hot = (0 until 8).map(i => (i, i.toLong, 0L, 0.005, 0.005))
+    val cool = Seq((100, 100L, 0L, 10.005, 10.005), (101, 101L, 0L, 10.005, 10.005))
+    val pts = (hot ++ cool).toDF("k", "id", "ts", "lat", "lon")
+    def run(cap: Long) = graft.ext.Geo.colocationPairs(pts, "k", "id", "ts",
+        "lat", "lon", distM = 300.0, dtNs = 120L * ns, cellDeg = 0.01,
+        maxCellFixes = cap).collect()
+        .map(x => (x.getInt(0), x.getInt(1))).toSet
+    // cap above the hot load: every pair surfaces
+    assert(run(100L).size == 28 + 1)
+    // cap below it: the hot cell's quadratic face is excluded entirely,
+    // the cool pair is untouched
+    assert(run(4L) == Set((100, 101)))
+    intercept[IllegalArgumentException](run(0L))
+  }
+
+  test("colocationPairsSliced == one-shot across slice boundaries") {
+    val ns = 1000000000L
+    val dt = 120L * ns
+    // encounters engineered to STRADDLE every slice boundary: pairs in
+    // adjacent time buckets (within dt but across the bucket edge), with
+    // sliceBuckets=2 so cross-boundary partners come from the overlap read
+    val pts = (0 until 40).flatMap { i =>
+      val t0 = i.toLong * dt + (dt - 10L * ns) // near the top of bucket i
+      Seq((i % 5, 2L * i, t0, 0.005 + 0.0001 * (i % 3), 0.005),
+          ((i + 1) % 5, 2L * i + 1, t0 + 20L * ns, 0.005, 0.005))
+    }.toDF("k", "id", "ts", "lat", "lon")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getInt(0), x.getInt(1),
+        x.getLong(2), x.getDouble(3))).toSet
+    val oneShot = agg(graft.ext.Geo.colocationPairs(pts, "k", "id", "ts",
+      "lat", "lon", distM = 300.0, dtNs = dt, cellDeg = 0.01))
+    val sliced = agg(graft.ext.Geo.colocationPairsSliced(pts, "k", "id", "ts",
+      "lat", "lon", distM = 300.0, dtNs = dt, cellDeg = 0.01,
+      sliceBuckets = 2L))
+    assert(oneShot.nonEmpty && sliced == oneShot)
+  }
+
   test("typeTransitions: bigram counts and row-normalized probabilities") {
     val ns = 1000000000L
     val ev = Seq((1, 0L, 0L, "a"), (1, 1L * ns, 1L, "b"), (1, 2L * ns, 2L, "a"),
