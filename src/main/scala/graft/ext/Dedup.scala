@@ -205,8 +205,9 @@ object Dedup {
    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        maxDocFreq: Long = 1000L): DataFrame =
-    shinglePairCounts(df, textCol, idCol, n, maxDocFreq)
+                        maxDocFreq: Long = 1000L,
+                        maxCorpusDocs: Long = MaxExactPairsDocs): DataFrame =
+    shinglePairCounts(df, textCol, idCol, n, maxDocFreq, maxCorpusDocs)
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("size_a") + col("size_b") - col("common")).cast("double"))
@@ -226,8 +227,9 @@ object Dedup {
    */
   def ngramContainmentPairs(df: DataFrame, textCol: String, idCol: String,
                             n: Int = 3, minContainment: Double = 0.9,
-                            maxDocFreq: Long = 1000L): DataFrame =
-    shinglePairCounts(df, textCol, idCol, n, maxDocFreq)
+                            maxDocFreq: Long = 1000L,
+                            maxCorpusDocs: Long = MaxExactPairsDocs): DataFrame =
+    shinglePairCounts(df, textCol, idCol, n, maxDocFreq, maxCorpusDocs)
       .withColumn("containment_a", col("common").cast("double") / col("size_a").cast("double"))
       .withColumn("containment_b", col("common").cast("double") / col("size_b").cast("double"))
       .filter(greatest(col("containment_a"), col("containment_b")) >= minContainment)
@@ -375,8 +377,28 @@ object Dedup {
   /** Shared candidate core of the exact shingle-overlap family:
    *  (id_a, id_b, size_a, size_b, common) for every pair sharing ≥1
    *  surviving shingle, id_a < id_b. */
+  /** Loud scale guard for the exact-pairs family (r13 verdict item 5):
+    * above this corpus size the family fails with a CLEAR error instead
+    * of catastrophically (the r13/r14 sf100 probes measured the
+    * unguarded failure mode as a FILLED DISK at the 5M-doc corpus,
+    * while the 500k-doc sf10 full ladder completes inside its linear
+    * budget — the default sits between, with the LSH twins as the
+    * documented production face past it). One count() per call: the
+    * verdict-sanctioned cheap corpus-count probe (metadata-fast on
+    * parquet sources). */
+  val MaxExactPairsDocs: Long = 2000000L
+
   private def shinglePairCounts(df: DataFrame, textCol: String, idCol: String,
-                                n: Int, maxDocFreq: Long): DataFrame = {
+                                n: Int, maxDocFreq: Long,
+                                maxCorpusDocs: Long = MaxExactPairsDocs): DataFrame = {
+    require(maxCorpusDocs > 0, "maxCorpusDocs must be positive")
+    val nDocs = df.count()
+    require(nDocs <= maxCorpusDocs,
+      s"exact shingle-pair join over $nDocs docs exceeds the documented " +
+        s"bound ($maxCorpusDocs): this instrument's candidate volume is " +
+        "corpus x maxDocFreq and its measured past-bound failure mode is " +
+        "a filled disk - use the MinHash/LSH banding twins " +
+        "(minhashCandidatePairs / embeddingNearDuplicatesLSHMd5) at this scale")
     // Set sizes must cover exactly the shingles that reach the join: when
     // the stop-shingle guard filters, sizes are recomputed AFTER the
     // filter (a pre-filter denominator against a post-filter intersection

@@ -777,6 +777,16 @@ private[graft] trait ExperimentQueries { this: Queries.type =>
   private[graft] def nodeJaccardQ(s: SparkSession, dir: String): DataFrame = {
     val und = coOrderEdges(s, dir)
       .localCheckpoint(true) // feeds directed edges twice + wedge join
+    // loud scale guard (r13 verdict item 5): the wedge join's candidate
+    // volume is Σ deg² — quadratic per hub. sf10's 2.45M edges complete
+    // inside the linear ladder budget; the sf100 probe family's measured
+    // past-bound failure mode is a filled disk, so past 10M edges this
+    // instrument fails loudly (count is free — und is materialized).
+    val nEdges = und.count()
+    require(nEdges <= 10000000L,
+      s"node-Jaccard wedge join over $nEdges edges exceeds the documented " +
+        "bound (10M): candidate volume is sum(deg^2) — sample the edge " +
+        "list or use degree-capped blocking at this scale")
     val dir2 = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
     val deg = dir2.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
     val common = dir2.as("e1").join(dir2.as("e2"),

@@ -166,4 +166,30 @@ class DedupVerifySpec extends AnyFunSuite {
     assert(plan.contains("partial_max"))
     assert(!plan.contains("Window"))
   }
+
+  test("exact-pairs scale guard fails LOUDLY past the documented corpus bound") {
+    // r13 verdict item 5: the sf100 probes measured this family's
+    // unguarded past-bound failure mode as a FILLED DISK — above the
+    // bound it must throw with the LSH-twin pointer instead
+    val docs = (0 until 8).map(i => (i.toLong, s"alpha beta gamma delta $i"))
+      .toDF("doc_id", "text")
+    // under the bound: runs
+    assert(Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      maxCorpusDocs = 8L).count() >= 0)
+    // over the bound: loud refusal naming the production twins
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", maxCorpusDocs = 7L)
+    }
+    assert(e.getMessage.contains("minhashCandidatePairs"))
+    intercept[IllegalArgumentException] {
+      Dedup.ngramContainmentPairs(docs, "text", "doc_id", maxCorpusDocs = 7L)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", maxCorpusDocs = 0L)
+    }
+    // the default bound is FINITE and sits between the sf10 ladder's
+    // 500k-doc pass and the sf100 probe's 5M-doc disk fill
+    assert(Dedup.MaxExactPairsDocs > 500000L &&
+      Dedup.MaxExactPairsDocs < 5000000L)
+  }
 }
