@@ -154,6 +154,95 @@ private[graft] trait AggregateQueries { this: Queries.type =>
       |       'State', State, 'TableName', TableName, CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT)
       |FROM meta WHERE Dataset <> 'manifest' GROUP BY State, TableName""".stripMargin
 
+  /** K2 driven END-TO-END from the streaming path (the CloudWatch
+   *  counterpart of q_streaming_es_docs): the q_metric_datums synthetic
+   *  metadata is staged as 3 parquet files and streamed
+   *  (maxFilesPerTrigger=1), each micro-batch PRE-AGGREGATED to datums
+   *  and POSTed through [[graft.sinks.CloudWatchSink.putMetricData]]'s
+   *  real codegen'd to_json → chunked PutMetricData-JSON → HTTP path,
+   *  answered by the in-process [[graft.sinks.HttpCapture]]. The query
+   *  RESULT is what the metrics endpoint RECEIVED, summed per
+   *  (namespace, metric, dims) — additive datums are exactly
+   *  CloudWatch's own aggregation semantics, so the batch split is
+   *  invisible and the oracle is the one-shot datum SQL (sans
+   *  file_count, which the wire shape deliberately does not carry). */
+  private[graft] def streamingCwDatumsQ(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-cw-stream-")
+    sys.addShutdownHook(graft.util.Fs.deleteRecursively(root))
+    val meta = s.read.parquet(t(dir, "orders")).select(
+      when(pmod(col("o_orderkey"), lit(3)) === 0, lit("waze"))
+        .when(pmod(col("o_orderkey"), lit(3)) === 1, lit("cv"))
+        .otherwise(lit("manifest")).as("Dataset"),
+      concat(lit("S"), pmod(col("o_custkey"), lit(3))).as("State"),
+      when(pmod(col("o_orderkey"), lit(2)) === 0, lit("alerts")).otherwise(lit("jams")).as("TrafficType"),
+      lit("t1").as("TableName"),
+      concat(lit("p"), pmod(col("o_custkey"), lit(2))).as("DataProvider"),
+      lit("bsm").as("DataType"),
+      when(pmod(col("o_orderkey"), lit(5)) === 0, lit(166L)).otherwise(lit(500L)).as("ContentLength"),
+      pmod(col("o_orderkey"), lit(10)).as("MessageCount"))
+    val chunkDir = s"$root/chunks"
+    meta.repartition(3).write.parquet(chunkDir)
+    val capture = new graft.sinks.HttpCapture
+    try {
+      val q = s.readStream.schema(meta.schema)
+        .option("maxFilesPerTrigger", 1).parquet(chunkDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.sinks.CloudWatchSink.putMetricData(
+            FileAggregates.metricDatums(batch), capture.endpoint)
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      val received = s.createDataset(capture.bodies.asJava.asScala.toSeq)(
+        org.apache.spark.sql.Encoders.STRING)
+      s.read.json(received)
+        .select(col("Namespace").as("namespace"),
+          explode(col("MetricData")).as("d"))
+        .select(col("namespace"),
+          col("d.MetricName").as("metric_name"),
+          col("d.Dimensions")(0)("Name").as("dim1_name"),
+          col("d.Dimensions")(0)("Value").as("dim1_value"),
+          col("d.Dimensions")(1)("Name").as("dim2_name"),
+          col("d.Dimensions")(1)("Value").as("dim2_value"),
+          col("d.Value").as("v"))
+        .groupBy(col("namespace"), col("metric_name"),
+          col("dim1_name"), col("dim1_value"),
+          col("dim2_name"), col("dim2_value"))
+        .agg(sum(col("v")).cast("long").as("value"))
+    } finally capture.stop()
+  }
+
+  /** The one-shot datum SQL minus file_count (not on the wire). */
+  private[graft] lazy val streamingCwDatumsOracle =
+    """WITH meta AS (
+      |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'waze' WHEN o_orderkey % 3 = 1 THEN 'cv' ELSE 'manifest' END AS Dataset,
+      |         concat('S', o_custkey % 3) AS State,
+      |         CASE WHEN o_orderkey % 2 = 0 THEN 'alerts' ELSE 'jams' END AS TrafficType,
+      |         't1' AS TableName,
+      |         concat('p', o_custkey % 2) AS DataProvider,
+      |         'bsm' AS DataType,
+      |         CASE WHEN o_orderkey % 5 = 0 THEN 166 ELSE 500 END AS ContentLength
+      |  FROM orders)
+      |SELECT 'dot-sdc-waze-submissions-bucket-metric' AS namespace, 'Counts by state and traffic type' AS metric_name,
+      |       'State' AS dim1_name, State AS dim1_value, 'TrafficType' AS dim2_name, TrafficType AS dim2_value,
+      |       CAST(count(*) AS BIGINT) AS value
+      |FROM meta WHERE Dataset = 'waze' GROUP BY State, TrafficType
+      |UNION ALL
+      |SELECT 'dot-sdc-waze-zero-byte-submissions-metric', 'Zero Byte Submissions by State and traffic type',
+      |       'State', State, 'TrafficType', TrafficType, CAST(count(*) AS BIGINT)
+      |FROM meta WHERE Dataset = 'waze' AND ContentLength = 166 GROUP BY State, TrafficType
+      |UNION ALL
+      |SELECT 'dot-sdc-cv-submissions-bucket-metric', 'Counts by provider and datatype',
+      |       'DataProvider', DataProvider, 'DataType', DataType, CAST(10 * count(*) AS BIGINT)
+      |FROM meta WHERE Dataset = 'cv' GROUP BY DataProvider, DataType
+      |UNION ALL
+      |SELECT 'dot-sdc-waze-curated-bucket-metric', 'Counts by state and table name',
+      |       'State', State, 'TableName', TableName, CAST(count(*) AS BIGINT)
+      |FROM meta WHERE Dataset <> 'manifest' GROUP BY State, TableName""".stripMargin
+
   /** A5 CVP variant: per-(DataProvider, DataType) submission counts +
    *  valid/invalid message sums (cvp...py:155-227). */
   private[graft] def cvpMetrics(s: SparkSession, dir: String): DataFrame = {

@@ -51,3 +51,33 @@ final class BulkCapture {
   }
   def stop(): Unit = server.stop(0)
 }
+
+/**
+ * Raw-body HTTP capture — the CloudWatch-side analogue of
+ * [[BulkCapture]]: records every POSTed request body verbatim (the
+ * PutMetricData-shaped JSON of [[CloudWatchSink.putMetricData]]), so a
+ * gate query can assert on WHAT THE METRICS ENDPOINT RECEIVED. Datums
+ * are additive per (namespace, metric, dims) — exactly CloudWatch's own
+ * aggregation semantics — so capture order is irrelevant. Bounded: one
+ * string per HTTP request (≤ ceil(datums/chunk) per batch).
+ */
+final class HttpCapture {
+  private val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val server = HttpServer.create(new InetSocketAddress(0), 0)
+  server.createContext("/", (exchange: HttpExchange) => {
+    received.add(new String(exchange.getRequestBody.readAllBytes(), "UTF-8"))
+    val resp = "{}".getBytes("UTF-8")
+    exchange.getResponseHeaders.add("Content-Type", "application/json")
+    exchange.sendResponseHeaders(200, resp.length.toLong)
+    exchange.getResponseBody.write(resp)
+    exchange.close()
+  })
+  server.start()
+
+  def endpoint: String = s"http://localhost:${server.getAddress.getPort}"
+  def bodies: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    received.iterator().asScala.toSeq
+  }
+  def stop(): Unit = server.stop(0)
+}
