@@ -16,6 +16,12 @@ run / fork := true
 // which breaks that parse (BENCH_r01..r04 all have parsed:null). Route
 // the forked process's stdout straight through instead.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and sbt's "[success] Total time: …" epilogue prints AFTER the JSON
+// line, so the driver's last-line parse reads the epilogue instead of
+// the summary (BENCH_r05..r14: parsed:null). Suppress it; the exit code
+// still carries success/failure.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -82,7 +82,11 @@ object Bench {
         .mkString("{", ",", "}")
       s""""protocol":"median-of-$runsN, per-query back-to-back, shared harness","runs":$runsN,"spread_sec":$spread,"""
     } else ""
-    println(BenchHarness.jsonLine("total", results, sfDir, extra0 + calJson))
+    // stop FIRST, print LAST: the summary must be the final stdout line
+    // (the driver parses it), and Spark's shutdown logging must not
+    // trail it. jsonLine is pure string formatting — no session needed.
+    val line = BenchHarness.jsonLine("total", results, sfDir, extra0 + calJson)
     spark.stop()
+    println(line)
   }
 }

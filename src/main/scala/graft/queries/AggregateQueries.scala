@@ -158,8 +158,10 @@ private[graft] trait AggregateQueries { this: Queries.type =>
    *  counterpart of q_streaming_es_docs): the q_metric_datums synthetic
    *  metadata is staged as 3 parquet files and streamed
    *  (maxFilesPerTrigger=1), each micro-batch PRE-AGGREGATED to datums
-   *  and POSTed through [[graft.sinks.CloudWatchSink.putMetricData]]'s
-   *  real codegen'd to_json → chunked PutMetricData-JSON → HTTP path,
+   *  and POSTed through
+   *  [[graft.sinks.CloudWatchSink.putMetricDataIdempotent]]'s real
+   *  codegen'd to_json → deterministic-chunked PutMetricData-JSON →
+   *  HTTP path (batchId-keyed ledger + BatchKey idempotency tokens),
    *  answered by the in-process [[graft.sinks.HttpCapture]]. The query
    *  RESULT is what the metrics endpoint RECEIVED, summed per
    *  (namespace, metric, dims) — additive datums are exactly
@@ -187,16 +189,23 @@ private[graft] trait AggregateQueries { this: Queries.type =>
       val q = s.readStream.schema(meta.schema)
         .option("maxFilesPerTrigger", 1).parquet(chunkDir)
         .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.sinks.CloudWatchSink.putMetricData(
-            FileAggregates.metricDatums(batch), capture.endpoint)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // REPLAY-IDEMPOTENT (r14 verdict item 1): batchId-keyed ledger
+          // + BatchKey-tokened bodies; a restart that re-delivers a
+          // micro-batch no longer double-counts the additive datums
+          graft.sinks.CloudWatchSink.putMetricDataIdempotent(
+            FileAggregates.metricDatums(batch), batchId.toString,
+            capture.endpoint, s"$root/cw-ledger")
         }
         .option("checkpointLocation", s"$root/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
       import scala.jdk.CollectionConverters._
-      val received = s.createDataset(capture.bodies.asJava.asScala.toSeq)(
+      // the idempotent receiver's view: BatchKey-deduped, so the result
+      // is replay-invariant (CloudWatchSinkSpec kills and restarts this
+      // very pipeline against the same oracle)
+      val received = s.createDataset(capture.effectiveBodies.asJava.asScala.toSeq)(
         org.apache.spark.sql.Encoders.STRING)
       s.read.json(received)
         .select(col("Namespace").as("namespace"),

@@ -63,9 +63,13 @@ final class BulkCapture {
  */
 final class HttpCapture {
   private val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val lastByKey = new ConcurrentHashMap[String, String]()
+  private val keyRe = "\"BatchKey\":\"([^\"]*)\"".r
   private val server = HttpServer.create(new InetSocketAddress(0), 0)
   server.createContext("/", (exchange: HttpExchange) => {
-    received.add(new String(exchange.getRequestBody.readAllBytes(), "UTF-8"))
+    val body = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
+    received.add(body)
+    keyRe.findFirstMatchIn(body).foreach(m => lastByKey.put(m.group(1), body))
     val resp = "{}".getBytes("UTF-8")
     exchange.getResponseHeaders.add("Content-Type", "application/json")
     exchange.sendResponseHeaders(200, resp.length.toLong)
@@ -75,9 +79,20 @@ final class HttpCapture {
   server.start()
 
   def endpoint: String = s"http://localhost:${server.getAddress.getPort}"
+  /** Every body as POSTed, replays included (raw wire view). */
   def bodies: Seq[String] = {
     import scala.jdk.CollectionConverters._
     received.iterator().asScala.toSeq
+  }
+  /** The idempotent receiver's view: bodies carrying a `BatchKey`
+    * idempotency token ([[CloudWatchSink.putMetricDataIdempotent]])
+    * dedup last-write-wins per key — a replayed batch's byte-identical
+    * re-sends collapse, exactly as a keyed proxy/agent in front of
+    * CloudWatch would treat them. Unkeyed bodies pass through verbatim. */
+  def effectiveBodies: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    bodies.filterNot(b => keyRe.findFirstIn(b).isDefined) ++
+      lastByKey.values.asScala.toSeq
   }
   def stop(): Unit = server.stop(0)
 }
