@@ -655,7 +655,11 @@ object ScaleCheck {
       val tSmall = retrainSecs(1)
       val tBig = retrainSecs(mult)
       val ratio = tBig / math.max(tSmall, 0.05)
-      val ok = ratio <= mult.toDouble
+      // 1.2 slack over strict linearity (r14 ADVICE): the container's
+      // documented ±20% ambient drift would otherwise flake a verb with
+      // little parallelism headroom — same posture as the other rungs'
+      // budgets
+      val ok = ratio <= mult.toDouble * 1.2
       if (!ok) allOk = false
       println(f"[scalecheck] ivf_retrain_swap 1x=${tSmall}%.1f s " +
         f"${mult}x=${tBig}%.1f s ratio=${ratio}%.2f " +

@@ -388,11 +388,40 @@ object Dedup {
     * parquet sources). */
   val MaxExactPairsDocs: Long = 2000000L
 
+  /** Per-plan memo of the scale-guard corpus count (r14 ADVICE): the
+    * probe made every exact-pairs call EAGER and re-ran the full
+    * upstream lineage per invocation — a threshold sweep
+    * (q_dedup_threshold_curve) paid it once per threshold. Keyed on the
+    * canonicalized analyzed plan (structural equality, so re-built
+    * DataFrames over the same source hit too); bounded LRU so plan
+    * objects don't accumulate across a long session. */
+  private val corpusCountMemo = new java.util.LinkedHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long](
+      16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+          java.lang.Long]): Boolean = size() > 64
+  }
+
+  private def memoizedCount(df: DataFrame): Long = {
+    require(!df.isStreaming,
+      "the exact-pairs instruments are batch-only (their scale guard " +
+        "counts the corpus); for streams use the LSH banding twins")
+    val key = org.apache.spark.sql.GraftBridge.analyzed(df).canonicalized
+    val hit = corpusCountMemo.synchronized(Option(corpusCountMemo.get(key)))
+    hit.map(_.longValue).getOrElse {
+      val n = df.count()
+      corpusCountMemo.synchronized(corpusCountMemo.put(key, n))
+      n
+    }
+  }
+
   private def shinglePairCounts(df: DataFrame, textCol: String, idCol: String,
                                 n: Int, maxDocFreq: Long,
                                 maxCorpusDocs: Long = MaxExactPairsDocs): DataFrame = {
     require(maxCorpusDocs > 0, "maxCorpusDocs must be positive")
-    val nDocs = df.count()
+    val nDocs = memoizedCount(df)
     require(nDocs <= maxCorpusDocs,
       s"exact shingle-pair join over $nDocs docs exceeds the documented " +
         s"bound ($maxCorpusDocs): this instrument's candidate volume is " +

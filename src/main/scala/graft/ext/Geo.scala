@@ -526,17 +526,59 @@ object Geo {
         col("dist_m"), col("pair_tb"))
   }
 
-  /** One-shot co-location: aggregate every verified encounter. */
+  /**
+   * Monitoring readout for the hot-cell valve (r14 ADVICE — the valve
+   * must not be SILENT): every (cell, time-bucket) group whose fix
+   * count exceeds `maxCellFixes`, i.e. exactly the groups
+   * [[coloEncounters]] excludes from pair generation. One
+   * map-side-combined groupBy over the fixes — cheap enough to run
+   * beside any production colocation job as its completeness signal; or
+   * pass `strictHotCells = true` to the drivers to fail loudly instead
+   * of proceeding incomplete (the `Dedup.MaxExactPairsDocs` posture).
+   */
+  def hotCells(points: DataFrame, tsCol: String, latCol: String,
+               lonCol: String, dtNs: Long, cellDeg: Double,
+               maxCellFixes: Long = 10000L): DataFrame =
+    points.groupBy(
+        cellOf(col(latCol), cellDeg).as("cell_lat"),
+        cellOf(col(lonCol), cellDeg).as("cell_lon"),
+        expr(s"$tsCol div $dtNs").as("bucket"))
+      .agg(count(lit(1)).as("n_fixes"))
+      .filter(col("n_fixes") > lit(maxCellFixes))
+
+  /** Strict-mode guard shared by both colocation drivers. */
+  private def requireNoHotCells(points: DataFrame, tsCol: String,
+                                latCol: String, lonCol: String, dtNs: Long,
+                                cellDeg: Double, maxCellFixes: Long): Unit = {
+    val hot = hotCells(points, tsCol, latCol, lonCol, dtNs, cellDeg, maxCellFixes)
+    val sample = hot.orderBy(col("n_fixes").desc).limit(4).collect()
+    require(sample.isEmpty,
+      s"strictHotCells: ${hot.count()} (cell, bucket) groups exceed " +
+        s"maxCellFixes=$maxCellFixes and would be excluded from pair " +
+        s"generation — worst: ${sample.map(r =>
+          s"(${r.get(0)},${r.get(1)},tb=${r.get(2)})=${r.get(3)}").mkString(", ")}. " +
+        "Raise maxCellFixes, aggregate per-cell counts instead of pairs, " +
+        "or run non-strict beside the Geo.hotCells readout.")
+  }
+
+  /** One-shot co-location: aggregate every verified encounter.
+   *  `strictHotCells = true` fails loudly when the valve would exclude
+   *  any (cell, bucket) group, instead of returning silently-incomplete
+   *  pairs (r14 ADVICE). */
   def colocationPairs(points: DataFrame, keyCol: String, idCol: String,
                       tsCol: String, latCol: String, lonCol: String,
                       distM: Double, dtNs: Long,
                       cellDeg: Double,
-                      maxCellFixes: Long = 10000L): DataFrame =
+                      maxCellFixes: Long = 10000L,
+                      strictHotCells: Boolean = false): DataFrame = {
+    if (strictHotCells)
+      requireNoHotCells(points, tsCol, latCol, lonCol, dtNs, cellDeg, maxCellFixes)
     coloEncounters(points, keyCol, idCol, tsCol, latCol, lonCol,
         distM, dtNs, cellDeg, maxCellFixes)
       .groupBy(col("key_a"), col("key_b"))
       .agg(count(lit(1)).as("n_encounters"),
         round(min(col("dist_m")), 2).as("closest_m"))
+  }
 
   /**
    * TIME-SLICED co-location — the unbounded-history production shape
@@ -562,9 +604,12 @@ object Geo {
                             distM: Double, dtNs: Long,
                             cellDeg: Double,
                             maxCellFixes: Long = 10000L,
-                            sliceBuckets: Long = 32768L): DataFrame = {
+                            sliceBuckets: Long = 32768L,
+                            strictHotCells: Boolean = false): DataFrame = {
     require(sliceBuckets > 0, "sliceBuckets must be positive")
     val spark = points.sparkSession
+    if (strictHotCells)
+      requireNoHotCells(points, tsCol, latCol, lonCol, dtNs, cellDeg, maxCellFixes)
     val span = points.agg(
       min(expr(s"$tsCol div $dtNs")), max(expr(s"$tsCol div $dtNs"))).head()
     if (span.isNullAt(0)) // empty input: the one-shot plan handles it
@@ -573,9 +618,24 @@ object Geo {
     val (minTb, maxTb) = (span.getLong(0), span.getLong(1))
     val scratch = java.nio.file.Files.createTempDirectory("graft-colo-")
     sys.addShutdownHook(graft.util.Fs.deleteRecursively(scratch))
-    val slices = Iterator.iterate(minTb)(_ + sliceBuckets)
-      .takeWhile(_ <= maxTb).toSeq
-    slices.zipWithIndex.foreach { case (lo, i) =>
+    // POPULATED slices only (r14 ADVICE): iterating the raw bucket
+    // RANGE means one corrupt outlier timestamp (epoch 0 against a
+    // modest dtNs) yields thousands of EMPTY slices, each a full Spark
+    // job + parquet write + GC pause. The distinct populated slice
+    // index set is one cheap aggregate and bounded driver state
+    // (≤ populated-bucket-count / sliceBuckets entries); slice indices
+    // are anchored at minTb so the offsets are non-negative and `div`
+    // truncation equals floor.
+    val sliceIdxs = points.select(
+        expr(s"(($tsCol div $dtNs) - $minTb) div $sliceBuckets").as("__s"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val gridSlices = (maxTb - minTb) / sliceBuckets + 1
+    if (sliceIdxs.length < gridSlices)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"colocationPairsSliced: ${gridSlices - sliceIdxs.length} empty " +
+          s"slices skipped (${sliceIdxs.length} populated of $gridSlices)")
+    sliceIdxs.zipWithIndex.foreach { case (si, i) =>
+      val lo = minTb + si * sliceBuckets
       val hi = math.min(lo + sliceBuckets - 1, maxTb)
       val part = points.filter(
         expr(s"$tsCol div $dtNs").between(lo, hi + 1))

@@ -1034,19 +1034,46 @@ object Similarity {
   /** Name of the atomic current-version pointer inside an index dir. */
   private[graft] val CurrentPointer = "CURRENT"
 
-  /** Read the published version of a versioned IVF index dir (0 = none). */
+  /** Read the published version of a versioned IVF index dir (0 = none).
+   *
+   *  Resilient to the pointer-swap gap (r14 ADVICE): on filesystems
+   *  where rename-over-existing returns false (HDFS by contract), every
+   *  publish after v1 goes through delete+rename, and between those two
+   *  calls no `CURRENT` exists. A reader landing in that window falls
+   *  back to the highest COMPLETE version directory — one whose
+   *  `centroids/` and `assign/` both carry a `_SUCCESS` marker, i.e. a
+   *  version a writer finished before touching the pointer — so the
+   *  documented contract holds: readers see old or new, never half,
+   *  never "no published index" mid-swap. */
   def ivfCurrentVersion(spark: org.apache.spark.sql.SparkSession,
                         indexDir: String): Long = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val ptr = new org.apache.hadoop.fs.Path(s"$indexDir/$CurrentPointer")
-    if (!fs.exists(ptr)) 0L
-    else {
+    if (fs.exists(ptr)) {
       val in = fs.open(ptr)
       try new String(org.apache.commons.io.IOUtils.toByteArray(in),
         java.nio.charset.StandardCharsets.UTF_8).trim.toLong
       finally in.close()
-    }
+    } else highestCompleteVersion(fs, indexDir)
+  }
+
+  /** Highest vN under `indexDir` whose centroids AND assignments both
+   *  finished writing (parquet `_SUCCESS` markers) — the pointer-gap
+   *  fallback. 0 when none exist (fresh dir). */
+  private def highestCompleteVersion(fs: org.apache.hadoop.fs.FileSystem,
+                                     indexDir: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    if (!fs.exists(root)) return 0L
+    val vRe = "^v(\\d+)$".r
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => vRe.findFirstMatchIn(st.getPath.getName).map(_.group(1).toLong))
+      .filter { v =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/v$v/centroids/_SUCCESS")) &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/v$v/assign/_SUCCESS"))
+      }
+      .maxOption.getOrElse(0L)
   }
 
   /** Load the currently-published index: (centroids, assignments,
@@ -1070,6 +1097,11 @@ object Similarity {
    * over [[CurrentPointer]] (HDFS/posix rename is atomic; on object
    * stores use a conditional put). Old versions stay on disk for
    * in-flight readers and rollback — retention is the caller's policy.
+   * Concurrent retrains are safe: each writer CLAIMS its version number
+   * with an atomic create-exclusive marker before any heavy work, and a
+   * reader that lands in the delete+rename pointer gap falls back to
+   * the highest complete version ([[ivfCurrentVersion]]) — old or new,
+   * never half, never absent.
    *
    * Cost contract (pinned by the `ivf_retrain` ScaleCheck rung):
    * training is O(sample·k·iters) — corpus-size-INDEPENDENT — and the
@@ -1082,7 +1114,31 @@ object Similarity {
                         trainSampleSize: Int = 256,
                         metric: String = "cosine"): Long = {
     val spark = corpus.sparkSession
-    val next = ivfCurrentVersion(spark, indexDir) + 1
+    // CLAIM a version number atomically before any heavy work (r14
+    // ADVICE): two concurrent retrains would otherwise both read
+    // current=v, compute next=v+1, and write the same directory.
+    // create(path, overwrite=false) is atomic-exclusive on HDFS/posix,
+    // so exactly one writer owns each vN; the loser advances to the
+    // next free number. The pointer swap below then serializes
+    // publishes last-write-wins — concurrent retrains are safe, the
+    // later pointer lands, and both version dirs stay readable.
+    val fsClaim = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    var next = ivfCurrentVersion(spark, indexDir) + 1
+    var claimed = false
+    var attempts = 0
+    while (!claimed) {
+      attempts += 1
+      require(attempts <= 64,
+        s"could not claim a version under $indexDir after 64 attempts")
+      try {
+        fsClaim.create(
+          new org.apache.hadoop.fs.Path(s"$indexDir/v$next/.claimed"), false).close()
+        claimed = true
+      } catch {
+        case _: java.io.IOException => next += 1 // taken: advance
+      }
+    }
     val trained = trainCentroids(corpus, idCol, vecCol, k, iters,
       metric, trainSampleSize)
     // k-row driver state (same posture as trainCentroids internals):

@@ -40,9 +40,42 @@ object ValidationPipeline {
    *  head-to-head input) — so the fence must not fire below the real
    *  overflow point. 32 splits the calibration interval; PlanSpec pins
    *  both sides (config2 fenced+compiling, odejson un-fenced+compiling).
+   *  Above the threshold the fence fires UNCONDITIONALLY (skip the
+   *  probe on suites known to overflow); below it the decision is
+   *  COMPILE-AWARE — see [[unfencedOverflows]] — because payload-heavy
+   *  small suites can overflow too (r14 verdict item 2).
    *  Overridable for measurement: `-Dgraft.fence.threshold=N`. */
   def WideSuiteRuleThreshold: Int =
     sys.props.get("graft.fence.threshold").map(_.toInt).getOrElse(32)
+
+  /** One fence decision per (suite, input schema): generated-code size
+    * scales with enum/list/conditional PAYLOADS, not section count alone
+    * (r14 verdict item 2 — a 31-section suite with 500-value enums
+    * overflows janino below the count threshold), so the sub-threshold
+    * branch probe-compiles once and caches. Both components are case
+    * classes / StructType — stable value equality. */
+  private val fenceProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[(ValidationSuite, StructType), java.lang.Boolean]()
+
+  /** Driver-only codegen probe: force-compile every codegen unit of the
+    * un-fenced candidate plan ([[org.apache.spark.sql.GraftBridge
+    * .compileCodegenStages]] — the same no-fallback compile PlanSpec
+    * pins with). No job runs; janino failure (64 KB method overflow,
+    * constant-pool exhaustion) means the un-fenced plan would silently
+    * fall back to whole-stage INTERPRETED evaluation at execution — the
+    * r13 defect class — so the caller fences instead. */
+  private def unfencedOverflows(candidate: DataFrame): Boolean =
+    try {
+      org.apache.spark.sql.GraftBridge.compileCodegenStages(
+        candidate.queryExecution.executedPlan)
+      false
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"un-fenced validation select fails codegen (${e.getClass.getSimpleName}: " +
+            s"${String.valueOf(e.getMessage).take(200)}) — fencing the projection")
+        true
+    }
 
   /** Validate parsed records that already carry a `file` column. */
   def validateRecords(records: DataFrame, suite: ValidationSuite): DataFrame = {
@@ -56,19 +89,28 @@ object ValidationPipeline {
       reserved.contains(f.name)))
     val skips = RuleCompiler.skipFlagColumns(suite, schema)
     val ruleCount = suite.scalarRules.size + suite.listRules.size
-    if (ruleCount > WideSuiteRuleThreshold) {
-      // Wide suite: one fenced projection carrying every input column +
-      // skip flags + validations, so the giant rule expression compiles
-      // via row-mode codegen instead of overflowing whole-stage.
+    // Wide suite: one fenced projection carrying every input column +
+    // skip flags + validations, so the giant rule expression compiles
+    // via row-mode codegen instead of overflowing whole-stage.
+    def fenced = {
       val cols = records.columns.map(c => col(quoteIfNeeded(c))).toSeq ++
         skips.map { case (path, c) => c.as(RuleCompiler.skipFlagName(path)) } :+
         RuleCompiler.validationsColumn(suite, schema).as("validations")
       graft.plans.FencedProject.select(records, cols)
-    } else {
+    }
+    def unfenced = {
       val withSkips = skips.foldLeft(records) { case (df, (path, c)) =>
         df.withColumn(RuleCompiler.skipFlagName(path), c)
       }
       withSkips.withColumn("validations", RuleCompiler.validationsColumn(suite, schema))
+    }
+    if (ruleCount > WideSuiteRuleThreshold) fenced
+    else {
+      // COMPILE-AWARE fence below the count threshold: trust janino,
+      // not the section count (one cached driver-side compile per suite)
+      val overflows = fenceProbeCache.computeIfAbsent((suite, records.schema),
+        _ => java.lang.Boolean.valueOf(unfencedOverflows(unfenced)))
+      if (overflows) fenced else unfenced
     }
   }
 
@@ -100,21 +142,45 @@ object ValidationPipeline {
   /** Metadata-only giant-file probe: max object size under `path`
    *  (glob ok) from the file listing — the same listing the scan itself
    *  performs, so this adds no data pass. Returns the chunked-plan
-   *  chunk size when any single object exceeds
-   *  [[GiantFileBytesThreshold]]; compressed (.gz) objects count at
-   *  their compressed size, which UNDERSTATES record count — a gzip'd
-   *  giant file trips the selector later than a plain one (bounded
-   *  miss: the single-pass plan stays correct, only serialized). */
-  def autoChunkSerials(spark: SparkSession, path: String): Option[Long] = {
-    import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+   *  chunk size when any single object exceeds `thresholdBytes`
+   *  (default [[GiantFileBytesThreshold]]).
+   *
+   *  Compressed (.gz) objects are sized by their gzip ISIZE footer
+   *  (last 4 bytes — the UNCOMPRESSED length, exact below 4 GiB), not
+   *  their compressed size: a ~200 MB gzip of a 2 GB NDJSON stream must
+   *  take the chunked branch, and compressed-size counting silently
+   *  serialized exactly the objects the selector exists to catch (r14
+   *  verdict item 7). One 4-byte ranged read per .gz object in the
+   *  listing — still metadata-class cost. Above 4 GiB ISIZE wraps
+   *  mod 2³², so the max(compressed, isize) floor keeps multi-GiB
+   *  archives (whose compressed size alone clears any sane threshold)
+   *  on the chunked branch. */
+  def autoChunkSerials(spark: SparkSession, path: String,
+                       thresholdBytes: Long = GiantFileBytesThreshold): Option[Long] = {
+    import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
     val hp = new HPath(path)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    def gzipIsize(fs: FileSystem, st: FileStatus): Long = {
+      if (st.getLen < 20) return st.getLen // header+footer alone is 18B
+      val in = fs.open(st.getPath)
+      try {
+        in.seek(st.getLen - 4)
+        val b = new Array[Byte](4)
+        in.readFully(b)
+        val isize = (b(0) & 0xffL) | ((b(1) & 0xffL) << 8) |
+          ((b(2) & 0xffL) << 16) | ((b(3) & 0xffL) << 24)
+        math.max(st.getLen, isize)
+      } catch {
+        case scala.util.control.NonFatal(_) => st.getLen
+      } finally in.close()
+    }
     def sizes(st: FileStatus): Seq[Long] =
       if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(sizes)
+      else if (st.getPath.getName.endsWith(".gz")) Seq(gzipIsize(fs, st))
       else Seq(st.getLen)
     val maxBytes = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
       .flatMap(sizes).maxOption.getOrElse(0L)
-    if (maxBytes > GiantFileBytesThreshold) Some(AutoChunkSerials) else None
+    if (maxBytes > thresholdBytes) Some(AutoChunkSerials) else None
   }
 
   /** Full run over NDJSON files matched by `path` (glob ok, .gz ok).

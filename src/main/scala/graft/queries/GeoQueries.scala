@@ -66,6 +66,23 @@ private[graft] trait GeoQueries { this: Queries.type =>
        |  round(avg(lat), 6) AS centroid_lat, round(avg(lon), 6) AS centroid_lon
        |FROM pts GROUP BY 1, 2""".stripMargin
 
+  /** Hot-cell valve readout (r14 ADVICE — the colocation valve must not
+   *  be silent): every (0.02° cell, 2h bucket) group whose fix count
+   *  exceeds the cap, i.e. exactly the groups the valve would exclude
+   *  from pair generation. Cap=2 so gate SF populates rows; production
+   *  runs this beside q_colocation (or strictHotCells=true) as the
+   *  completeness signal. One map-side-combined groupBy — O(cells). */
+  private[graft] def geoHotCellsQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Geo.hotCells(geoPoints(s, dir), "ts", "lat", "lon",
+      dtNs = 7200000000000L, cellDeg = 0.02, maxCellFixes = 2L)
+
+  private[graft] val geoHotCellsOracle =
+    s"""WITH $geoPtsSql
+       |SELECT CAST(floor(lat / 2e-2) AS BIGINT) AS cell_lat,
+       |  CAST(floor(lon / 2e-2) AS BIGINT) AS cell_lon,
+       |  tns // 7200000000000 AS bucket, count(*) AS n_fixes
+       |FROM pts GROUP BY 1, 2, 3 HAVING count(*) > 2""".stripMargin
+
   /** Radius search via 3×3 cell-halo blocking, checked against the
    *  brute-force cross join — the oracle proves the halo loses nothing
    *  at the cell boundaries (radius 900 m < the 4.3 km lon cell edge

@@ -223,6 +223,71 @@ class GeoSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](run(0L))
   }
 
+  test("hotCells readout names the excluded groups; strict mode fails loudly " +
+      "(r14 ADVICE — the valve must not be silent)") {
+    val ns = 1000000000L
+    val hot = (0 until 8).map(i => (i, i.toLong, 0L, 0.005, 0.005))
+    val cool = Seq((100, 100L, 0L, 10.005, 10.005), (101, 101L, 0L, 10.005, 10.005))
+    val pts = (hot ++ cool).toDF("k", "id", "ts", "lat", "lon")
+    // the readout reports exactly the (cell, bucket) the valve excludes
+    val report = graft.ext.Geo.hotCells(pts, "ts", "lat", "lon",
+      dtNs = 120L * ns, cellDeg = 0.01, maxCellFixes = 4L).collect()
+    assert(report.length == 1 && report.head.getLong(3) == 8L,
+      s"expected the one 8-fix hot cell, got ${report.toSeq}")
+    // strict mode: refuses instead of returning silently-incomplete pairs
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Geo.colocationPairs(pts, "k", "id", "ts", "lat", "lon",
+        distM = 300.0, dtNs = 120L * ns, cellDeg = 0.01,
+        maxCellFixes = 4L, strictHotCells = true)
+    }
+    assert(e.getMessage.contains("1 (cell, bucket) groups") &&
+      e.getMessage.contains("hotCells"))
+    val eSliced = intercept[IllegalArgumentException] {
+      graft.ext.Geo.colocationPairsSliced(pts, "k", "id", "ts", "lat", "lon",
+        distM = 300.0, dtNs = 120L * ns, cellDeg = 0.01,
+        maxCellFixes = 4L, strictHotCells = true)
+    }
+    assert(eSliced.getMessage.contains("strictHotCells"))
+    // a cool corpus passes strict and equals non-strict
+    val coolPts = cool.toDF("k", "id", "ts", "lat", "lon")
+    val strictOk = graft.ext.Geo.colocationPairs(coolPts, "k", "id", "ts",
+      "lat", "lon", distM = 300.0, dtNs = 120L * ns, cellDeg = 0.01,
+      maxCellFixes = 4L, strictHotCells = true).collect()
+    assert(strictOk.length == 1)
+  }
+
+  test("colocationPairsSliced skips empty slices: one epoch-0 outlier must " +
+      "not grid-iterate the whole span (r14 ADVICE)") {
+    val ns = 1000000000L
+    val dt = 120L * ns
+    // a tight cluster of encounters far from epoch... plus ONE corrupt
+    // epoch-0 fix. Raw-range iteration at sliceBuckets=4 would launch
+    // ~5.7M slices (centuries of 2-minute buckets / 4); populated-slice
+    // iteration launches 2. The 60 s timeout is the regression guard.
+    val base = 87000000L * dt // ~2730 CE in 2-min buckets: a huge raw span
+    val cluster = (0 until 20).map { i =>
+      (i % 4, i.toLong, base + i.toLong * 10L * ns, 0.005, 0.005)
+    }
+    val outlier = Seq((99, 99L, 0L, 50.005, 50.005))
+    val pts = (cluster ++ outlier).toDF("k", "id", "ts", "lat", "lon")
+    val done = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val fut = done.submit(new java.util.concurrent.Callable[Set[(Int, Int)]] {
+        def call(): Set[(Int, Int)] =
+          graft.ext.Geo.colocationPairsSliced(pts, "k", "id", "ts",
+              "lat", "lon", distM = 300.0, dtNs = dt, cellDeg = 0.01,
+              sliceBuckets = 4L)
+            .collect().map(x => (x.getInt(0), x.getInt(1))).toSet
+      })
+      val sliced = fut.get(60, java.util.concurrent.TimeUnit.SECONDS)
+      val oneShot = graft.ext.Geo.colocationPairs(pts, "k", "id", "ts",
+          "lat", "lon", distM = 300.0, dtNs = dt, cellDeg = 0.01)
+        .collect().map(x => (x.getInt(0), x.getInt(1))).toSet
+      assert(oneShot.nonEmpty && sliced == oneShot,
+        "empty-slice skipping must not change the answer")
+    } finally done.shutdownNow()
+  }
+
   test("colocationPairsSliced == one-shot across slice boundaries") {
     val ns = 1000000000L
     val dt = 120L * ns

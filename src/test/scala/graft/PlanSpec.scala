@@ -506,6 +506,55 @@ class PlanSpec extends AnyFunSuite {
     assert(stages >= 1, "the rest of the plan must stay whole-stage codegen'd")
   }
 
+  test("sub-threshold giant-payload suite: the compile-aware fence catches " +
+      "what the count threshold misses (r14 verdict item 2)") {
+    // 30 sections < WideSuiteRuleThreshold=32, but each enum carries a
+    // payload big enough that the UN-fenced wide select overflows janino
+    // — exactly the silent-interpreted-fallback class the count-based
+    // fence could not see. The pipeline must probe-compile and fence.
+    import graft.model.{FieldRule, FieldTypes, FixedTime, ValidationSuite}
+    import graft.pipeline.ValidationPipeline
+    import org.apache.spark.sql.types.StructType
+    val nRules = 30
+    assert(nRules <= ValidationPipeline.WideSuiteRuleThreshold)
+    // timestamp rules are the payload-heavy class: the dateutil parse
+    // chain + python-repr error strings generate far more code per
+    // section than an enum (whose value list folds to one InSet)
+    val t0 = java.time.Instant.parse("2020-01-01T00:00:00Z")
+    val t1 = java.time.Instant.parse("2030-01-01T00:00:00Z")
+    val suite = ValidationSuite("json", sequential = false, hasHeader = false,
+      rules = (0 until nRules).map(i =>
+        FieldRule(path = s"f$i", fieldType = FieldTypes.Timestamp,
+          earliestTime = Some(t0), latestTime = Some(FixedTime(t1)))))
+    val records = spark.range(8).select(
+      org.apache.spark.sql.functions.lit("giant.json").as("file") +:
+        (0 until nRules).map(i => org.apache.spark.sql.functions
+          .concat(org.apache.spark.sql.functions.lit("v"),
+            org.apache.spark.sql.functions.col("id")).as(s"f$i")): _*)
+    // vacuousness guard: the un-fenced formulation of this very suite
+    // really fails codegen today
+    val schema = StructType(records.schema.fields.filterNot(_.name == "file"))
+    val unfenced = records.withColumn("validations",
+      graft.rules.RuleCompiler.validationsColumn(suite, schema))
+    val overflows =
+      try {
+        org.apache.spark.sql.GraftBridge.compileCodegenStages(
+          unfenced.queryExecution.executedPlan)
+        false
+      } catch { case scala.util.control.NonFatal(_) => true }
+    assert(overflows,
+      "vacuous: the giant-payload suite should overflow un-fenced codegen " +
+        "(grow the payload if janino got roomier)")
+    val out = ValidationPipeline.validateRecords(records, suite)
+    val exec = out.queryExecution.executedPlan
+    assert(exec.toString.contains("FencedProject"),
+      "the probe must fence a sub-threshold suite whose codegen overflows")
+    val (_, fenced) =
+      org.apache.spark.sql.GraftBridge.compileCodegenStages(exec)
+    assert(fenced == 1, "the fenced projection itself must compile zero-error")
+    assert(out.selectExpr("size(validations)").head().getInt(0) == nRules)
+  }
+
   test("q_ode_field_validations: 22-rule select stays whole-stage (and compiles)") {
     // The other side of the fence threshold: the head-to-head odejson
     // suite compiles in-stage and is 1.45× faster un-fenced — a threshold

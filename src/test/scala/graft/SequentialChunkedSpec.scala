@@ -133,6 +133,37 @@ class SequentialChunkedSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.sequential.giantFileBytes")
   }
 
+  test("auto-selector sizes .gz objects by gzip ISIZE, not compressed bytes " +
+      "(r14 verdict item 7)") {
+    // a gz fixture STRADDLING the threshold: compressed well below it,
+    // uncompressed well above — compressed-size counting (the r14
+    // behavior) returned None here and silently serialized the plan
+    val dir = java.nio.file.Files.createTempDirectory("graft-gz-straddle-")
+    try {
+      val line = """{"metadata":{"serialId":{"serialNumber":1}}}""" + "\n"
+      val out = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(dir.resolve("giant.json.gz")))
+      try {
+        val bytes = line.getBytes("UTF-8")
+        var written = 0L
+        while (written < 2L * 1024 * 1024) { out.write(bytes); written += bytes.length }
+      } finally out.close()
+      val gzLen = java.nio.file.Files.size(dir.resolve("giant.json.gz"))
+      val threshold = 1024L * 1024
+      assert(gzLen < threshold,
+        s"fixture must straddle: compressed $gzLen should be under $threshold")
+      assert(graft.pipeline.ValidationPipeline
+          .autoChunkSerials(spark, s"$dir/*.json.gz", threshold)
+          .contains(graft.pipeline.ValidationPipeline.AutoChunkSerials),
+        "a gzip whose ISIZE exceeds the threshold must take the chunked branch")
+      // and a PLAIN object of the same compressed size stays single-pass
+      java.nio.file.Files.write(dir.resolve("small.json"),
+        new Array[Byte](gzLen.toInt))
+      assert(graft.pipeline.ValidationPipeline
+        .autoChunkSerials(spark, s"$dir/small.json", threshold).isEmpty)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("runJson via each selector branch: identical sequential verdicts") {
     Verify.pinRouteMtimes()
     val suite = Queries.suiteOde

@@ -355,6 +355,32 @@ class SimilaritySpec extends AnyFunSuite {
       // no partial state is ever addressable through it
       val ptr = java.nio.file.Paths.get(idx, "CURRENT")
       assert(new String(java.nio.file.Files.readAllBytes(ptr)).trim == "2")
+
+      // r14 ADVICE: a reader landing in the delete+rename pointer gap
+      // must NOT throw "no published index" — it falls back to the
+      // highest COMPLETE version dir (old-or-new, never absent)
+      java.nio.file.Files.delete(ptr)
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(idx, ".CURRENT.crc"))
+      val (_, aGap, sGap) = Similarity.ivfLoadCurrent(spark, idx)
+      assert(sGap == 2L, "pointer-gap fallback must resolve the newest complete version")
+      assert(aGap.count() == e.count())
+      // ...but a HALF-WRITTEN newer version (no assign/_SUCCESS yet) is
+      // never served through the fallback
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(idx, "v3", "centroids"))
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(idx, "v3", "centroids", "_SUCCESS"))
+      assert(Similarity.ivfCurrentVersion(spark, idx) == 2L,
+        "an incomplete v3 must be invisible to readers")
+
+      // r14 ADVICE: concurrent publishes cannot collide on a version —
+      // the claim marker makes v-number ownership atomic. v3 is claimed
+      // (simulating an in-flight writer), so a new retrain takes v4.
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(idx, "v3", ".claimed"))
+      val v4 = Similarity.ivfRetrainAndSwap(e, "vec_id", "embedding",
+        idx, k = 4, iters = 1, trainSampleSize = 64)
+      assert(v4 == 4L, s"a claimed v3 must push the next writer to v4, got v$v4")
+      assert(Similarity.ivfLoadCurrent(spark, idx)._3 == 4L)
     } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(idx))
   }
 
