@@ -95,12 +95,34 @@ object ScaleBench {
     // scale-path families, MINUS the exact-instrument registry annotation
     // (SparkEntry.nonScalePath). Any explicit comma list still works.
     val only = args.lift(4).map {
-      case "@scalepath" =>
+      case spec if spec.startsWith("@scalepath") =>
         val quartile = baseline.toSeq.sortBy(-_._2)
           .take(math.max(1, baseline.size / 4)).map(_._1).toSet
-        val composed = (quartile ++ StandingProbeFamilies) -- SparkEntry.nonScalePath
+        val core = (quartile ++ StandingProbeFamilies) -- SparkEntry.nonScalePath
+        // `@scalepath:<seed>` (r14 verdict item 8): ROTATE 12 extra
+        // scale-path rows in per round, deterministically seeded (the
+        // round tag), so every oracle query sees the sf100 probe at
+        // least once across rounds instead of the same top-quartile
+        // forever. The rotation is printed into the artifact so the
+        // composition stays auditable.
+        val rotation = spec.stripPrefix("@scalepath").stripPrefix(":") match {
+          case "" => Set.empty[String]
+          case seed =>
+            val pool = (SparkEntry.queries.keySet -- core --
+              SparkEntry.nonScalePath).toSeq.sorted
+            val picked = pool.sortBy { n =>
+              val d = java.security.MessageDigest.getInstance("MD5")
+                .digest(s"$seed:$n".getBytes("UTF-8"))
+              String.format("%032x", new java.math.BigInteger(1, d))
+            }.take(12).toSet
+            println(s"[scalebench] @scalepath rotation seed=$seed adds: " +
+              picked.toSeq.sorted.mkString(","))
+            picked
+        }
+        val composed = core ++ rotation
         println(s"[scalebench] @scalepath composed ${composed.size} queries " +
           s"(quartile=${quartile.size} standing=${StandingProbeFamilies.size} " +
+          s"rotation=${rotation.size} " +
           s"excluded=${(quartile ++ StandingProbeFamilies).count(SparkEntry.nonScalePath)})")
         composed
       case list => list.split(",").toSet
