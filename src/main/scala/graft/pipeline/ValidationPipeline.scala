@@ -158,6 +158,15 @@ object ValidationPipeline {
   def autoChunkSerials(spark: SparkSession, path: String,
                        thresholdBytes: Long = GiantFileBytesThreshold): Option[Long] = {
     import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
+    // The chunked plan exists to PARALLELIZE the per-file sequential
+    // phase; on a single-slot session both plans serialize that phase
+    // and the two-phase overhead is pure loss (r15 head-to-head: the
+    // 1M-record giant file ran 99.6 s auto-chunked vs 62.3 s
+    // single-pass on local[1]) — auto-selection never chunks when
+    // there is no parallelism to buy. Callers can still force
+    // `chunkSerials` explicitly (e.g. for memory-bound single-slot
+    // runs where spill, not wall, is the concern).
+    if (spark.sparkContext.defaultParallelism < 2) return None
     val hp = new HPath(path)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
     def gzipIsize(fs: FileSystem, st: FileStatus): Long = {
