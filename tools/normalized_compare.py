@@ -16,6 +16,11 @@ minimizes log-space error when a query mixes them).
 Usage: normalized_compare.py <old_board.json> <new_board.json> [gate]
   gate (default 1.2): flag queries with NORMALIZED ratio > gate and
   new-side wall > 1s (sub-second rows are fixed-overhead noise).
+When both boards carry `spread_sec` (median-of-N protocol), a row is
+only flagged if its delta ALSO exceeds both rounds' max-min spreads —
+a delta inside the query's own trial-to-trial jitter is weather, not
+regression (the r15 finding: all 17 ratio-flagged rows sat inside
+their spreads and isolated re-runs landed between the two boards).
 Exit 1 if any flagged — usable as the round's normalized perf gate.
 """
 import json
@@ -61,12 +66,32 @@ def main():
     med = sorted(r[4] for r in rows)[len(rows) // 2]
     print(f"median normalized per-query ratio: {med:.2f}x\n")
 
-    flagged = [r for r in rows if r[4] > gate and r[2] > 1.0]
-    print(f"NORMALIZED regressions (> {gate:.2f}x, new-side > 1s): "
-          f"{len(flagged)}")
+    so, sn = old.get("spread_sec", {}), new.get("spread_sec", {})
+    have_spread = bool(so) and bool(sn)
+
+    def beyond_spread(q, a, b):
+        if not have_spread:
+            return True
+        return abs(b - a) > max(so.get(q, 0.0), sn.get(q, 0.0))
+
+    candidates = [r for r in rows if r[4] > gate and r[2] > 1.0]
+    flagged = [r for r in candidates if beyond_spread(r[0], r[1], r[2])]
+    jitter = [r for r in candidates if not beyond_spread(r[0], r[1], r[2])]
+    print(f"NORMALIZED regressions (> {gate:.2f}x, new-side > 1s"
+          + (", delta beyond both spreads" if have_spread else "")
+          + f"): {len(flagged)}")
     for q, a, b, raw, norm in sorted(flagged, key=lambda r: -r[4]):
         print(f"  {q:40s} {a:7.2f}s -> {b:7.2f}s  raw {raw:5.2f}x  "
+              f"norm {norm:5.2f}x  (spread old {so.get(q, 0):.2f} "
+              f"new {sn.get(q, 0):.2f})" if have_spread else
+              f"  {q:40s} {a:7.2f}s -> {b:7.2f}s  raw {raw:5.2f}x  "
               f"norm {norm:5.2f}x")
+    if jitter:
+        print(f"ratio-flagged but inside per-query spread (weather, not "
+              f"gated): {len(jitter)}")
+        for q, a, b, raw, norm in sorted(jitter, key=lambda r: -r[4]):
+            print(f"  {q:40s} {a:7.2f}s -> {b:7.2f}s  norm {norm:5.2f}x  "
+                  f"(spread old {so.get(q, 0):.2f} new {sn.get(q, 0):.2f})")
     improved = [r for r in rows if r[4] < 1 / gate and r[1] > 1.0]
     print(f"\nnormalized improvements (< {1/gate:.2f}x, old-side > 1s): "
           f"{len(improved)}")
