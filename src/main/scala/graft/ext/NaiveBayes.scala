@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -65,15 +64,30 @@ object NaiveBayes {
       .localCheckpoint(true)
 
     val train = perDoc.filter(col("is_train"))
-    val nDocs = df.filter(isTrain).select(col(idCol)).count().toDouble
-    val priors = df.filter(isTrain).groupBy(col(labelCol).as("label"))
-      .agg(log(count(lit(1)).cast("double") / lit(nDocs)).as("log_prior"))
-    val cyb = train.groupBy(col("label"), col("bucket")).agg(sum(col("tf")).as("c"))
-    val ny = train.groupBy(col("label")).agg(sum(col("tf")).as("n"))
+    val spark = df.sparkSession
+    // bounded-state truncation (the trainCentroids localize posture):
+    // the model-side tables are at most labels·buckets rows, so one
+    // distributed aggregate each is collected and every derived table is
+    // a LocalRelation — no tiny exchanges, no checkpoint re-reads
+    def localize(d2: DataFrame): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(d2.collect(): _*), d2.schema)
+    // ONE training-corpus scan yields per-label doc counts; nDocs is
+    // their sum (was: a separate count() scan PLUS a priors scan)
+    val labCounts = localize(df.filter(isTrain)
+      .groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("cnt")))
+    val nDocs = labCounts.agg(sum(col("cnt"))).head().getLong(0).toDouble
+    val priors = labCounts
+      .select(col("label"), log(col("cnt").cast("double") / lit(nDocs)).as("log_prior"))
+    val cyb = localize(
+      train.groupBy(col("label"), col("bucket")).agg(sum(col("tf")).as("c")))
+    // ny and the model support are exactly derivable from cyb (integer
+    // sums commute): ny = Σ_bucket c per label; buckets = distinct in cyb
+    // (was: two more aggregates re-reading the perDoc checkpoint)
+    val ny = cyb.groupBy(col("label")).agg(sum(col("c")).as("n"))
     // model support = buckets seen in TRAINING; a held-out token whose
     // bucket never occurred in training simply contributes nothing (the
     // standard hashing-NB treatment of unseen features)
-    val allBuckets = train.select(col("bucket")).distinct()
+    val allBuckets = cyb.select(col("bucket")).distinct()
     val model = priors.select(col("label")).crossJoin(allBuckets)
       .join(cyb, Seq("label", "bucket"), "left")
       .join(ny, Seq("label"))
@@ -90,12 +104,15 @@ object NaiveBayes {
       .join(broadcast(priors), Seq("label"))
       .select(col("doc_id"), col("actual"), col("is_train"), col("label"),
         round(col("log_prior") + col("ll"), 6).as("score"))
-    val byDoc = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("label"))
-    scored.withColumn("rn", row_number().over(byDoc))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("label").as("predicted"), col("score"),
-        col("actual"), (col("label") === col("actual")).as("correct"),
-        col("is_train"))
+    // argmax as a hash AGGREGATE (the pqTopK max_by precedent): min_by
+    // over (-score, label) = highest score, lowest label on ties — the
+    // exact row_number()-over-(score desc, label) ordering — with no
+    // sort exchange and map-side partial aggregation
+    scored.groupBy(col("doc_id"), col("actual"), col("is_train"))
+      .agg(min_by(struct(col("label"), col("score")),
+        struct((-col("score")).as("ns"), col("label"))).as("m"))
+      .select(col("doc_id"), col("m.label").as("predicted"),
+        col("m.score").as("score"), col("actual"),
+        (col("m.label") === col("actual")).as("correct"), col("is_train"))
   }
 }

@@ -901,32 +901,54 @@ object Similarity {
    */
   def pcaTopComponent(df: DataFrame, idCol: String, vecCol: String,
                       iters: Int = 3): DataFrame = {
-    val d = df.select(size(col(vecCol))).head().getInt(0)
-    val n = df.count()
-    val comps = df.select(col(idCol).as("vec_id"),
-        posexplode(col(vecCol)).as(Seq("dim", "v")))
-      .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
-    val means = comps.groupBy(col("dim")).agg(avg(col("v")).as("m"))
-    val centered = comps.join(broadcast(means), Seq("dim"))
-      .select(col("vec_id"), col("dim"), (col("v") - col("m")).as("x"))
-    val cov = centered.select(col("vec_id"), col("dim").as("i"), col("x").as("xi"))
-      .join(centered.select(col("vec_id"), col("dim").as("j"), col("x").as("xj")),
-        Seq("vec_id"))
+    val spark = df.sparkSession
+    // n and d in ONE metadata job (was two: a head() for the size plus a
+    // separate count())
+    val meta = df.agg(count(lit(1)), first(size(col(vecCol)))).head()
+    val n = meta.getLong(0)
+    val d = meta.getInt(1)
+    // per-dim means as a d-double driver literal (bounded state, the
+    // trainCentroids localize posture): centering then happens INSIDE
+    // each row via transform, so the covariance needs no join at all
+    val mArr = df.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("dim")).agg(avg(col("v").cast("double")).as("m"))
+      .orderBy(col("dim")).collect().map(_.getDouble(1))
+    val mLit = lit(mArr)
+    // covariance as the one-pass outer-product aggregate the 100 TB shape
+    // demands: center in-row, double-posexplode to (i, xi, j, xj), and
+    // let the d²-key aggregate map-side combine. The previous formulation
+    // self-JOINED the exploded corpus on vec_id — a sort exchange of
+    // every centered component on both sides (SortMergeJoin over n·d
+    // rows) just to rebuild pairs each row already held.
+    val centered = df.select(transform(col(vecCol),
+      (x, i) => x.cast("double") - element_at(mLit, i + 1)).as("xs"))
+    val cov = centered
+      .select(posexplode(col("xs")).as(Seq("i", "xi")), col("xs"))
+      .select(col("i"), col("xi"), posexplode(col("xs")).as(Seq("j", "xj")))
       .groupBy(col("i"), col("j"))
       .agg(round(sum(col("xi") * col("xj")) / lit((n - 1).toDouble), 9).as("c"))
       .localCheckpoint(true) // feeds every iteration + the trace
+    // each iteration truncates to a d-row LocalRelation: the lazy fold
+    // embedded iteration N−1's plan TWICE in iteration N (once under w,
+    // once under norm's aggregate) — the 2^iters blowup localize()
+    // already guards against in trainCentroids/pqTopK; at iters=3 the
+    // final plan carried 40 SortMergeJoins re-executed through every
+    // broadcast subtree (measured: 4,643-line plan at sf0.1)
+    def localize(d2: DataFrame): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(d2.collect(): _*), d2.schema)
     def multiply(v: DataFrame): DataFrame =
-      cov.join(v, cov("j") === v("dim")).groupBy(col("i"))
+      cov.join(broadcast(v), cov("j") === v("dim")).groupBy(col("i"))
         .agg(sum(col("c") * col("vv")).as("w"))
-    var v = means.select(col("dim"),
-      (lit(1.0) / lit(math.sqrt(d.toDouble))).as("vv"))
+    import spark.implicits._
+    var v = (0 until d).map(i => (i, 1.0 / math.sqrt(d.toDouble)))
+      .toDF("dim", "vv")
     for (_ <- 1 to iters) {
-      val w = multiply(v)
+      val w = localize(multiply(v))
       val norm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-      v = w.crossJoin(broadcast(norm))
-        .select(col("i").as("dim"), (col("w") / col("nrm")).as("vv"))
+      v = localize(w.crossJoin(broadcast(norm))
+        .select(col("i").as("dim"), (col("w") / col("nrm")).as("vv")))
     }
-    val w4 = multiply(v)
+    val w4 = localize(multiply(v))
     val lam = w4.join(v, w4("i") === v("dim"))
       .agg(sum(col("w") * col("vv")).as("lambda"))
     val tr = cov.filter(col("i") === col("j")).agg(sum(col("c")).as("trace"))

@@ -209,6 +209,32 @@ object ValidationPipeline {
     run(validated, suite, chosen)
   }
 
+  /** [[runJson]] with the validated frame persisted (MEMORY_AND_DISK —
+   *  the [[writeAll]] posture): a SEQUENTIAL suite's totals/histogram
+   *  fold the sequential verdict in, so their plans consume the
+   *  validated frame TWICE (once under the per-file aggregate, once
+   *  under the sequential window chain) and without materialization
+   *  each single-sink consumer re-parses and re-validates the whole
+   *  corpus — two full NDJSON scans per query (measured: both branches
+   *  carry their own `Scan text` in the q_ode_error_histogram plan).
+   *  Both branches evaluate inside ONE action, so a lazy persist is
+   *  enough (block-level locking dedups the fill). Callers that drive
+   *  ONE consumer of `validated` (q_ode_sequential, streaming
+   *  foreachBatch — which persists its own input batch) keep plain
+   *  [[runJson]]; the caller's harness (BenchHarness / Verify) clears
+   *  the cache after the action. */
+  def runJsonShared(spark: SparkSession, path: String, suite: ValidationSuite,
+                    schema: StructType = OdeSchema.record,
+                    chunkSerials: Option[Long] = None): Result = {
+    val records = Readers.ndjson(spark, path, schema)
+    val validated = validateRecords(records, suite)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chosen =
+      if (suite.sequential) chunkSerials.orElse(autoChunkSerials(spark, path))
+      else chunkSerials
+    run(validated, suite, chosen)
+  }
+
   /** Full run over positional CSV files. */
   def runCsv(spark: SparkSession, path: String, suite: ValidationSuite): Result = {
     val records = Readers.positionalCsv(spark, path, suite)

@@ -1080,7 +1080,8 @@ private[graft] trait Analytics8Queries { this: Queries.type =>
   /** Exact weighted median (quantity-weighted extended price per
    *  return flag): the first value whose cumulative weight reaches half
    *  the total — one ordered window per group over exact integer
-   *  weights, the struct-min tie-break idiom for the readout. */
+   *  weights; the readout is the plain hash-aggregable min of the
+   *  at-or-above slice (identical to the oracle's struct-min .p). */
   private[graft] def weightedMedianQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // floor(), not cast-to-long: Spark's double→long cast truncates while
@@ -1118,10 +1119,16 @@ private[graft] trait Analytics8Queries { this: Queries.type =>
       .join(broadcast(totals), Seq("l_returnflag"))
       .filter(col("cum") * 2 >= col("total"))
       .groupBy(col("l_returnflag"))
-      .agg(min(struct(col("l_extendedprice"), col("wgt"))).as("m"),
+      // min(price), not min(struct(price, wgt)).price: lexicographic
+      // struct-min minimizes the FIRST field, and only that field is
+      // read, so the values are identical — but struct-min is not
+      // hash-aggregable (it forced a SortAggregate + full sort of the
+      // ~half-corpus at-or-above slice) while plain min map-side
+      // combines in a HashAggregate. The oracle's struct_pack readout
+      // is unchanged (its .p is the same min).
+      .agg(min(col("l_extendedprice")).as("weighted_median"),
         count(lit(1)).as("n_at_or_above"))
-      .select(col("l_returnflag"),
-        col("m.l_extendedprice").as("weighted_median"),
+      .select(col("l_returnflag"), col("weighted_median"),
         col("n_at_or_above"))
   }
 

@@ -106,7 +106,7 @@ private[graft] trait FixtureQueries { this: Queries.type =>
 
   /** A1, A2, A4, K3: per-file totals (sequential row folded in). */
   private[graft] def odeFileTotals(s: SparkSession, dir: String): DataFrame = {
-    val res = ValidationPipeline.runJson(s, s"$Fix/odejson/data/*.json*", suiteOde)
+    val res = ValidationPipeline.runJsonShared(s, s"$Fix/odejson/data/*.json*", suiteOde)
     res.fileTotals.select(basename(col("file")).as("file"),
       col("num_messages_total"), col("num_validations"), col("num_errors"),
       col("num_error_messages"), col("num_valid"))
@@ -114,7 +114,7 @@ private[graft] trait FixtureQueries { this: Queries.type =>
 
   /** A3: error-message histogram. */
   private[graft] def odeErrorHistogram(s: SparkSession, dir: String): DataFrame = {
-    val res = ValidationPipeline.runJson(s, s"$Fix/odejson/data/*.json*", suiteOde)
+    val res = ValidationPipeline.runJsonShared(s, s"$Fix/odejson/data/*.json*", suiteOde)
     res.errorHistogram.select(basename(col("file")).as("file"),
       col("error_message"), col("occurrences"))
   }

@@ -29,6 +29,20 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(out.map(_.getString(0)).toSeq == Seq("big"))
   }
 
+  test("exactly tied scores predict the lexicographically lowest label (r15 argmax)") {
+    // 50/50 class balance + identical text: priors AND likelihoods are
+    // exactly equal, so every doc's scores tie across labels and the
+    // min_by aggregate (r15: replaced the row_number window) must
+    // reproduce the window's (score desc, label asc) tie-break — the
+    // lowest label, for every doc.
+    val rows = (0 until 5).map(i => (i.toLong, "tie tie tie", "bbb")) ++
+      (5 until 10).map(i => (i.toLong, "tie tie tie", "aaa"))
+    val out = NaiveBayes.trainAndScore(rows.toDF("doc_id", "text", "lang"),
+      "text", "lang", "doc_id")
+      .select("predicted").distinct().collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("aaa"))
+  }
+
   test("scoring is deterministic across runs") {
     val df = (0 until 30).map(i =>
       (i.toLong, s"tok${i % 7} tok${i % 3} shared", if (i % 2 == 0) "x" else "y"))

@@ -660,4 +660,27 @@ class PlanSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q_pca_top: covariance is join-free and iterations are localized (r15)") {
+    // r15 optimization pins: the covariance used to SELF-JOIN the
+    // exploded corpus on vec_id (SortMergeJoin + two sort exchanges of
+    // every centered component) and the power-iteration fold embedded
+    // each iteration's plan twice (2^iters lineage, 40 SMJs at iters=3).
+    // Now: in-row centering + double-posexplode (no join anywhere) and
+    // per-iteration localize() truncation — the final plan must carry
+    // ZERO joins of any strategy and no vec_id exchange.
+    val p = plan("q_pca_top")
+    assert(count(p, "SortMergeJoin") == 0, s"covariance self-join is back:\n$p")
+    assert(!p.contains("hashpartitioning(vec_id"),
+      "the corpus is being shuffled by vec_id again")
+  }
+
+  test("q_weighted_median: the readout aggregates hash-side, never a SortAggregate (r15)") {
+    // min(price), not min(struct(price, wgt)): struct-min is not
+    // hash-aggregable and forced a SortAggregate + full sort of the
+    // at-or-above half of the corpus; the plain min map-side combines.
+    val p = plan("q_weighted_median")
+    assert(count(p, "SortAggregate") == 0,
+      s"struct-min readout fell back to SortAggregate:\n$p")
+  }
 }
