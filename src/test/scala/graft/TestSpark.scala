@@ -14,6 +14,11 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep in lockstep with GraftSession: the inferred size(e)>0
+      // filter above explodes duplicates the defining array expression
+      // (see GraftSession for the measurement)
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
