@@ -35,6 +35,25 @@ object GraftSession {
       // per-row CPU, so the fix transfers to any cluster size.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // AQE partition coalescing sizes post-shuffle stages by BYTES with
+      // a 1 MiB floor (coalescePartitions.minPartitionSize). This
+      // engine's hot stages are expression-heavy over FEW bytes (shingle
+      // windows, quality/language scoring, MinHash slots: ~µs/row over
+      // kB/row), so byte-sized coalescing serializes CPU-bound stages
+      // onto 1-8 tasks whenever data-per-core < 1 MiB — which also
+      // flattens the core-count scaling the harness measures. 256 KiB
+      // keeps CPU-bound stages parallel in that regime and is NEUTRAL at
+      // scale: any stage with >= 1 MiB/core of shuffle bytes coalesces
+      // exactly as before (parallelismFirst targets bytes/parallelism,
+      // this floor only binds below it). Interleaved A/B (3 rounds,
+      // median-of-3 each, anchors comparable): q_corpus_curation
+      // 4.3-4.8 s -> 3.0-3.3 s, q_corpus_curation_lsh 3.1 -> 2.2-2.5 s,
+      // q_jaccard_pairs 0.87x, with the many-tiny-exchange rows
+      // (q_nb_lang_id, q_ngram_novelty) flat at 256 KiB where a 64 KiB
+      // floor regressed them ~1.3x on task overhead.
+      // Overridable for measurement/deployment: SPARK_GRAFT_MIN_COALESCE.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "256k"))
     // SPARK_GRAFT_CODEGEN_ONLY=1: the per-round codegen audit — every
     // expression must compile (no interpreted fallback), so a new
     // expression that silently falls off the codegen path fails loudly
