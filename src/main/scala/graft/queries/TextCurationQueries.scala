@@ -289,7 +289,10 @@ private[graft] trait TextCurationQueries { this: Queries.type =>
    *  the deterministic md5 hash family lets the DuckDB oracle rebuild the
    *  exact bitset, so even the false positives are value-checked. */
   private[graft] def bloomDecontaminateQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.bloomDecontaminate(docs(s, dir),
+    // widened: the 4-hash-per-shingle Bloom probe fuses into the scan,
+    // and a single-row-group parquet file scans as ONE task (measured
+    // 1.75 s single-threaded at sf0.1); the guard no-ops at scale
+    Dedup.bloomDecontaminate(widenForCompute(docs(s, dir)),
         docs(s, dir).filter(pmod(col("doc_id"), lit(97)) === 0),
         "text", "doc_id", n = 3, minOverlap = 5)
       .select(col("id").as("doc_id"), col("n_flagged"), col("contaminated"))
