@@ -1076,7 +1076,10 @@ private[graft] trait TextCurationQueries { this: Queries.type =>
    *  the tiny (lang × distinct-quality) bucket frame, then a broadcast
    *  semi-join filters the corpus. */
   private[graft] def budgetFillQ(s: SparkSession, dir: String): DataFrame =
-    Sampling.budgetFill(docs(s, dir), "lang", "n_chars",
+    // widened: the quality expression evaluates on BOTH budgetFill
+    // branches (bucket aggregate + semi-join back), each fused into a
+    // one-task scan; the guard no-ops at scale
+    Sampling.budgetFill(widenForCompute(docs(s, dir)), "lang", "n_chars",
       TextAnalysis.qualityScore(col("text")), budgetFrac = 0.5)
 
   private[graft] val budgetFillOracle = {

@@ -56,7 +56,9 @@ private[graft] trait WarehouseQueries { this: Queries.type =>
    *  the one-sided bias is part of the contract and visible in the
    *  `overcount` column). */
   private[graft] def cmsTopkQ(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir)
+    // widened: tokenization + 4-row md5 sketch hashing fuse into a
+    // one-task scan on both the sketch and exact branches
+    val toks = widenForCompute(docs(s, dir))
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
     graft.ext.Sketches.heavyHitters(toks, "tok", depth = 4, width = 512, k = 20)
