@@ -14,6 +14,19 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
   * Run: `sbt "runMain graft.ProfileOne <sfDir> <query> [query...]"`. */
 object ProfileOne {
   def main(args: Array[String]): Unit = {
+    // usage guard (r15 ADVICE): no args / unknown names should print the
+    // contract, not throw ArrayIndexOutOfBounds / NoSuchElement
+    if (args.length < 2) {
+      System.err.println("usage: graft.ProfileOne <sfDir> <query> [query...]")
+      System.err.println("known queries: " + Queries.all.keys.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
+    val unknown = args.drop(1).filterNot(Queries.all.contains)
+    if (unknown.nonEmpty) {
+      System.err.println("unknown queries: " + unknown.mkString(", "))
+      System.err.println("known queries: " + Queries.all.keys.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
     val dir = args(0)
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
@@ -33,6 +46,10 @@ object ProfileOne {
       val c0 = System.nanoTime()
       val df = Queries.all(q)(spark, dir)
       val c1 = System.nanoTime()
+      // drain the listener bus BEFORE the construct snapshot too (r15
+      // ADVICE): stage completions from eager construction jobs landing
+      // late were misattributed to the action phase
+      Thread.sleep(200)
       val (j1, s1, t1) = snap()
       df.write.format("noop").mode("overwrite").save()
       val c2 = System.nanoTime()

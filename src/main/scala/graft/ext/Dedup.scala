@@ -815,27 +815,33 @@ object Dedup {
    * aggregate, no per-slot md5); DedupRecallSpec pins that family's
    * recall, the DuckDB gate pins this one's values.
    *
-   * Scale shape matches the production path: the shuffle keys are
-   * (id, slot) for signatures and (band, band_hash) for candidates —
-   * bounded buckets, never O(n²); the md5-per-(shingle, slot) cost is
-   * the price of cross-engine replay, k× the hashing of the typed
-   * aggregate.
+   * Scale shape matches the production path: ONE doc-keyed signature
+   * aggregate ([[graft.functions.MinHashMd5Agg]] — map-side combined,
+   * fixed k×16-byte buffer per doc) and a (band, band_hash) candidate
+   * join — bounded buckets, never O(n²); the md5-per-(shingle, slot)
+   * cost is the price of cross-engine replay, k× the hashing of the
+   * typed aggregate. (The earlier Column form exploded each shingle k
+   * ways into a (id, slot) exchange and re-shuffled into a
+   * collect_list-per-band aggregate — two exchanges and a k× row
+   * blow-up the single-pass aggregate removes; slot values and band
+   * hashes are bit-identical, r16.)
    */
   def minhashNearDuplicatesMd5(df: DataFrame, textCol: String, idCol: String,
                                n: Int = 3, k: Int = 64, bands: Int = 16,
                                threshold: Double = 0.05): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val slots = df
+    val sig = df
       .select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("s"))
-      .select(col("id"), col("s"), explode(sequence(lit(0), lit(k - 1))).as("i"))
-      .groupBy(col("id"), col("i"))
-      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("s")))).as("slot"))
-    val banded = slots
-      .groupBy(col("id"), expr(s"i div $rows").as("band"))
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("i"), col("slot")))),
-          x => x.getField("slot")), ",")).as("band_hash"))
+      .groupBy(col("id"))
+      .agg(graft.functions.GraftFunctions.graftMinhashMd5Agg(col("s"), k).as("sig"))
+    // band b = slots [b·rows, (b+1)·rows) in slot order, hashed as the
+    // md5 of their comma-join — exactly the old collect_list/array_sort
+    // reassembly, read straight off the ordered signature array
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        md5(array_join(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)), ","))))
+        .as(Seq("band", "band_hash")))
     val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
     val candidates = l.join(r, Seq("band", "band_hash"))

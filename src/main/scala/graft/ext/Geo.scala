@@ -610,31 +610,29 @@ object Geo {
     val spark = points.sparkSession
     if (strictHotCells)
       requireNoHotCells(points, tsCol, latCol, lonCol, dtNs, cellDeg, maxCellFixes)
-    val span = points.agg(
-      min(expr(s"$tsCol div $dtNs")), max(expr(s"$tsCol div $dtNs"))).head()
-    if (span.isNullAt(0)) // empty input: the one-shot plan handles it
+    // ONE discovery pass (r16: was a span aggregate PLUS a distinct-slice
+    // scan — two full reads of the fix table before any slice ran): the
+    // distinct populated bucket set is bounded driver state (span/dtNs
+    // entries — ~4.4k/year at dtNs = 2 h) and yields span AND populated
+    // slice indices. Indices are anchored at minTb so the offsets are
+    // non-negative and integer division equals floor.
+    val tbSet = points.select(expr(s"$tsCol div $dtNs").as("__tb"))
+      .distinct().collect().map(_.getLong(0))
+    if (tbSet.isEmpty) // empty input: the one-shot plan handles it
       return colocationPairs(points, keyCol, idCol, tsCol, latCol, lonCol,
         distM, dtNs, cellDeg, maxCellFixes)
-    val (minTb, maxTb) = (span.getLong(0), span.getLong(1))
-    val scratch = java.nio.file.Files.createTempDirectory("graft-colo-")
-    sys.addShutdownHook(graft.util.Fs.deleteRecursively(scratch))
+    val (minTb, maxTb) = (tbSet.min, tbSet.max)
     // POPULATED slices only (r14 ADVICE): iterating the raw bucket
     // RANGE means one corrupt outlier timestamp (epoch 0 against a
     // modest dtNs) yields thousands of EMPTY slices, each a full Spark
-    // job + parquet write + GC pause. The distinct populated slice
-    // index set is one cheap aggregate and bounded driver state
-    // (≤ populated-bucket-count / sliceBuckets entries); slice indices
-    // are anchored at minTb so the offsets are non-negative and `div`
-    // truncation equals floor.
-    val sliceIdxs = points.select(
-        expr(s"(($tsCol div $dtNs) - $minTb) div $sliceBuckets").as("__s"))
-      .distinct().collect().map(_.getLong(0)).sorted
+    // job + parquet write + GC pause.
+    val sliceIdxs = tbSet.map(tb => (tb - minTb) / sliceBuckets).distinct.sorted
     val gridSlices = (maxTb - minTb) / sliceBuckets + 1
     if (sliceIdxs.length < gridSlices)
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"colocationPairsSliced: ${gridSlices - sliceIdxs.length} empty " +
           s"slices skipped (${sliceIdxs.length} populated of $gridSlices)")
-    sliceIdxs.zipWithIndex.foreach { case (si, i) =>
+    def sliceAgg(si: Long): DataFrame = {
       val lo = minTb + si * sliceBuckets
       val hi = math.min(lo + sliceBuckets - 1, maxTb)
       val part = points.filter(
@@ -644,13 +642,30 @@ object Geo {
         .filter(col("pair_tb").between(lo, hi))
         .groupBy(col("key_a"), col("key_b"))
         .agg(count(lit(1)).as("n"), min(col("dist_m")).as("closest"))
-        .write.mode("overwrite").parquet(s"$scratch/slice=$i")
-      // separate jobs: each slice's shuffle state goes unreachable here,
-      // so the ContextCleaner can reap it before the next slice runs —
-      // the disk high-water stays one slice, which is the entire point
-      System.gc()
     }
-    spark.read.parquet(scratch.toString)
+    val merged =
+      if (sliceIdxs.length <= 4) {
+        // r16: few populated slices (the common case — 32768 buckets of
+        // 2 h is ~7.5 years per slice) don't need the scratch spill at
+        // all: union the per-slice partial aggregates into ONE action.
+        // Disk high-water is ≤ 4 slices, and the per-slice parquet
+        // round-trip + the per-slice System.gc() (a full-heap pause per
+        // slice) disappear. Results identical: counts partition across
+        // slices, min-of-mins.
+        sliceIdxs.map(sliceAgg).reduce(_.unionByName(_))
+      } else {
+        val scratch = java.nio.file.Files.createTempDirectory("graft-colo-")
+        sys.addShutdownHook(graft.util.Fs.deleteRecursively(scratch))
+        sliceIdxs.zipWithIndex.foreach { case (si, i) =>
+          sliceAgg(si).write.mode("overwrite").parquet(s"$scratch/slice=$i")
+          // separate jobs: each slice's shuffle state goes unreachable
+          // here, so the ContextCleaner can reap it before the next slice
+          // runs — the disk high-water stays one slice, the entire point
+          System.gc()
+        }
+        spark.read.parquet(scratch.toString)
+      }
+    merged
       .groupBy(col("key_a"), col("key_b"))
       .agg(sum(col("n")).as("n_encounters"),
         round(min(col("closest")), 2).as("closest_m"))

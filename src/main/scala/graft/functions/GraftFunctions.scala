@@ -73,6 +73,11 @@ object GraftFunctions {
   def graftSimhashAgg(hash: Column): Column =
     GraftBridge.column(SimHashAgg(GraftBridge.expression(hash)).toAggregateExpression())
 
+  /** md5-family MinHash signature aggregate over shingle strings
+   *  (k hex-string slots; slot i = min md5(i || ':' || s)). */
+  def graftMinhashMd5Agg(shingle: Column, k: Int): Column =
+    GraftBridge.column(MinHashMd5Agg(GraftBridge.expression(shingle), k).toAggregateExpression())
+
   // ---- SQL registration ----------------------------------------------
 
   private def info(name: String, usage: String, clazz: Class[_]) =
@@ -133,6 +138,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_simhash_agg"),
       info("graft_simhash_agg", "graft_simhash_agg(hash) - 64-bit SimHash signature over a long hash column", classOf[SimHashAgg]),
       (children: Seq[Expression]) => SimHashAgg(children(0))),
+    (FunctionIdentifier("graft_minhash_md5_agg"),
+      info("graft_minhash_md5_agg", "graft_minhash_md5_agg(shingle, k) - k-slot md5-family MinHash signature (hex strings) over shingle strings", classOf[MinHashMd5Agg]),
+      (children: Seq[Expression]) => MinHashMd5Agg(children(0), asLong(children(1)).toInt)),
     // macro-style: expands to the same built-in operation sequence as
     // the DataFrame API (graft.ext.Geo.haversineMeters) — identical
     // IEEE result — built as RESOLVED Catalyst nodes (the Column

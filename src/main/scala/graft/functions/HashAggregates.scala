@@ -153,3 +153,113 @@ case class SimHashAgg(
   override protected def withNewChildInternal(newChild: Expression): SimHashAgg =
     copy(child = newChild)
 }
+
+/**
+ * md5-family MinHash signature aggregate over raw shingle STRINGS — the
+ * single-pass form of the oracle-checkable family: slot i of shingle s is
+ * min over the group of md5(i || ':' || s), compared lexicographically as
+ * lowercase hex (exactly `min(md5(concat(i, ':', s)))` per slot).
+ *
+ * Why: the Column formulation exploded every shingle k ways
+ * (`explode(sequence(0, k-1))`), shuffled (id, slot) rows into a
+ * `groupBy(id, i).agg(min(md5(...)))`, then RE-shuffled into a
+ * `groupBy(id, band)` with `array_sort(collect_list(struct(...)))` to
+ * reassemble slot order — two exchanges and a k× row blow-up for what is
+ * one fixed-size buffer per doc. This aggregate keeps k 16-byte digests
+ * per group (unsigned byte-wise comparison ≡ lowercase-hex string order,
+ * since nibble → hex char is monotonic), updates them in one tight loop
+ * per shingle, and emits the k slots as hex strings in slot order — one
+ * ObjectHashAggregate with map-side partial aggregation, zero extra
+ * exchanges. The md5-per-(shingle, slot) cost itself is preserved: it IS
+ * the cross-engine replay contract (DuckDB recomputes every digest).
+ */
+case class MinHashMd5Agg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+  require(k > 0, "k must be positive")
+
+  override def prettyName: String = "graft_minhash_md5"
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  // buffer: k 16-byte digests + 1 trailing "updated" flag byte; the flag
+  // (not a sentinel digest value) marks the never-updated partial buffer
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  @transient private lazy val slotPrefix: Array[Array[Byte]] =
+    Array.tabulate(k)(i => (i.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](16 * k + 1)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val sBytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      val fresh = buf(16 * k) == 0
+      var i = 0
+      while (i < k) {
+        md.reset()
+        md.update(slotPrefix(i))
+        md.update(sBytes)
+        val d = md.digest()
+        val off = 16 * i
+        if (fresh || java.util.Arrays.compareUnsigned(d, 0, 16, buf, off, off + 16) < 0)
+          System.arraycopy(d, 0, buf, off, 16)
+        i += 1
+      }
+      buf(16 * k) = 1
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    if (b2(16 * k) == 0) b1
+    else if (b1(16 * k) == 0) b2
+    else {
+      var i = 0
+      while (i < k) {
+        val off = 16 * i
+        if (java.util.Arrays.compareUnsigned(b2, off, off + 16, b1, off, off + 16) < 0)
+          System.arraycopy(b2, off, b1, off, 16)
+        i += 1
+      }
+      b1
+    }
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    if (buf(16 * k) == 0) null
+    else {
+      val hexDigits = "0123456789abcdef".toCharArray
+      val out = new Array[Any](k)
+      var i = 0
+      while (i < k) {
+        val cs = new Array[Char](32)
+        var j = 0
+        while (j < 16) {
+          val b = buf(16 * i + j) & 0xff
+          cs(2 * j) = hexDigits(b >>> 4)
+          cs(2 * j + 1) = hexDigits(b & 0xf)
+          j += 1
+        }
+        out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(new String(cs))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashMd5Agg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashMd5Agg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinHashMd5Agg =
+    copy(child = newChild)
+}
