@@ -468,8 +468,20 @@ object Similarity {
       centroids.select(col(centroidId).as("centroid_id"), col(centroidVec).as("__cent"))))
       .select(col(idCol), col(vecCol),
         col("centroid_id"), metricSim(col(vecCol), col("__cent"), metric).as("sim"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id"))
-    joined.withColumn("rank", row_number().over(w)).filter(col("rank") === 1)
+    // argmax as a hash AGGREGATE (r16; the NaiveBayes min_by precedent):
+    // min over (−sim, centroid_id) = highest sim, lowest centroid_id on
+    // ties — the exact row_number()-over-(sim desc, centroid_id) pick —
+    // but with map-side partial aggregation the k-way fan-out collapses
+    // back to one row per vector BEFORE the exchange, and the per-vector
+    // sort the window needed is gone. At 100 TB the encode pass shuffles
+    // corpus rows instead of corpus×k sorted rows.
+    // null sims (zero-norm input under cosine) sorted LAST by the window
+    // (desc nulls-last); coalesce to +∞ so the aggregate agrees
+    joined.groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol),
+        min_by(col("centroid_id"),
+          struct(coalesce(-col("sim"), lit(Double.PositiveInfinity)).as("ns"),
+            col("centroid_id"))).as("centroid_id"))
       .select(col(idCol), col(vecCol), col("centroid_id"))
   }
 
