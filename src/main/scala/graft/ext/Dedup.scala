@@ -353,9 +353,15 @@ object Dedup {
     val grams = df.select(col(idCol).as("doc_id"),
       posexplode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), n))
         .as(Seq("gpos", "gram")))
-    val covered = grams
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gram"))))
+    // same aggregate+semi-join restatement as [[duplicateSpans]] (r16):
+    // the hot-gram set is counted map-side-combined and broadcast back,
+    // replacing the sort-everything gram window
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minCount)
+      .select(col("gram"))
+    val covered = grams
+      .join(dupGrams, Seq("gram"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("gpos"), col("gpos") + lit(n - 1))).as("pos"))
       .distinct()
