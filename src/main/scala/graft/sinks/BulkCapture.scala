@@ -24,7 +24,12 @@ final class BulkCapture {
   private val lastDoc = new ConcurrentHashMap[String, String]()
   @volatile private var nRequests = 0
 
-  private val server = HttpServer.create(new InetSocketAddress(0), 0)
+  // explicit IPv4 loopback on BOTH ends (r16): binding the wildcard and
+  // advertising "localhost" let the client resolve ::1 first, and a
+  // blackholed IPv6 loopback turns one POST into a full 10 s connect
+  // timeout - the intermittent +10 s stall the streaming-ES bench row
+  // showed (spread 14.5 s across otherwise-identical runs)
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/_bulk", (exchange: HttpExchange) => {
     val body = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
     nRequests += 1
@@ -42,7 +47,7 @@ final class BulkCapture {
   })
   server.start()
 
-  def endpoint: String = s"http://localhost:${server.getAddress.getPort}"
+  def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
   def requests: Int = nRequests
   /** Snapshot of (doc id → last indexed doc body). */
   def docs: Map[String, String] = {
@@ -65,7 +70,7 @@ final class HttpCapture {
   private val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val lastByKey = new ConcurrentHashMap[String, String]()
   private val keyRe = "\"BatchKey\":\"([^\"]*)\"".r
-  private val server = HttpServer.create(new InetSocketAddress(0), 0)
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", (exchange: HttpExchange) => {
     val body = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
     received.add(body)
@@ -78,7 +83,7 @@ final class HttpCapture {
   })
   server.start()
 
-  def endpoint: String = s"http://localhost:${server.getAddress.getPort}"
+  def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
   /** Every body as POSTed, replays included (raw wire view). */
   def bodies: Seq[String] = {
     import scala.jdk.CollectionConverters._
