@@ -683,4 +683,46 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "SortAggregate") == 0,
       s"struct-min readout fell back to SortAggregate:\n$p")
   }
+
+  test("unpartitioned windows only consume bounded inputs (r16, verdict item 10)") {
+    // Every Window.orderBy-without-partitionBy site in the engine is
+    // documented as bounded (bins / top-k / per-bucket aggregates), but
+    // nothing PINNED that: an edit moving a corpus-sized frame onto one
+    // of these single-partition windows would only surface as a 100 TB
+    // straggler. For each covering query, every WindowExec with an empty
+    // partitionSpec must sit above a cardinality-bounding operator — an
+    // aggregate (group-key-bounded), a limit / TakeOrdered (k-bounded),
+    // or a local relation.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    def bounded(p: SparkPlan): Boolean = flatten(p).exists {
+      case _: BaseAggregateExec | _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec | _: LocalTableScanExec => true
+      case _ => false
+    }
+    // one query per unpartitioned-window site family: trainCentroids
+    // seeds, vocab rank/growth, BPE vocab rank, CDF-over-bins, exact
+    // order statistics, experiment spines, RRF's two k-row rank inputs
+    val covering = Seq("q_ivf_trained", "q_vocab_coverage", "q_vocab_growth",
+      "q_bpe_vocab", "q_mann_whitney", "q_survival_curve", "q_churn_hazard",
+      "q_peak_concurrency", "q_rrf_fusion", "q_ks_drift", "q_robust_stats",
+      "q_equidepth_bins", "q_zipf_fit", "q_top_ngram")
+    covering.foreach { q =>
+      val p = Queries.all(q)(spark, dir).queryExecution.executedPlan
+      val unpartitioned = flatten(p).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      unpartitioned.foreach { w =>
+        assert(bounded(w.child),
+          s"$q: unpartitioned window over an UNBOUNDED input — a corpus-" +
+            s"sized frame would land on one partition:\n$w")
+      }
+    }
+  }
 }
