@@ -154,7 +154,11 @@ object Graph {
           col("node") === col("_seen"), "left_anti")
         .select(col("node"), lit(h).as("dist"))
         .localCheckpoint(true)
-      reached = reached.unionAll(next).localCheckpoint(true)
+      // reached = a UNION of already-checkpointed layers — flat lineage
+      // (≤ maxHops checkpointed legs) with no materialization job of its
+      // own; re-checkpointing the union each round (the r14 form) paid
+      // one extra eager job per hop for zero lineage benefit (r16)
+      reached = reached.unionAll(next)
       frontier = next
     }
     reached

@@ -1104,8 +1104,12 @@ private[graft] trait Analytics8Queries { this: Queries.type =>
       .select(col("l_returnflag"), col("l_extendedprice"),
         floor(col("l_quantity")).as("wgt"))
       .withColumn("bkt", floor(col("l_extendedprice")).cast("long"))
+    // the bucket spine feeds BOTH the prefix window and the totals —
+    // checkpoint the (flag, bkt)-bounded aggregate once so lineitem is
+    // scanned once for it, not once per consumer (r16: 3 scans → 2)
     val perBkt = li.groupBy(col("l_returnflag"), col("bkt"))
       .agg(sum(col("wgt")).as("bw"))
+      .localCheckpoint(true)
     val wBkt = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val before = perBkt
