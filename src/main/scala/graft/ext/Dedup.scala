@@ -159,7 +159,8 @@ object Dedup {
                          kHashes: Int = 4): DataFrame = {
     val mBits = BloomBits // 4 hex chars of md5 address exactly 0..65535
     def pos(i: Int, s: Column): Column =
-      conv(substring(md5(concat(lit(i + ":"), s)), 1, 4), 16, 10).cast("int")
+      graft.functions.GraftFunctions.graftMd5PrefixLong(
+        concat(lit(i + ":"), s), 4).cast("int")
 
     val positions = evalSet
       .select(explode(wordShingles(col(textCol), n)).as("s"))

@@ -328,7 +328,7 @@ object LanguageModel {
   def jsDivergenceMatrix(df: DataFrame, textCol: String, groupCol: String,
                          buckets: Int = 256, alpha: Double = 0.5): DataFrame = {
     val bucket = pmod(
-      conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+      graft.functions.GraftFunctions.graftMd5PrefixLong(col("w"), 8), lit(buckets.toLong))
     val counts = df.select(col(groupCol).as("grp"),
         explode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), 1)).as("w"))
       .select(col("grp"), bucket.as("bucket"))

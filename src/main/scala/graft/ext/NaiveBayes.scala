@@ -51,8 +51,11 @@ object NaiveBayes {
   def trainAndScoreSplit(df: DataFrame, textCol: String, labelCol: String,
                          idCol: String, isTrain: Column,
                          buckets: Int = 128, alpha: Double = 0.5): DataFrame = {
+    // first-32-md5-bits bucket via the fused native expression (r16):
+    // one digest per token, no 32-char hex round-trip, no conv parse —
+    // value-identical to conv(substring(md5(w), 1, 8), 16, 10)
     val bucket = pmod(
-      conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+      graft.functions.GraftFunctions.graftMd5PrefixLong(col("w"), 8), lit(buckets.toLong))
     val toks = df.select(col(idCol).as("doc_id"), col(labelCol).as("label"),
         isTrain.as("is_train"),
         explode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), 1)).as("w"))

@@ -18,7 +18,8 @@ object Sampling {
    *  32 bits of md5(salt || id). Integer-to-double conversions are exact,
    *  so the value is bit-identical across engines. */
   private def u01(salt: String, id: Column): Column =
-    (conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+    (graft.functions.GraftFunctions.graftMd5PrefixLong(
+      concat(lit(salt), id.cast("string")), 8)
       .cast("double") + 1.0) / 4294967296.0
 
   /**
@@ -246,7 +247,7 @@ object Sampling {
     val toks = df.select(col(idCol).as("doc_id"), isTarget.as("is_target"),
       explode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), 1)).as("w"))
     val bucket = pmod(
-      conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+      graft.functions.GraftFunctions.graftMd5PrefixLong(col("w"), 8), lit(buckets.toLong))
     // perDoc fans out to four consumers (raw, tgt, totals, scoring);
     // localCheckpoint pins it so the corpus tokenize runs ONCE (the
     // corpus-curation precedent), at (docs × ≤buckets) rows

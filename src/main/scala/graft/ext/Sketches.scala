@@ -26,8 +26,8 @@ object Sketches {
 
   /** Bucket of `key` under hash row `seed`, md5-derived, in [0, width). */
   def cmBucket(key: Column, seed: Int, width: Int): Column =
-    conv(substring(md5(concat(lit(s"$seed:"), key)), 1, 8), 16, 10)
-      .cast("long") % width
+    graft.functions.GraftFunctions.graftMd5PrefixLong(
+      concat(lit(s"$seed:"), key), 8) % width
 
   /**
    * The (seed, bucket, c) counter table for `keys` — depth × width

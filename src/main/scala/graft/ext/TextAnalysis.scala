@@ -122,7 +122,7 @@ object TextAnalysis {
    */
   def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
     val hashes = transform(graft.functions.GraftFunctions.graftWordNgrams(text, k),
-      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+      g => graft.functions.GraftFunctions.graftMd5PrefixLong(g, 8))
     val nWin = size(hashes) - (w - 1)
     val mins = when(nWin >= 1,
       transform(sequence(lit(1), nWin),
@@ -148,7 +148,7 @@ object TextAnalysis {
       posexplode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), k))
         .as(Seq("pos", "gram")))
     val hashed = grams.select(col("doc_id"), col("pos"),
-      conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
+      graft.functions.GraftFunctions.graftMd5PrefixLong(col("gram"), 8).as("h"))
     val byDoc = Window.partitionBy(col("doc_id"))
     val frame = byDoc.orderBy(col("pos")).rowsBetween(Window.currentRow, w - 1)
     hashed
@@ -369,7 +369,7 @@ object TextAnalysis {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(graft.functions.GraftFunctions.graftWordNgrams(col(textCol), 1)).as("w"))
     val bucket = pmod(
-      conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"), lit(dims.toLong))
+      graft.functions.GraftFunctions.graftMd5PrefixLong(col("w"), 8), lit(dims.toLong))
     val tf = toks.groupBy(col("doc_id"), bucket.as("bucket"))
       .agg(count(lit(1)).as("tf"))
     val w = Window.partitionBy(col("doc_id"))

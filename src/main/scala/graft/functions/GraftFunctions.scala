@@ -78,6 +78,11 @@ object GraftFunctions {
   def graftMinhashMd5Agg(shingle: Column, k: Int): Column =
     GraftBridge.column(MinHashMd5Agg(GraftBridge.expression(shingle), k).toAggregateExpression())
 
+  /** First `nibbles` hex digits of md5(s) as a long — one codegen'd call
+   *  for the `conv(substring(md5(s), 1, n), 16, 10)` bucket convention. */
+  def graftMd5PrefixLong(s: Column, nibbles: Int): Column =
+    GraftBridge.column(Md5PrefixLong(GraftBridge.expression(s), nibbles))
+
   // ---- SQL registration ----------------------------------------------
 
   private def info(name: String, usage: String, clazz: Class[_]) =
@@ -141,6 +146,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_minhash_md5_agg"),
       info("graft_minhash_md5_agg", "graft_minhash_md5_agg(shingle, k) - k-slot md5-family MinHash signature (hex strings) over shingle strings", classOf[MinHashMd5Agg]),
       (children: Seq[Expression]) => MinHashMd5Agg(children(0), asLong(children(1)).toInt)),
+    (FunctionIdentifier("graft_md5_prefix_long"),
+      info("graft_md5_prefix_long", "graft_md5_prefix_long(s, nibbles) - first nibbles hex digits of md5(s) as a long", classOf[Md5PrefixLong]),
+      (children: Seq[Expression]) => Md5PrefixLong(children(0), asLong(children(1)).toInt)),
     // macro-style: expands to the same built-in operation sequence as
     // the DataFrame API (graft.ext.Geo.haversineMeters) — identical
     // IEEE result — built as RESOLVED Catalyst nodes (the Column

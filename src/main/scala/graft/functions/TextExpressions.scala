@@ -263,3 +263,50 @@ case class CharShingles(child: Expression, n: Int) extends ShingleExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Static helper for [[Md5PrefixLong]]: md5 digest of the UTF-8 bytes,
+ *  first `nibbles` hex digits read as an unsigned integer — exactly
+ *  `conv(substring(md5(s), 1, nibbles), 16, 10)` without materializing
+ *  the 32-char hex string or re-parsing it (one digest, zero string
+ *  round-trips). nibbles ≤ 15 keeps the value positive in a long. */
+object Md5Ops {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def prefixLong(s: UTF8String, nibbles: Int): Long = {
+    val d = md.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < nibbles) {
+      val b = digest(i >> 1) & 0xff
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    v
+  }
+}
+
+/** First `nibbles` hex digits of md5(s) as a long — the engine's
+ *  cross-engine hash-bucket convention (`conv(substring(md5(s), 1, n),
+ *  16, 10)`) as ONE codegen'd call. Value-identical to the Column
+ *  spelling it replaces (Md5PrefixLongSpec pins it), so every DuckDB
+ *  oracle replaying `CAST('0x' || substr(md5(s), 1, n) AS BIGINT)`
+ *  is untouched. */
+case class Md5PrefixLong(child: Expression, nibbles: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nibbles > 0 && nibbles <= 15, "nibbles in [1, 15] to stay positive in a long")
+  override def prettyName: String = "graft_md5_prefix_long"
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Md5Ops.prefixLong(v.asInstanceOf[UTF8String], nibbles)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = graft.functions.Md5Ops.prefixLong($v, $nibbles);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

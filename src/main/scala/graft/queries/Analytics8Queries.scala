@@ -754,7 +754,7 @@ private[graft] trait Analytics8Queries { this: Queries.type =>
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .select(col("source"),
-        expr("CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)")
+        expr("graft_md5_prefix_long(w, 15)")
           .as("h"))
       .distinct()
     val wr = Window.partitionBy(col("source")).orderBy(col("h"))
@@ -1039,8 +1039,7 @@ private[graft] trait Analytics8Queries { this: Queries.type =>
   private[graft] def tableChecksumQ(s: SparkSession, dir: String): DataFrame = {
     def fp(table: String, df: DataFrame, cols: Seq[String]): DataFrame = {
       val rowHash = expr(
-        s"conv(substring(md5(concat_ws('|', ${cols.mkString(", ")})), 1, 8), 16, 10)")
-        .cast("long")
+        s"graft_md5_prefix_long(concat_ws('|', ${cols.mkString(", ")}), 8)")
       // Sum as DECIMAL(38,0), not LONG: per-row hashes average ~2^31, so a
       // LONG sum wraps at ~4e9 rows (lineitem SF~700) while DuckDB's
       // sum(BIGINT) widens to HUGEINT — exactly the reconciliation scale

@@ -248,8 +248,7 @@ private[graft] trait ExperimentQueries { this: Queries.type =>
       .select(col("user_id"), col("x"),
         explode(expr("sequence(1, 32)")).as("r"))
       .withColumn("u", expr(
-        "conv(substring(md5(concat_ws('|', user_id, r)), 1, 8), 16, 10)")
-        .cast("long"))
+        "graft_md5_prefix_long(concat_ws('|', user_id, r), 8)"))
       .withColumn("w",
         when(col("u") < 1580030168L, 0L)
           .when(col("u") < 3160060337L, 1L)
@@ -1199,8 +1198,7 @@ private[graft] trait ExperimentQueries { this: Queries.type =>
     import org.apache.spark.sql.expressions.Window
     events(s, dir)
       .withColumn("bucket", expr(
-        """CAST(conv(substring(md5(concat('pb:', user_id)), 1, 8), 16, 10)
-          |  AS BIGINT) % 32""".stripMargin))
+        "graft_md5_prefix_long(concat('pb:', user_id), 8) % 32"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
       .withColumn("_tot", sum(col("n_rows")).over(Window.partitionBy()))
       .select(col("bucket"), col("n_rows"),

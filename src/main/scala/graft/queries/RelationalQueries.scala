@@ -1485,8 +1485,7 @@ private[graft] trait RelationalQueries { this: Queries.type =>
         col("l_linenumber"), col("l_extendedprice"))
     // ---- HLL over l_partkey: exact integer register sums per flag
     val hashed = li.select(col("l_returnflag"),
-      expr("CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15)," +
-        " 16, 10) AS BIGINT)").as("h"))
+      expr("graft_md5_prefix_long(CAST(l_partkey AS STRING), 15)").as("h"))
     val regs = hashed
       .select(col("l_returnflag"),
         expr(s"h div $hllSplit").as("bucket"),
@@ -1504,8 +1503,8 @@ private[graft] trait RelationalQueries { this: Queries.type =>
         round(expr(hllEstSql("sum_scaled")), 2).as("hll_parts_est"))
     // ---- deterministic sampled median of l_extendedprice per flag
     val sampled = li
-      .filter(expr("CAST(conv(substring(md5(concat_ws('|', l_orderkey," +
-        " l_linenumber)), 1, 8), 16, 10) AS BIGINT) < 268435456"))
+      .filter(expr("graft_md5_prefix_long(concat_ws('|', l_orderkey," +
+        " l_linenumber), 8) < 268435456"))
       .select(col("l_returnflag"), col("l_extendedprice").as("v"))
     val wv = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
     val med = sampled
@@ -1578,8 +1577,7 @@ private[graft] trait RelationalQueries { this: Queries.type =>
   private[graft] def hllMergeDailyQ(s: SparkSession, dir: String): DataFrame = {
     val hashed = events(s, dir)
       .select(expr("ts div 86400000000000").as("day"),
-        expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15)," +
-          " 16, 10) AS BIGINT)").as("h"))
+        expr("graft_md5_prefix_long(CAST(user_id AS STRING), 15)").as("h"))
       .select(col("day"),
         expr(s"h div $hllSplit").as("bucket"),
         expr(s"CAST($hllRhoSql AS BIGINT)").as("rho"))
