@@ -54,6 +54,15 @@ object GraftSession {
       // Overridable for measurement/deployment: SPARK_GRAFT_MIN_COALESCE.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "256k"))
+      // codegen compile cache: the default 100 entries thrash across a
+      // 322-query session (each query generates several codegen units;
+      // repeated fragments — same-table scans, shared subpipelines —
+      // regenerate byte-identical source that would otherwise recompile
+      // through janino). Static conf, so it must be set at session build;
+      // entries hold compiled classes (weak classloader keys), a few MB
+      // at this size. Env-overridable for measurement.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
     // SPARK_GRAFT_CODEGEN_ONLY=1: the per-round codegen audit — every
     // expression must compile (no interpreted fallback), so a new
     // expression that silently falls off the codegen path fails loudly
