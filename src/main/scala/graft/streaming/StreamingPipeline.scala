@@ -77,15 +77,31 @@ object StreamingPipeline {
           // (parquet + the hook) — share one evaluation
           if (extraSinks.nonEmpty) result.fileTotals.persist()
           try {
+            // the totals write runs FIRST and alone: it folds the
+            // sequential verdicts in, so it materializes both caches in
+            // one job (concurrent first-consumers of an unmaterialized
+            // persist would each compute it)
             result.fileTotals.write.mode("append").parquet(s"$outDir/file_totals")
-            result.errorHistogram.write.mode("append").parquet(s"$outDir/error_histogram")
-            if (result.hasSequential)
-              result.sequential.write.mode("append").parquet(s"$outDir/sequential")
+            // the remaining sinks are independent reads of warm caches —
+            // overlap them (guide §2.6) so the batch pays max(), not sum()
             // K1/K2 seam (r13 verdict item 8): external per-batch sinks —
             // ES metadata docs, CloudWatch datums — attach HERE, inside the
             // persist scope, exactly where the reference's Lambda posts
             // them per object (bucket_event_lambda_handler.py:91-198)
-            extraSinks.foreach(_(result))
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration.Duration
+            implicit val ec: scala.concurrent.ExecutionContext =
+              scala.concurrent.ExecutionContext.global
+            val sinks = Seq(
+              Future(result.errorHistogram.write.mode("append")
+                .parquet(s"$outDir/error_histogram"))) ++
+              (if (result.hasSequential)
+                Seq(Future(result.sequential.write.mode("append")
+                  .parquet(s"$outDir/sequential")))
+              else Nil) ++
+              extraSinks.map(sink => Future(sink(result)))
+            Await.result(Future.sequence(sinks), Duration.Inf)
+            ()
           } finally {
             if (result.hasSequential) result.sequential.unpersist()
             if (extraSinks.nonEmpty) result.fileTotals.unpersist()
