@@ -473,16 +473,20 @@ object Similarity {
     // ties — the exact row_number()-over-(sim desc, centroid_id) pick —
     // but with map-side partial aggregation the k-way fan-out collapses
     // back to one row per vector BEFORE the exchange, and the per-vector
-    // sort the window needed is gone. At 100 TB the encode pass shuffles
-    // corpus rows instead of corpus×k sorted rows.
+    // sort the window needed is gone. The TYPED argmin (not min_by over
+    // a struct, whose immutable buffer forces a SortAggregate) makes the
+    // whole aggregate an ObjectHashAggregate — no map-side sort either.
+    // At 100 TB the encode pass hash-aggregates corpus×k rows and
+    // shuffles corpus rows, sorting nothing.
     // null sims (zero-norm input under cosine) sorted LAST by the window
     // (desc nulls-last); coalesce to +∞ so the aggregate agrees
+    val cidType = joined.schema("centroid_id").dataType
     joined.groupBy(col(idCol))
       .agg(first(col(vecCol)).as(vecCol),
-        min_by(col("centroid_id"),
-          struct(coalesce(-col("sim"), lit(Double.PositiveInfinity)).as("ns"),
-            col("centroid_id"))).as("centroid_id"))
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+        graft.functions.GraftFunctions.graftArgMinLong(
+          col("centroid_id").cast("long"),
+          coalesce(-col("sim"), lit(Double.PositiveInfinity))).as("centroid_id"))
+      .select(col(idCol), col(vecCol), col("centroid_id").cast(cidType).as("centroid_id"))
   }
 
   /**
@@ -637,12 +641,17 @@ object Similarity {
       base.join(broadcast(cents), Seq("subspace"))
         .withColumn("sim", metricSim(col("sv"), col("centroid"), "l2"))
         .groupBy(col("subspace"), col("id"))
-        // argmax as a hash AGGREGATE (max_by over (sim, -code): highest
-        // sim, lowest code on ties — same ordering the window formulation
-        // used) instead of a row_number window: no sort exchange, and the
-        // partial aggregation runs map-side before the shuffle
+        // argmax as a hash AGGREGATE: argmin of code by −sim (highest
+        // sim, lowest code on ties — the same ordering the window and
+        // max_by-struct formulations used). The typed argmin flips the
+        // aggregate from SortAggregate (struct buffers are not
+        // hash-aggregable) to ObjectHashAggregate — map-side combine,
+        // no sort anywhere (r16).
         .agg(
-          max_by(col("code"), struct(col("sim"), (-col("code")).as("nc"))).as("code"),
+          graft.functions.GraftFunctions.graftArgMinLong(
+            col("code").cast("long"),
+            coalesce(-col("sim"), lit(Double.PositiveInfinity)))
+            .cast("int").as("code"),
           first(col("sv")).as("sv"))
         .select(col("subspace"), col("id"), col("sv"), col("code"))
 

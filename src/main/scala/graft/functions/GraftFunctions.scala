@@ -83,6 +83,13 @@ object GraftFunctions {
   def graftMd5PrefixLong(s: Column, nibbles: Int): Column =
     GraftBridge.column(Md5PrefixLong(GraftBridge.expression(s), nibbles))
 
+  /** argmin of a long value by a double key (ties → smallest value) —
+   *  `min_by(v, struct(k, v))` as a typed aggregate so the surrounding
+   *  aggregate plans hash-based (ObjectHashAggregate), never a sort. */
+  def graftArgMinLong(value: Column, key: Column): Column =
+    GraftBridge.column(ArgMinLongAgg(
+      GraftBridge.expression(value), GraftBridge.expression(key)).toAggregateExpression())
+
   // ---- SQL registration ----------------------------------------------
 
   private def info(name: String, usage: String, clazz: Class[_]) =

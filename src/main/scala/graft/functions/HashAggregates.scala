@@ -263,3 +263,105 @@ case class MinHashMd5Agg(
   override protected def withNewChildInternal(newChild: Expression): MinHashMd5Agg =
     copy(child = newChild)
 }
+
+/**
+ * argmin-by-(double key, long value) — `min_by(value, struct(key, value))`
+ * for a LongType value, as a [[TypedImperativeAggregate]].
+ *
+ * Why: min_by/max_by with a struct ordering key (and `first` over an
+ * array column) have agg buffers that are not mutable-buffer types, so
+ * the whole aggregate plans as a SortAggregate — the IVF encode pass was
+ * paying a map-side sort of the corpus × k centroid fan-out just to pick
+ * each vector's argmax. One TypedImperativeAggregate in the aggregate
+ * list flips the plan to ObjectHashAggregate (hash-based, partial
+ * aggregation, no sort), which also carries the co-grouped declarative
+ * aggs (the vector passthrough).
+ *
+ * Ordering semantics match Spark's interpreted/codegen'd double ordering
+ * exactly: -0.0 == 0.0, NaN greater than everything, NaN == NaN; ties on
+ * the key resolve to the SMALLEST value — bit-identical to the
+ * `min_by(v, struct(k, v))` it replaces (pinned by ArgMinLongSpec).
+ * Null keys or values are ignored (the callers coalesce keys and have
+ * non-null values by construction).
+ */
+case class ArgMinLongAgg(
+    value: Expression,
+    key: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def prettyName: String = "graft_argmin_long"
+  override def left: Expression = value
+  override def right: Expression = key
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(LongType, DoubleType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  // buffer: [hasValue (0/1), doubleToLongBits(bestKey), bestValue]
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](3)
+
+  // Spark's SQL double ordering: -0.0 == 0.0, NaN == NaN, NaN greatest
+  private def cmpKey(x: Double, y: Double): Int =
+    if (x < y) -1
+    else if (x > y) 1
+    else {
+      val xn = x != x
+      val yn = y != y
+      if (xn == yn) 0 else if (xn) 1 else -1
+    }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = value.eval(input)
+    val k = key.eval(input)
+    if (v != null && k != null) {
+      val kd = k.asInstanceOf[Double]
+      val vl = v.asInstanceOf[Long]
+      if (buf(0) == 0L) {
+        buf(0) = 1L
+        buf(1) = java.lang.Double.doubleToRawLongBits(kd)
+        buf(2) = vl
+      } else {
+        val c = cmpKey(kd, java.lang.Double.longBitsToDouble(buf(1)))
+        if (c < 0 || (c == 0 && vl < buf(2))) {
+          buf(1) = java.lang.Double.doubleToRawLongBits(kd)
+          buf(2) = vl
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    if (b2(0) == 0L) b1
+    else if (b1(0) == 0L) b2
+    else {
+      val c = cmpKey(java.lang.Double.longBitsToDouble(b2(1)),
+        java.lang.Double.longBitsToDouble(b1(1)))
+      if (c < 0 || (c == 0 && b2(2) < b1(2))) b2 else b1
+    }
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    if (buf(0) == 0L) null else buf(2)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(24)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(3)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ArgMinLongAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ArgMinLongAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArgMinLongAgg =
+    copy(value = newLeft, key = newRight)
+}
